@@ -1,0 +1,59 @@
+"""Thin parquet-backed store for the two persistent tables.
+
+Only ``DWH_DIM_TERMINALS_HIST`` (rewritten per load) and ``REP_FRAUD``
+(append-only accumulation) survive across runs (SURVEY §1.1); everything else
+is per-run lineage. Parquet is the default backend; the interface is the
+seam where a Delta/Iceberg writer would slot in for MERGE-style upserts at
+billion-key dimension scale.
+
+``overwrite_swap`` exists because Spark cannot safely overwrite a parquet
+directory that feeds the plan being written: we materialize to a temp dir,
+then swap directories. On HDFS/S3 the same pattern holds (write-new +
+atomic pointer/rename).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class ParquetStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self.path(name))
+
+    def read(self, name: str, schema: StructType | None = None) -> DataFrame:
+        if not self.exists(name):
+            if schema is None:
+                raise FileNotFoundError(self.path(name))
+            return self.spark.createDataFrame([], schema=schema)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self.path(name))
+
+    def append(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
+
+    def overwrite_swap(self, df: DataFrame, name: str) -> None:
+        """Safe overwrite even when ``df`` reads from the target path."""
+        tmp = self.path(name) + ".__tmp__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        final = self.path(name)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
