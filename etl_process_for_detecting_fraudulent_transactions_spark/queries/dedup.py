@@ -1,0 +1,327 @@
+"""Deduplication operators over ``documents`` (training-data-pipeline ops).
+
+Five dedup families, each exercised end-to-end with a DuckDB oracle:
+exact (hash groupBy), bag-of-words fingerprint, n-gram Jaccard,
+MinHash+LSH (band-bucket join), and SimHash (banded hamming).
+
+Determinism across engines: the only hash both engines share is ``md5`` —
+MinHash uses *string* min over md5 hex digests (total order, engine-neutral);
+SimHash extracts bits from md5 hex chars arithmetically. Jaccard values are
+ratios of exact integer counts (single IEEE division → bit-identical).
+
+Scale notes: every op here is shuffle-bounded by ``explode(shingles)`` —
+at 100 TB the shingle join is the cost center, so the LSH variants bucket
+FIRST (band keys) and only verify candidates, which is the point of
+MinHash/SimHash vs the quadratic n-gram join (kept for small-N parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_MINHASH = 9          # minhash permutations
+N_BANDS = 3            # LSH bands (rows per band = 3)
+JACCARD_T = 0.4        # near-dup verify threshold (planted dups are >0.9)
+SIMHASH_BITS = 32      # simhash width (8 hex chars of md5)
+HAMMING_T = 3          # near-dup hamming threshold
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# -- exact + fingerprint dedup ----------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on raw text; representative = min doc_id."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+ORACLE_EXACT = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS rep_doc_id, COUNT(*) AS group_size
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_bow_fingerprint(spark, sf_dir):
+    """Bag-of-words dedup: fingerprint = md5 of the sorted distinct word set
+    (catches word-reordered duplicates exact dedup misses)."""
+    d = _docs(spark, sf_dir)
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "))
+    return d.groupBy(fp.alias("bow_fp")).agg(
+        F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("group_size")
+    )
+
+
+ORACLE_BOW = """
+SELECT md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS bow_fp,
+       MIN(doc_id) AS rep_doc_id, COUNT(*) AS group_size
+FROM documents
+GROUP BY 1
+"""
+
+
+# -- shingles ----------------------------------------------------------------
+# 3-word shingles; Spark side built once and reused by jaccard + minhash.
+
+def _shingles(spark, sf_dir):
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 3)  # guard: F.sequence would run descending
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 3),
+                lambda i: F.concat_ws("_", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]),
+            )
+        ).alias("s"),
+    ).distinct()
+    return sh
+
+_SQL_SHINGLES = """
+  SELECT DISTINCT doc_id, ws[i] || '_' || ws[i+1] || '_' || ws[i+2] AS s
+  FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents) t,
+       unnest(range(1, len(ws) - 1)) AS u(i)
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram (3-word shingle) Jaccard near-dup pairs ≥ 0.4 — the exact
+    quadratic baseline the LSH variants approximate."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+ORACLE_NGRAM = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE i / (sa.n + sb.n - i) >= {JACCARD_T}
+"""
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: shingle → K=9 minhashes (string-min over seeded
+    md5 digests) → 3 bands of 3 → band-bucket join → verify true Jaccard.
+
+    At scale the band join touches only colliding buckets — candidate count
+    ~O(dups), not O(N²). Same output contract as dedup_ngram_jaccard.
+    """
+    sh = _shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"mh{k}")
+            for k in range(N_MINHASH)
+        ]
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = []
+    for bidx in range(N_BANDS):
+        cols = [F.col(f"mh{k}") for k in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)]
+        bands.append(
+            sig.select("doc_id", F.concat_ws("|", F.lit(str(bidx)), *cols).alias("band_key"))
+        )
+    banded = bands[0]
+    for bdf in bands[1:]:
+        banded = banded.unionByName(bdf)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with true Jaccard
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_mh_cols = ", ".join(
+    f"MIN(md5('{k}:' || s)) AS mh{k}" for k in range(N_MINHASH)
+)
+_band_selects = "\nUNION ALL\n".join(
+    "SELECT doc_id, '{b}' || '|' || {cols} AS band_key FROM sig".format(
+        b=b, cols=" || '|' || ".join(f"mh{k}" for k in range(b * 3, b * 3 + 3))
+    )
+    for b in range(N_BANDS)
+)
+ORACLE_MINHASH = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sig AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
+banded AS ({_band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT doc_a, doc_b, COUNT(*) AS i
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE i / (sa.n + sb.n - i) >= {JACCARD_T}
+"""
+
+
+# -- SimHash -----------------------------------------------------------------
+# 16-bit simhash from word md5s. Bit b of a word's hash = bit (3 - b%4) of
+# hex char (b//4) of md5(word), extracted arithmetically so both engines
+# agree. simhash bit = majority vote (sum of ±1 >= 0).
+
+_HEX = "0123456789abcdef"
+
+
+def _spark_bit(b: int):
+    ch = F.substring(F.md5("w"), b // 4 + 1, 1)
+    val = F.conv(ch, 16, 10).cast("int")  # hex digit → 0..15
+    return F.when(F.shiftright(val, 3 - b % 4).bitwiseAND(1) == 1, 1).otherwise(-1)
+
+
+def _sql_bit(b: int) -> str:
+    return (
+        f"CASE WHEN ((instr('{_HEX}', substr(md5(w), {b // 4 + 1}, 1)) - 1) "
+        f">> {3 - b % 4}) & 1 = 1 THEN 1 ELSE -1 END"
+    )
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 16-bit signature over distinct words, banded into
+    4×8 bits; pairs sharing any band verified at hamming ≤ 3."""
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    ).filter(F.col("w") != "")
+    votes = words.groupBy("doc_id").agg(
+        *[F.sum(_spark_bit(b)).alias(f"v{b}") for b in range(SIMHASH_BITS)]
+    )
+    sig = votes.select(
+        "doc_id",
+        *[F.when(F.col(f"v{b}") >= 0, 1).otherwise(0).alias(f"bit{b}") for b in range(SIMHASH_BITS)],
+    )
+    band_cols = [
+        F.concat_ws(
+            "", F.lit(str(i)), *[F.col(f"bit{b}").cast("string") for b in range(i * 8, i * 8 + 8)]
+        ).alias(f"band{i}")
+        for i in range(4)
+    ]
+    sigb = sig.select("doc_id", *[F.col(f"bit{b}") for b in range(SIMHASH_BITS)], *band_cols)  # 4 bands x 8 bits
+    banded = None
+    for i in range(4):
+        part = sigb.select("doc_id", F.col(f"band{i}").alias("band_key"))
+        banded = part if banded is None else banded.unionByName(part)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigb.select("doc_id", *[F.col(f"bit{b}").alias(f"a{b}") for b in range(SIMHASH_BITS)])
+    sb = sigb.select("doc_id", *[F.col(f"bit{b}").alias(f"b{b}") for b in range(SIMHASH_BITS)])
+    hamming = sum(
+        F.when(F.col(f"a{b}") != F.col(f"b{b}"), 1).otherwise(0) for b in range(SIMHASH_BITS)
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == sa.doc_id)
+        .join(sb, F.col("doc_b") == sb.doc_id)
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= HAMMING_T)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_sql_votes = ", ".join(f"SUM({_sql_bit(b)}) AS v{b}" for b in range(SIMHASH_BITS))
+_sql_bits = ", ".join(f"CASE WHEN v{b} >= 0 THEN 1 ELSE 0 END AS bit{b}" for b in range(SIMHASH_BITS))
+_sql_bands = "\nUNION ALL\n".join(
+    "SELECT doc_id, '{i}' || {cols} AS band_key FROM sig".format(
+        i=i, cols=" || ".join(f"CAST(bit{b} AS VARCHAR)" for b in range(i * 8, i * 8 + 8))
+    )
+    for i in range(4)
+)
+_sql_hamming = " + ".join(
+    f"CASE WHEN sa.bit{b} <> sb.bit{b} THEN 1 ELSE 0 END" for b in range(SIMHASH_BITS)
+)
+ORACLE_SIMHASH = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents) t
+  WHERE w <> ''
+),
+votes AS (SELECT doc_id, {_sql_votes} FROM words GROUP BY doc_id),
+sig AS (SELECT doc_id, {_sql_bits} FROM votes),
+banded AS ({_sql_bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({_sql_hamming} AS INT) AS hamming
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE {_sql_hamming} <= {HAMMING_T}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_bow_fingerprint": dedup_bow_fingerprint,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_EXACT,
+    "dedup_bow_fingerprint": ORACLE_BOW,
+    "dedup_ngram_jaccard": ORACLE_NGRAM,
+    "dedup_minhash_lsh": ORACLE_MINHASH,
+    "dedup_simhash": ORACLE_SIMHASH,
+}

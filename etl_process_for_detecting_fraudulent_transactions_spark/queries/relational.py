@@ -1,0 +1,487 @@
+"""Relational parity queries (SURVEY.md §2.2-§2.8) over the testdata star
+schema, each with a DuckDB oracle.
+
+Cross-engine determinism rules used throughout:
+- double aggregates go through ``decimal`` (exact, order-independent) and are
+  cast back to double → bit-identical across partitionings and engines;
+- minute arithmetic uses exact integer microseconds (``unix_micros`` /
+  ``epoch_us``) with ``floor`` before the int cast (DuckDB rounds on
+  double→int casts, Spark truncates — floor makes both agree);
+- window ordering always carries a unique tiebreaker column.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.scd2 import scd2_apply_snapshot
+from ._io import load_table as _t
+
+
+# -- A: aggregations ---------------------------------------------------------
+
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1 pattern: scan-filter-aggregate with map-side partials; the
+    plan is one shuffle on (l_returnflag, l_linestatus) (agg A-family,
+    SURVEY §2.4). Decimal-exact sums → double."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_dt.datetime(1998, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum((d("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d("l_discount"))).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(d("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def groupby_having_countdistinct(spark, sf_dir):
+    """A1: group + count(distinct) + HAVING (rep_fraud.py:119-128 shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("n_types"),
+             F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_types") > 2)
+    )
+
+
+ORACLE_HAVING_CD = """
+SELECT user_id, COUNT(DISTINCT event_type) AS n_types, COUNT(*) AS n_events
+FROM events GROUP BY user_id HAVING COUNT(DISTINCT event_type) > 2
+"""
+
+
+def groupby_max(spark, sf_dir):
+    """A2: per-key max (rep_fraud.py:133-149 shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.max(F.col("value").cast("decimal(18,6)")).cast("double").alias("max_value"),
+    )
+
+
+ORACLE_GROUPBY_MAX = """
+SELECT user_id, MAX(ts) AS last_ts,
+       CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
+# -- J: joins ----------------------------------------------------------------
+
+def join_3hop_agg(spark, sf_dir):
+    """J1: 3-hop inner equi-join chain with broadcast dims, aggregated per
+    region (rep_fraud.py:22-36 shape)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+ORACLE_JOIN_3HOP = """
+SELECT r_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def left_join_count(spark, sf_dir):
+    """J2: left outer join keeping unmatched left rows (rep_fraud.py:70-72)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select("c_custkey", "c_name", F.coalesce("cnt", F.lit(0)).alias("n_orders"))
+    )
+
+
+ORACLE_LEFT_JOIN = """
+SELECT c_custkey, c_name, COALESCE(cnt, 0) AS n_orders
+FROM customer LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+"""
+
+
+def anti_join(spark, sf_dir):
+    """J3: anti-join — customers with no orders (data_to_db.py:171-192
+    new/deleted-rows pattern)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def semi_join(spark, sf_dir):
+    """P3/J5: semi-join membership test (IN-subquery, rep_fraud.py:20)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.filter(F.col("o_orderstatus") == "F"), c.c_custkey == o.o_custkey, "semi"
+    ).select("c_custkey", "c_name")
+
+
+ORACLE_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+def join_residual_ineq(spark, sf_dir):
+    """J4: equi-join with OR-of-inequalities residual (changed-rows pattern,
+    data_to_db.py:195-206): same-brand part pairs differing in type or size."""
+    p1 = _t(spark, sf_dir, "part").alias("p1")
+    p2 = _t(spark, sf_dir, "part").alias("p2")
+    pairs = p1.join(
+        p2,
+        (F.col("p1.p_brand") == F.col("p2.p_brand"))
+        & (F.col("p1.p_partkey") < F.col("p2.p_partkey"))
+        & (
+            (F.col("p1.p_type") != F.col("p2.p_type"))
+            | (F.col("p1.p_size") != F.col("p2.p_size"))
+        ),
+    )
+    return pairs.groupBy(F.col("p1.p_brand").alias("p_brand")).agg(
+        F.count(F.lit(1)).alias("n_changed_pairs")
+    )
+
+
+ORACLE_RESIDUAL = """
+SELECT p1.p_brand AS p_brand, COUNT(*) AS n_changed_pairs
+FROM part p1 JOIN part p2
+  ON p1.p_brand = p2.p_brand AND p1.p_partkey < p2.p_partkey
+ AND (p1.p_type <> p2.p_type OR p1.p_size <> p2.p_size)
+GROUP BY p1.p_brand
+"""
+
+
+# -- W: windows --------------------------------------------------------------
+
+def _minutes(a, b):
+    """Whole minutes from a to b, exact microsecond arithmetic, floor."""
+    return F.floor((F.unix_micros(F.col(b)) - F.unix_micros(F.col(a))) / F.lit(60_000_000)).cast("int")
+
+
+def window_lead_gap(spark, sf_dir):
+    """W1 + P6 + P9: per-user lead() city-fraud shape (rep_fraud.py:133-150):
+    consecutive events of different type within 60 minutes."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select("event_id", "user_id", "ts", "event_type")
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .withColumn("next_type", F.lead("event_type").over(w))
+    )
+    return (
+        seq.withColumn("gap_min", _minutes("ts", "next_ts"))
+        .filter((F.col("event_type") != F.col("next_type")) & (F.col("gap_min") <= 60))
+        .select("event_id", "user_id", "event_type", "next_type", "gap_min")
+    )
+
+
+ORACLE_LEAD_GAP = """
+WITH seq AS (
+  SELECT event_id, user_id, ts, event_type,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_id, user_id, event_type, next_type,
+       CAST(FLOOR((epoch_us(next_ts) - epoch_us(ts)) / 60000000) AS INT) AS gap_min
+FROM seq
+WHERE event_type <> next_type
+  AND CAST(FLOOR((epoch_us(next_ts) - epoch_us(ts)) / 60000000) AS INT) <= 60
+"""
+
+
+def window_lag_seq(spark, sf_dir):
+    """W2 + P5: guessing-amount shape (rep_fraud.py:187-261) — an event whose
+    3 predecessors (per user, time-ordered) have strictly decreasing values,
+    the whole chain within 120 minutes."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value").cast("decimal(18,6)")
+    seq = (
+        ev.select("event_id", "user_id", "ts", "value")
+        .withColumn("v", v)
+        .withColumn("lag_v1", F.lag(v, 1).over(w))
+        .withColumn("lag_v2", F.lag(v, 2).over(w))
+        .withColumn("lag_v3", F.lag(v, 3).over(w))
+        .withColumn("lag_ts3", F.lag("ts", 3).over(w))
+    )
+    return (
+        seq.filter(
+            (F.col("lag_v3") > F.col("lag_v2"))
+            & (F.col("lag_v2") > F.col("lag_v1"))
+            & (F.col("lag_v1") > F.col("v"))
+            & (_minutes("lag_ts3", "ts") <= 120)
+        )
+        .select("event_id", "user_id", F.col("v").cast("double").alias("value_d"))
+    )
+
+
+ORACLE_LAG_SEQ = """
+WITH seq AS (
+  SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,6)) AS v,
+         LAG(CAST(value AS DECIMAL(18,6)), 1) OVER w AS lag_v1,
+         LAG(CAST(value AS DECIMAL(18,6)), 2) OVER w AS lag_v2,
+         LAG(CAST(value AS DECIMAL(18,6)), 3) OVER w AS lag_v3,
+         LAG(ts, 3) OVER w AS lag_ts3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, CAST(v AS DOUBLE) AS value_d
+FROM seq
+WHERE lag_v3 > lag_v2 AND lag_v2 > lag_v1 AND lag_v1 > v
+  AND CAST(FLOOR((epoch_us(ts) - epoch_us(lag_ts3)) / 60000000) AS INT) <= 120
+"""
+
+
+# -- P: scalar expressions ---------------------------------------------------
+
+def concat_null(spark, sf_dir):
+    """P7: NULL-propagating || concat (rep_fraud.py fio). nullif manufactures
+    NULLs so the propagation is actually exercised."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"), F.lit(" "), F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+        ).alias("label"),
+    )
+
+
+ORACLE_CONCAT = """
+SELECT c_custkey, c_name || ' ' || NULLIF(c_mktsegment, 'BUILDING') AS label
+FROM customer
+"""
+
+
+def prefix_int_cast(spark, sf_dir):
+    """P8: SQLite comma-decimal prefix-cast semantics — parse the integer
+    prefix of a '1234,56'-style string (rep_fraud.py:194-197)."""
+    li = _t(spark, sf_dir, "lineitem")
+    comma_str = F.regexp_replace(
+        F.col("l_quantity").cast("decimal(10,2)").cast("string"), r"\.", ","
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        comma_str.alias("amt_str"),
+        F.regexp_replace(comma_str, r",.*$", "").cast("int").alias("amt_int"),
+    )
+
+
+ORACLE_PREFIX_INT = """
+SELECT l_orderkey, l_linenumber,
+       REPLACE(CAST(CAST(l_quantity AS DECIMAL(10,2)) AS VARCHAR), '.', ',') AS amt_str,
+       CAST(STR_SPLIT(REPLACE(CAST(CAST(l_quantity AS DECIMAL(10,2)) AS VARCHAR), '.', ','), ',')[1] AS INT) AS amt_int
+FROM lineitem
+"""
+
+
+def between_filter(spark, sf_dir):
+    """P13 + P4: BETWEEN predicate + IN-list (data_to_db.py:167)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderdate").between(
+                F.lit(_dt.datetime(1996, 1, 1)), F.lit(_dt.datetime(1997, 1, 1))
+            )
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_BETWEEN = """
+SELECT o_orderpriority, COUNT(*) AS n FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-01-01'
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""
+
+
+def order_by_report(spark, sf_dir):
+    """O1: ordered aggregate report (rep_fraud.py:51). Compare is
+    order-insensitive; the sort exercises the operator."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+ORACLE_ORDER_BY = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+# -- X2: SCD2 ----------------------------------------------------------------
+
+_T1 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+_T2 = _dt.datetime(2024, 1, 2, 12, 0, 0)
+
+
+def scd2_snapshot_diff(spark, sf_dir):
+    """X2: two-snapshot SCD2 historization via the engine's full-outer-join
+    classifier (operators/scd2.py), deterministic run_ts.
+
+    snapshot1 = customers with custkey % 10 != 0;
+    snapshot2 = customers with custkey % 7 != 0, segment suffixed '_X'
+    when custkey % 3 == 0 (the changed set).
+    """
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    snap1 = base.filter(F.col("key") % 10 != 0)
+    snap2 = base.filter(F.col("key") % 7 != 0).withColumn(
+        "segment",
+        F.when(F.col("key") % 3 == 0, F.concat(F.col("segment"), F.lit("_X"))).otherwise(
+            F.col("segment")
+        ),
+    )
+    empty = spark.createDataFrame(
+        [],
+        "key bigint, name string, segment string, effective_from timestamp, "
+        "effective_to timestamp, deleted_flg int",
+    )
+    h1 = scd2_apply_snapshot(empty, snap1, run_ts=_T1, key="key", attrs=("name", "segment"))
+    h2 = scd2_apply_snapshot(h1, snap2, run_ts=_T2, key="key", attrs=("name", "segment"))
+    return h2.select("key", "name", "segment", "effective_from", "effective_to", "deleted_flg")
+
+
+ORACLE_SCD2 = """
+WITH snap1 AS (
+  SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment
+  FROM customer WHERE c_custkey % 10 <> 0
+), snap2 AS (
+  SELECT c_custkey AS key, c_name AS name,
+         CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment || '_X' ELSE c_mktsegment END AS segment
+  FROM customer WHERE c_custkey % 7 <> 0
+)
+-- unchanged (in both, same attrs): open since t1
+SELECT s1.key, s1.name, s1.segment,
+       TIMESTAMP '2024-01-01 12:00:00' AS effective_from,
+       TIMESTAMP '2999-12-31 23:59:59' AS effective_to, 0 AS deleted_flg
+FROM snap1 s1 JOIN snap2 s2 ON s1.key = s2.key
+WHERE s1.name = s2.name AND s1.segment = s2.segment
+UNION ALL
+-- changed: closed t1 version
+SELECT s1.key, s1.name, s1.segment,
+       TIMESTAMP '2024-01-01 12:00:00', TIMESTAMP '2024-01-02 11:59:59', 0
+FROM snap1 s1 JOIN snap2 s2 ON s1.key = s2.key
+WHERE s1.name <> s2.name OR s1.segment <> s2.segment
+UNION ALL
+-- changed: new open version
+SELECT s2.key, s2.name, s2.segment,
+       TIMESTAMP '2024-01-02 12:00:00', TIMESTAMP '2999-12-31 23:59:59', 0
+FROM snap1 s1 JOIN snap2 s2 ON s1.key = s2.key
+WHERE s1.name <> s2.name OR s1.segment <> s2.segment
+UNION ALL
+-- new in snap2: open since t2
+SELECT s2.key, s2.name, s2.segment,
+       TIMESTAMP '2024-01-02 12:00:00', TIMESTAMP '2999-12-31 23:59:59', 0
+FROM snap2 s2 WHERE NOT EXISTS (SELECT 1 FROM snap1 s1 WHERE s1.key = s2.key)
+UNION ALL
+-- deleted: closed t1 version
+SELECT s1.key, s1.name, s1.segment,
+       TIMESTAMP '2024-01-01 12:00:00', TIMESTAMP '2024-01-02 11:59:59', 0
+FROM snap1 s1 WHERE NOT EXISTS (SELECT 1 FROM snap2 s2 WHERE s2.key = s1.key)
+UNION ALL
+-- deleted: tombstone open row carrying last-known attrs
+SELECT s1.key, s1.name, s1.segment,
+       TIMESTAMP '2024-01-02 12:00:00', TIMESTAMP '2999-12-31 23:59:59', 1
+FROM snap1 s1 WHERE NOT EXISTS (SELECT 1 FROM snap2 s2 WHERE s2.key = s1.key)
+"""
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "groupby_having_countdistinct": groupby_having_countdistinct,
+    "groupby_max": groupby_max,
+    "join_3hop_agg": join_3hop_agg,
+    "left_join_count": left_join_count,
+    "anti_join": anti_join,
+    "semi_join": semi_join,
+    "join_residual_ineq": join_residual_ineq,
+    "window_lead_gap": window_lead_gap,
+    "window_lag_seq": window_lag_seq,
+    "concat_null": concat_null,
+    "prefix_int_cast": prefix_int_cast,
+    "between_filter": between_filter,
+    "order_by_report": order_by_report,
+    "scd2_snapshot_diff": scd2_snapshot_diff,
+}
+
+ORACLES = {
+    "pricing_summary": ORACLE_PRICING,
+    "groupby_having_countdistinct": ORACLE_HAVING_CD,
+    "groupby_max": ORACLE_GROUPBY_MAX,
+    "join_3hop_agg": ORACLE_JOIN_3HOP,
+    "left_join_count": ORACLE_LEFT_JOIN,
+    "anti_join": ORACLE_ANTI,
+    "semi_join": ORACLE_SEMI,
+    "join_residual_ineq": ORACLE_RESIDUAL,
+    "window_lead_gap": ORACLE_LEAD_GAP,
+    "window_lag_seq": ORACLE_LAG_SEQ,
+    "concat_null": ORACLE_CONCAT,
+    "prefix_int_cast": ORACLE_PREFIX_INT,
+    "between_filter": ORACLE_BETWEEN,
+    "order_by_report": ORACLE_ORDER_BY,
+    "scd2_snapshot_diff": ORACLE_SCD2,
+}

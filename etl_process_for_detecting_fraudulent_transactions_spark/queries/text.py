@@ -1,0 +1,188 @@
+"""Text-analysis operators over ``documents`` (training-data-pipeline ops):
+token counting, quality scoring, marker-based language ID, fingerprinting.
+
+All expressions are built-in Catalyst functions (no UDFs); ratios are
+int/int IEEE divisions → bit-identical across engines. Tokenization is a
+literal single-space split with empty-token filter, replicated exactly in
+the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# doc vocabulary is synthetic SQL-ish words; "stopwords" for quality scoring
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# marker-word voting for language ID (deterministic heuristic; honest n-gram
+# langid lives in functions/textops.py — this entry gates the plumbing)
+LANG_MARKERS = {
+    "en": ("the", "a", "fast", "slow"),
+    "sqlish": ("join", "filter", "group", "window"),
+    "dataish": ("table", "row", "column", "batch"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(col="text"):
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens, distinct tokens, char stats,
+    mean token length (exact int arithmetic → double division)."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("len_chars"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+            / F.size(toks)
+        ).alias("mean_token_len"),
+    )
+
+
+ORACLE_TOKEN_STATS = """
+WITH t AS (
+  SELECT doc_id, text, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       length(text) AS len_chars,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_token_len
+FROM t
+"""
+
+
+def text_quality(spark, sf_dir):
+    """Quality scoring: stopword ratio, type-token ratio, length band —
+    combined into a deterministic [0,1] score."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_ratio = n_stop.cast("double") / n
+    len_ok = F.when((n >= 20) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (ttr * F.lit(0.4)) + (stop_ratio * F.lit(0.2)) + (len_ok * F.lit(0.4))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        ttr.alias("type_token_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+ORACLE_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE) / len(toks) AS stop_ratio,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+       (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4
+     + (CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE) / len(toks)) * 0.2
+     + (CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.4 AS quality_score
+FROM t
+"""
+
+
+def lang_id_markers(spark, sf_dir):
+    """Language ID by marker-word voting: count hits per language, argmax
+    with deterministic tiebreak on language name; 'und' when no hits."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    counts = [
+        F.size(F.filter(toks, lambda x: x.isin(*ws))).alias(f"hits_{lang}")
+        for lang, ws in LANG_MARKERS.items()
+    ]
+    with_counts = d.select("doc_id", "lang", *counts)
+    # argmax via greatest + chained when (ties → first language alphabetically)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    pred = F.lit("und")
+    for l in reversed(langs):
+        pred = F.when((best > 0) & (F.col(f"hits_{l}") == best), F.lit(l)).otherwise(pred)
+    return with_counts.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    )
+
+
+_marker_counts = ", ".join(
+    "len(list_filter(toks, x -> x IN ({ws}))) AS hits_{lang}".format(
+        ws=", ".join(f"'{w}'" for w in ws), lang=lang
+    )
+    for lang, ws in LANG_MARKERS.items()
+)
+_langs_sorted = sorted(LANG_MARKERS)
+_best = "GREATEST(" + ", ".join(f"hits_{l}" for l in _langs_sorted) + ")"
+_pred = "CASE "
+for _l in _langs_sorted:
+    _pred += f"WHEN {_best} > 0 AND hits_{_l} = {_best} THEN '{_l}' "
+_pred += "ELSE 'und' END"
+ORACLE_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id, lang, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+c AS (SELECT doc_id, lang, {_marker_counts} FROM t)
+SELECT doc_id, lang AS labeled_lang, {_pred} AS predicted_lang
+FROM c
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: whole-text md5 + winnowed char-8-gram
+    min/max hash (rolling-hash family, md5 as the shared hash)."""
+    d = _docs(spark, sf_dir).filter(F.length("text") >= 8)
+    # dynamic-start substring inside transform() needs SQL-expr lambdas
+    return d.select(
+        "doc_id",
+        F.md5(F.lower("text")).alias("full_md5"),
+        F.expr(
+            "array_min(transform(sequence(1, length(text) - 7), "
+            "i -> md5(substring(text, i, 8))))"
+        ).alias("min_gram_hash"),
+        F.expr(
+            "array_max(transform(sequence(1, length(text) - 7), "
+            "i -> md5(substring(text, i, 8))))"
+        ).alias("max_gram_hash"),
+    )
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       md5(lower(text)) AS full_md5,
+       list_min(list_transform(range(1, length(text) - 6), i -> md5(substr(text, i, 8)))) AS min_gram_hash,
+       list_max(list_transform(range(1, length(text) - 6), i -> md5(substr(text, i, 8)))) AS max_gram_hash
+FROM documents
+WHERE length(text) >= 8
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "lang_id_markers": lang_id_markers,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLES = {
+    "text_token_stats": ORACLE_TOKEN_STATS,
+    "text_quality": ORACLE_QUALITY,
+    "lang_id_markers": ORACLE_LANG_ID,
+    "doc_fingerprint": ORACLE_FINGERPRINT,
+}

@@ -1,0 +1,85 @@
+"""Driver-contract rehearsal: run every queries() entry on Spark AND its
+DuckDB oracle at sf0.001, compare row counts, column names, and values
+(order-insensitive, exact) — the same gate the driver applies at sf0.01.
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from tests.conftest import TESTDATA
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    from decimal import Decimal
+
+    if isinstance(v, Decimal):
+        return float(v)
+    return v
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+from etl_process_for_detecting_fraudulent_transactions_spark.queries import (  # noqa: E402
+    all_oracles,
+    all_queries,
+)
+
+_QUERIES = all_queries()
+_ORACLES = all_oracles()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    sf_dir = os.path.join(TESTDATA, "sf0.001")
+    con = _duck(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", sorted(_QUERIES))
+def test_query_matches_oracle(key, spark, duck, sf_dir):
+    sdf = _QUERIES[key](spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    if key not in _ORACLES:
+        assert srows is not None  # rows-only check (non-SQL-expressible op)
+        return
+
+    rel = duck.sql(_ORACLES[key])
+    drows = rel.fetchall()
+    dcols = [d[0] for d in rel.description]
+
+    assert sorted(scols) == sorted(dcols), f"{key}: columns {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{key}: rowcount {len(srows)} vs {len(drows)}"
+    sc, dc = _canon(srows, scols), _canon(drows, dcols)
+    mismatches = [i for i, (a, b) in enumerate(zip(sc, dc)) if a != b]
+    assert not mismatches, (
+        f"{key}: {len(mismatches)} mismatched rows; first: "
+        f"spark={sc[mismatches[0]]} duck={dc[mismatches[0]]}"
+    )
