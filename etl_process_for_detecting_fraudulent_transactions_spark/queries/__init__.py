@@ -15,18 +15,20 @@ produce bit-identical results regardless of partitioning/order.
 
 from __future__ import annotations
 
-from . import dedup, relational, similarity, text
+from . import dedup, multimodal, relational, similarity, text
+
+_MODULES = (relational, dedup, similarity, text, multimodal)
 
 
 def all_queries():
     out = {}
-    for m in (relational, dedup, similarity, text):
+    for m in _MODULES:
         out.update(m.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for m in (relational, dedup, similarity, text):
+    for m in _MODULES:
         out.update(m.ORACLES)
     return out

@@ -401,6 +401,10 @@ def scd2_snapshot_diff(spark, sf_dir):
         "effective_to timestamp, deleted_flg int",
     )
     h1 = scd2_apply_snapshot(empty, snap1, run_ts=_T1, key="key", attrs=("name", "segment"))
+    # materialize between applies: the rewrite references hist in 4 subtrees,
+    # so chaining lazy plans re-evaluates h1 exponentially (the pipeline
+    # avoids this via its parquet store round-trip)
+    h1 = h1.localCheckpoint(eager=True)
     h2 = scd2_apply_snapshot(h1, snap2, run_ts=_T2, key="key", attrs=("name", "segment"))
     return h2.select("key", "name", "segment", "effective_from", "effective_to", "deleted_flg")
 

@@ -1,0 +1,166 @@
+"""Structured Streaming variants of the ingestion + fraud rules
+(SURVEY.md §2.11 — the reference is strict daily micro-batch; this is the
+natural streaming upgrade path, additive to batch parity).
+
+Design:
+- ``stream_transactions``: file-source stream over a landing directory of
+  semicolon-CSV transaction files (same schema/typing as the batch reader;
+  ``maxFilesPerTrigger`` gives the daily-file cadence; source checkpointing
+  replaces the batch archive step S8).
+- ``city_hop_counts``: watermarked sliding-window aggregation — per card,
+  distinct terminals per hour window (``approx_count_distinct`` is the
+  streaming-legal distinct; exact distinct isn't supported mid-stream).
+- ``guessing_amount_stream``: the Q4 sequence matcher as a per-card stateful
+  operator via ``applyInPandasWithState`` — state = last 3 (result, amt, ts);
+  emits one row per SUCCESS completing a strictly-decreasing 3-REJECT chain
+  within 20 minutes (rep_fraud.py:187-261 semantics, streaming execution).
+
+Scale notes: state is keyed by card_num → shuffle-partitioned; watermark
+bounds state size; a timeout (processing-time) garbage-collects idle cards.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..schemas import TRANSACTIONS_RAW
+from ..functions.casts import int_amount
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("card_num", StringType()),
+        StructField("event_dt", TimestampType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("results", StringType()),  # '|'-joined last ≤3 oper_results
+        StructField("amts", StringType()),     # '|'-joined last ≤3 int amounts
+        StructField("ts_us", StringType()),    # '|'-joined last ≤3 unix-micros
+    ]
+)
+
+
+def stream_transactions(spark: SparkSession, landing_dir: str, max_files: int = 1) -> DataFrame:
+    """File-source stream of incoming transactions (typed, comma-decimal
+    fixed), one daily file per micro-batch by default."""
+    raw = (
+        spark.readStream.schema(TRANSACTIONS_RAW)
+        .option("sep", ";")
+        .option("header", True)
+        .option("maxFilesPerTrigger", max_files)
+        .csv(landing_dir)
+    )
+    return raw.select(
+        F.col("transaction_id").alias("trans_id"),
+        F.to_timestamp("transaction_date").alias("trans_date"),
+        F.col("card_num"),
+        F.col("oper_type"),
+        F.regexp_replace("amount", ",", ".").cast("decimal(10,2)").alias("amt"),
+        F.col("oper_result"),
+        F.col("terminal"),
+    )
+
+
+def city_hop_counts(tx: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked hourly sliding window: distinct terminals per card —
+    the streaming precursor of the city-fraud rule (a terminal→city lookup
+    join slots in front unchanged)."""
+    return (
+        tx.withWatermark("trans_date", watermark)
+        .groupBy(F.window("trans_date", "1 hour", "30 minutes"), F.col("card_num"))
+        .agg(F.approx_count_distinct("terminal").alias("n_terminals"))
+        .filter(F.col("n_terminals") > 1)
+    )
+
+
+def match_step(
+    results: list[str], amts: list[int], ts_us: list[int],
+    row_result: str, row_amt: int, row_ts: int,
+) -> bool:
+    """One step of the Q4 sequence matcher (pure, Spark-free, unit-testable):
+    given the rolling last-3 history (oldest→newest), does the incoming row
+    complete a fraud pattern? Mutates the history in place (append + trim)."""
+    is_fraud = (
+        row_result == "SUCCESS"
+        and len(results) == 3
+        and all(r == "REJECT" for r in results)
+        and amts[0] > amts[1] > amts[2] > row_amt
+        and (row_ts - ts_us[0]) <= 20 * 60 * 1_000_000
+    )
+    results.append(row_result)
+    amts.append(row_amt)
+    ts_us.append(row_ts)
+    if len(results) > 3:
+        results.pop(0)
+        amts.pop(0)
+        ts_us.pop(0)
+    return is_fraud
+
+
+def guessing_amount_stream(tx: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Q4 as a stateful streaming operator: per-card applyInPandasWithState.
+
+    State carries the last 3 (oper_result, int_amount, ts). Emits
+    (card_num, event_dt, 'guessing_amount_fraud') rows in append mode.
+    """
+    filtered = (
+        tx.filter(F.col("oper_type").isin("PAYMENT", "WITHDRAW"))
+        .withWatermark("trans_date", watermark)
+        .select(
+            "card_num",
+            "trans_date",
+            F.unix_micros("trans_date").alias("ts_us"),
+            "oper_result",
+            int_amount("amt").alias("amt_int"),
+        )
+    )
+
+    def matcher(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            results_s, amts_s, ts_s = state.get
+            results = results_s.split("|") if results_s else []
+            amts = [int(a) for a in amts_s.split("|")] if amts_s else []
+            ts_us = [int(t) for t in ts_s.split("|")] if ts_s else []
+        else:
+            results, amts, ts_us = [], [], []
+        events = []
+        batch = [pdf for pdf in pdfs]
+        if batch:
+            allrows = pd.concat(batch).sort_values("trans_date")
+            for r in allrows.itertuples():
+                if match_step(results, amts, ts_us, r.oper_result, int(r.amt_int), int(r.ts_us)):
+                    events.append((key[0], r.trans_date, "guessing_amount_fraud"))
+        state.update(
+            (
+                "|".join(results),
+                "|".join(str(a) for a in amts),
+                "|".join(str(t) for t in ts_us),
+            )
+        )
+        state.setTimeoutDuration(6 * 60 * 60 * 1000)  # gc idle cards after 6h
+        if events:
+            yield pd.DataFrame(events, columns=["card_num", "event_dt", "event_type"])
+
+    return filtered.groupBy("card_num").applyInPandasWithState(
+        matcher,
+        outputStructType=EVENT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

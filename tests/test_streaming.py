@@ -1,0 +1,99 @@
+"""Streaming variant tests: pure matcher unit tests + a golden replay of the
+stateful Q4 matcher over the reference's day-1 transactions file
+(availableNow trigger → memory sink)."""
+
+import os
+import shutil
+
+import pytest
+
+from tests.conftest import REFDATA
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFDATA), reason="reference data not available"
+)
+
+MIN20 = 20 * 60 * 1_000_000
+
+
+def _run(seq):
+    from etl_process_for_detecting_fraudulent_transactions_spark.streaming.pipeline import match_step
+
+    results, amts, ts = [], [], []
+    hits = []
+    for i, (res, amt, t) in enumerate(seq):
+        if match_step(results, amts, ts, res, amt, t):
+            hits.append(i)
+    return hits
+
+
+def test_match_step_positive():
+    t0 = 1_000_000_000_000_000
+    seq = [
+        ("REJECT", 500, t0),
+        ("REJECT", 400, t0 + MIN20 // 4),
+        ("REJECT", 300, t0 + MIN20 // 2),
+        ("SUCCESS", 200, t0 + MIN20 - 1),
+    ]
+    assert _run(seq) == [3]
+
+
+def test_match_step_counterexamples():
+    t0 = 1_000_000_000_000_000
+    # 4th reject instead of success → no hit
+    assert _run([("REJECT", 500, t0), ("REJECT", 400, t0 + 1), ("REJECT", 300, t0 + 2),
+                 ("REJECT", 200, t0 + 3)]) == []
+    # non-monotonic amounts → no hit
+    assert _run([("REJECT", 500, t0), ("REJECT", 600, t0 + 1), ("REJECT", 300, t0 + 2),
+                 ("SUCCESS", 200, t0 + 3)]) == []
+    # chain slower than 20 minutes → no hit
+    assert _run([("REJECT", 500, t0), ("REJECT", 400, t0 + 1), ("REJECT", 300, t0 + 2),
+                 ("SUCCESS", 200, t0 + MIN20 + 1)]) == []
+    # equal amounts (not strictly decreasing) → no hit
+    assert _run([("REJECT", 500, t0), ("REJECT", 500, t0 + 1), ("REJECT", 300, t0 + 2),
+                 ("SUCCESS", 200, t0 + 3)]) == []
+
+
+def test_match_step_rolling_window():
+    """A hit can follow earlier noise; history is rolling last-3."""
+    t0 = 1_000_000_000_000_000
+    seq = [
+        ("SUCCESS", 900, t0),
+        ("REJECT", 500, t0 + 1),
+        ("REJECT", 400, t0 + 2),
+        ("REJECT", 300, t0 + 3),
+        ("SUCCESS", 200, t0 + 4),
+    ]
+    assert _run(seq) == [4]
+
+
+def test_guessing_amount_stream_golden(spark, tmp_path):
+    """Day-1 file through the stateful streaming matcher reproduces the
+    batch golden event (card of passport 5771 567535 @ 22:36:38)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.streaming.pipeline import (
+        guessing_amount_stream,
+        stream_transactions,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(
+        os.path.join(REFDATA, "transactions_01032021.txt"),
+        landing / "transactions_01032021.txt",
+    )
+
+    tx = stream_transactions(spark, str(landing))
+    events = guessing_amount_stream(tx)
+    q = (
+        events.writeStream.format("memory")
+        .queryName("guess_events")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM guess_events").collect()
+    assert len(rows) == 1
+    assert rows[0].event_dt.strftime("%Y-%m-%d %H:%M:%S") == "2021-03-01 22:36:38"
+    assert rows[0].event_type == "guessing_amount_fraud"
