@@ -93,8 +93,13 @@ def scd2_apply_snapshot(
         .alias("_status"),
     ).cache()
 
+    # 'new' is included so that a re-added key's open TOMBSTONE gets closed
+    # (the reference never closes it — data_to_db.py:209-271 only updates
+    # changed/deleted keys — leaving two open rows per re-added terminal;
+    # that latent bug is not replicated: hist invariants > bug parity here,
+    # and the bundled data never re-adds a deleted terminal)
     affected_keys = classified.filter(
-        F.col("_status").isin("deleted", "changed")
+        F.col("_status").isin("deleted", "changed", "new")
     ).select(key)
 
     # close ALL open rows (any deleted_flg) of affected keys — reference UPDATE

@@ -200,9 +200,10 @@ def guessing_amount_fraud(
         transactions.filter(F.col("oper_type").isin("PAYMENT", "WITHDRAW"))
         .select("card_num", "trans_date", "amt", "oper_result")
         .withColumn("amt_int", amt_i)
-        .withColumn("lag_amt_1", F.lag(amt_i, 1).over(w))
-        .withColumn("lag_amt_2", F.lag(amt_i, 2).over(w))
-        .withColumn("lag_amt_3", F.lag(amt_i, 3).over(w))
+        # lag the materialized column so all lags share ONE Window node
+        .withColumn("lag_amt_1", F.lag("amt_int", 1).over(w))
+        .withColumn("lag_amt_2", F.lag("amt_int", 2).over(w))
+        .withColumn("lag_amt_3", F.lag("amt_int", 3).over(w))
         .withColumn("lag_result_1", F.lag("oper_result", 1).over(w))
         .withColumn("lag_result_2", F.lag("oper_result", 2).over(w))
         .withColumn("lag_result_3", F.lag("oper_result", 3).over(w))

@@ -84,7 +84,9 @@ def _shingles(spark, sf_dir):
             )
         ).alias("s"),
     ).distinct()
-    return sh
+    # the shingle set feeds the self-join twice plus the sizes agg — cache so
+    # the explode+distinct shuffle runs once, not 3-4 times
+    return sh.cache()
 
 _SQL_SHINGLES = """
   SELECT DISTINCT doc_id, ws[i] || '_' || ws[i+1] || '_' || ws[i+2] AS s
@@ -253,7 +255,10 @@ def dedup_simhash(spark, sf_dir):
         ).alias(f"band{i}")
         for i in range(4)
     ]
-    sigb = sig.select("doc_id", *[F.col(f"bit{b}") for b in range(SIMHASH_BITS)], *band_cols)  # 4 bands x 8 bits
+    # 4 bands x 8 bits; cached: feeds 4 band slices + both verify sides
+    sigb = sig.select(
+        "doc_id", *[F.col(f"bit{b}") for b in range(SIMHASH_BITS)], *band_cols
+    ).cache()
     banded = None
     for i in range(4):
         part = sigb.select("doc_id", F.col(f"band{i}").alias("band_key"))

@@ -250,9 +250,11 @@ def window_lag_seq(spark, sf_dir):
     seq = (
         ev.select("event_id", "user_id", "ts", "value")
         .withColumn("v", v)
-        .withColumn("lag_v1", F.lag(v, 1).over(w))
-        .withColumn("lag_v2", F.lag(v, 2).over(w))
-        .withColumn("lag_v3", F.lag(v, 3).over(w))
+        # lag the materialized column (not the cast expression) so Catalyst
+        # collapses all four lags into ONE Window node over one sort
+        .withColumn("lag_v1", F.lag("v", 1).over(w))
+        .withColumn("lag_v2", F.lag("v", 2).over(w))
+        .withColumn("lag_v3", F.lag("v", 3).over(w))
         .withColumn("lag_ts3", F.lag("ts", 3).over(w))
     )
     return (

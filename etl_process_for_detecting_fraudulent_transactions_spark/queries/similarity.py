@@ -129,7 +129,7 @@ def knn_lsh(spark, sf_dir):
     """ANN: sign-LSH bucket, exact cosine rerank within bucket. Queries whose
     bucket has < k neighbors return fewer rows — the classic LSH recall
     trade-off, visible (and checked) against the brute-force oracle shape."""
-    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("embedding")))
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("embedding"))).cache()
     q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
     )
@@ -168,7 +168,7 @@ QUALIFY rank <= {TOP_K}
 def embedding_cosine_pairs(spark, sf_dir):
     """Embedding near-dup: pairs above COSINE_T, candidates restricted to a
     shared LSH bucket (sub-quadratic at scale)."""
-    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("embedding")))
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("embedding"))).cache()
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "bucket")
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "bucket")
     return (
