@@ -491,3 +491,57 @@ ORACLES = {
     "order_by_report": ORACLE_ORDER_BY,
     "scd2_snapshot_diff": ORACLE_SCD2,
 }
+
+
+# -- SQL-text surface + set ops ---------------------------------------------
+
+_SQL_TEXT = """
+SELECT n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+GROUP BY n_name
+HAVING COUNT(*) > 2
+"""
+
+
+def sql_text_api(spark, sf_dir):
+    """The spark.sql() surface: temp views + ANSI SQL text (the reference is
+    a SQL-string engine — this gates that our engine accepts the same idiom;
+    the oracle runs the IDENTICAL statement)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_SQL_TEXT)
+
+
+def union_rule_accumulation(spark, sf_dir):
+    """X4 report-accumulation shape: two rule-shaped selections UNION ALLed
+    with literal event_type tags (main.py:20-23 / rep_fraud INSERT pattern)."""
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("event_key"),
+        F.col("o_orderdate").alias("event_dt"),
+        F.lit("big_order").alias("event_type"),
+    )
+    urgent_f = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    ).select(
+        F.col("o_orderkey").alias("event_key"),
+        F.col("o_orderdate").alias("event_dt"),
+        F.lit("urgent_final").alias("event_type"),
+    )
+    return big.unionByName(urgent_f)
+
+
+ORACLE_UNION = """
+SELECT o_orderkey AS event_key, o_orderdate AS event_dt, 'big_order' AS event_type
+FROM orders WHERE o_totalprice > 400000
+UNION ALL
+SELECT o_orderkey, o_orderdate, 'urgent_final'
+FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+"""
+
+QUERIES["sql_text_api"] = sql_text_api
+ORACLES["sql_text_api"] = _SQL_TEXT
+QUERIES["union_rule_accumulation"] = union_rule_accumulation
+ORACLES["union_rule_accumulation"] = ORACLE_UNION

@@ -202,3 +202,104 @@ ORACLES = {
     "knn_lsh": ORACLE_KNN_LSH,
     "embedding_cosine_pairs": ORACLE_COSINE_PAIRS,
 }
+
+
+# -- IVF (coarse-quantizer ANN) ----------------------------------------------
+# Deterministic IVF: the "trained" coarse centroids are a fixed id-derived
+# subset of the vectors themselves (vec_id % CENTROID_MOD == 0) — no RNG, so
+# the oracle can replay the index build. Assignment = nearest centroid by
+# cosine; queries probe the NPROBE nearest centroid lists, exact rerank inside.
+# At 100 TB: centroids broadcast, assignment is one map-side pass, candidate
+# lists are ~N/C of the data per probe — the classic IVF cost model.
+
+CENTROID_MOD = 47
+NPROBE = 2
+
+
+def _assign(vectors, centroids, id_col, out_rank, k):
+    """Rank centroids per vector by cosine (tie → centroid id)."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "c_sim", _cosine(F.col("v_emb"), F.col("c_emb"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    return scored.withColumn(out_rank, F.row_number().over(w)).filter(F.col(out_rank) <= k)
+
+
+def knn_ivf(spark, sf_dir):
+    """IVF ANN: id-derived centroids, cosine assignment, NPROBE-list probe,
+    exact rerank. Same output contract as knn_brute_force/knn_lsh."""
+    e = _emb(spark, sf_dir).cache()
+    cent = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    vecs = e.select(F.col("vec_id").alias("v_id"), F.col("embedding").alias("v_emb"))
+    assigned = _assign(vecs, cent, "v_id", "a_rank", 1).select(
+        F.col("v_id").alias("neighbor_id"),
+        F.col("v_emb").alias("cv"),
+        F.col("centroid_id").alias("list_id"),
+    )
+    queries = _assign(
+        vecs.filter(F.col("v_id") % QUERY_MOD == 0), cent, "v_id", "p_rank", NPROBE
+    ).select(
+        F.col("v_id").alias("query_id"),
+        F.col("v_emb").alias("qv"),
+        F.col("centroid_id").alias("list_id"),
+    )
+    scored = (
+        queries.join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", _cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "sim")
+        .distinct()  # a neighbor can appear via both probed lists
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+ORACLE_KNN_IVF = f"""
+WITH {EMB_D},
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM emb_d
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, centroid_id AS list_id
+  FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, c.c_emb) DESC, c.centroid_id
+           ) AS a_rank
+    FROM emb_d e, cent c
+  ) WHERE a_rank <= 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, centroid_id AS list_id
+  FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, c.c_emb) DESC, c.centroid_id
+           ) AS p_rank
+    FROM emb_d e, cent c
+    WHERE e.vec_id % {QUERY_MOD} = 0
+  ) WHERE p_rank <= {NPROBE}
+),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id,
+         list_cosine_similarity(qv, cv) AS sim
+  FROM q JOIN assigned USING (list_id)
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+QUERIES["knn_ivf"] = knn_ivf
+ORACLES["knn_ivf"] = ORACLE_KNN_IVF

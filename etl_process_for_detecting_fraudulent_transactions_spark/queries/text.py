@@ -186,3 +186,32 @@ ORACLES = {
     "lang_id_markers": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_FINGERPRINT,
 }
+
+
+# -- BPE-ish tokenization ----------------------------------------------------
+# A GPT-2-style pre-tokenizer approximation: words, numbers, punctuation runs.
+# Same ASCII-only regex in both engines (RE2 and Java agree on this subset).
+
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def text_bpe_tokens(spark, sf_dir):
+    """Token counting with a BPE-ish regex (words / digit runs / punct) and
+    an est_tokens heuristic (chars/4, the common LLM budget rule)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_BPE_RE)).alias("n_bpe_tokens"),
+        F.floor(F.length("text") / 4).cast("int").alias("est_tokens_chars4"),
+    )
+
+
+ORACLE_BPE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INT) AS n_bpe_tokens,
+       CAST(FLOOR(length(text) / 4.0) AS INT) AS est_tokens_chars4
+FROM documents
+"""
+
+QUERIES["text_bpe_tokens"] = text_bpe_tokens
+ORACLES["text_bpe_tokens"] = ORACLE_BPE
