@@ -39,6 +39,9 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         n = df.count()
         times[name] = round(time.perf_counter() - t0, 3)
+        # queries are independent: drop their cached frames so one query's
+        # cache residue doesn't squeeze the next one's execution memory
+        spark.catalog.clearCache()
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
