@@ -330,3 +330,92 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash": ORACLE_SIMHASH,
 }
+
+
+# -- duplicate clusters (connected components) -------------------------------
+# Near-dup pairs form a graph; a dedup pipeline keeps one representative per
+# CONNECTED COMPONENT (transitive closure), not per pair. Spark side: iterative
+# min-label propagation (each round: label = min(label) over neighbors ∪ self;
+# localCheckpoint truncates lineage; converges in O(diameter) rounds — the
+# standard Spark CC pattern without GraphFrames). Oracle: recursive CTE.
+
+def dedup_clusters(spark, sf_dir):
+    """Connected components over the ≥0.4-Jaccard near-dup graph: every doc
+    labeled with the min doc_id of its component (singletons = themselves);
+    output one row per non-singleton cluster member."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").cache()
+    # undirected edge list + self-loops over the member set
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .cache()
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    labels = members.withColumn("label", F.col("doc_id"))
+    for _ in range(20):  # diameter bound; tiny planted clusters converge fast
+        neigh = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+# DuckDB: iterate min-label propagation via recursive CTE with a round
+# counter (UNION ALL recursion), then take the min label per doc over all
+# rounds — equivalent fixpoint for this bounded graph.
+ORACLE_CLUSTERS = f"""
+WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE i / (sa.n + sb.n - i) >= {JACCARD_T}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+members AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, label, depth) AS (
+  SELECT doc_id, doc_id, 0 FROM members
+  UNION
+  SELECT e.src, r.label, r.depth + 1
+  FROM reach r JOIN edges e ON e.dst = r.doc_id
+  WHERE r.depth < 20
+)
+SELECT doc_id, MIN(label) AS cluster_id
+FROM reach GROUP BY doc_id
+"""
+
+QUERIES["dedup_clusters"] = dedup_clusters
+ORACLES["dedup_clusters"] = ORACLE_CLUSTERS
