@@ -19,7 +19,8 @@ def comma_decimal(col: Column | str, precision: int = 10, scale: int = 2) -> Col
     boundary instead (SURVEY §4 item 1).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(c, ",", ".").cast(DecimalType(precision, scale))
+    # try_cast: junk parses to NULL (SQLite cast semantics; ANSI cast throws)
+    return F.regexp_replace(c, ",", ".").try_cast(DecimalType(precision, scale))
 
 
 def int_amount(col: Column | str) -> Column:
@@ -32,7 +33,7 @@ def int_amount(col: Column | str) -> Column:
     decimal-typed columns (via their canonical string form).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(c.cast("string"), "[,.]").getItem(0).cast("long")
+    return F.split(c.cast("string"), "[,.]").getItem(0).try_cast("long")
 
 
 def minutes_between(later: Column | str, earlier: Column | str) -> Column:

@@ -21,7 +21,7 @@ def typed_transactions(raw: DataFrame) -> DataFrame:
     """
     return raw.select(
         F.col("transaction_id").alias("trans_id"),
-        F.to_timestamp("transaction_date").alias("trans_date"),
+        F.try_to_timestamp("transaction_date").alias("trans_date"),
         comma_decimal("amount").alias("amt"),
         "card_num",
         "oper_type",

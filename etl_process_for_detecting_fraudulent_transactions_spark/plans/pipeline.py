@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.scd2 import scd2_apply_snapshot
 from ..schemas import BLACKLIST_RAW, DIM_TERMINALS_HIST, REP_FRAUD, TERMINALS_SNAPSHOT
-from ..sources.csv_source import read_transactions_csv
+from ..sources.csv_source import read_transactions_csv, split_corrupt
 from ..sources.files import archive_file, ddmmyyyy_to_iso, discover_run_date
 from ..sources.seed_source import read_seed_dims
 from ..sources.xlsx_source import read_xlsx_df
@@ -68,7 +68,9 @@ def run_day(
 
     # per-run rebuild: seed dims + day fact + cumulative blacklist
     dims = read_seed_dims(spark, state.seed_dump_path)
-    transactions = typed_transactions(read_transactions_csv(spark, tx_path))
+    clean_tx, corrupt_tx = split_corrupt(read_transactions_csv(spark, tx_path))
+    state.extra["corrupt_transactions"] = corrupt_tx  # dead-letter handle
+    transactions = typed_transactions(clean_tx)
     blacklist = typed_blacklist(read_xlsx_df(spark, bl_path, BLACKLIST_RAW))
 
     # SCD2 historization of the terminals snapshot

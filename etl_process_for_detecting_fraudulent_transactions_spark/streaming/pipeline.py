@@ -66,7 +66,7 @@ def stream_transactions(spark: SparkSession, landing_dir: str, max_files: int = 
     )
     return raw.select(
         F.col("transaction_id").alias("trans_id"),
-        F.to_timestamp("transaction_date").alias("trans_date"),
+        F.try_to_timestamp("transaction_date").alias("trans_date"),
         F.col("card_num"),
         F.col("oper_type"),
         F.regexp_replace("amount", ",", ".").cast("decimal(10,2)").alias("amt"),

@@ -97,3 +97,38 @@ def test_guessing_amount_stream_golden(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].event_dt.strftime("%Y-%m-%d %H:%M:%S") == "2021-03-01 22:36:38"
     assert rows[0].event_type == "guessing_amount_fraud"
+
+
+def test_three_day_stream_continuous_state(spark, tmp_path):
+    """3 daily files in one stream (maxFilesPerTrigger=1 → 3 micro-batches):
+    reproduces the day-1 golden event AND finds one cross-midnight chain
+    (2021-03-03 00:13:21) that per-day batch processing cannot see — the
+    matcher's state legitimately spans file boundaries."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.streaming.pipeline import (
+        guessing_amount_stream,
+        stream_transactions,
+    )
+
+    landing = tmp_path / "landing3"
+    landing.mkdir()
+    for d in ("01", "02", "03"):
+        shutil.copy(
+            os.path.join(REFDATA, f"transactions_{d}032021.txt"),
+            landing / f"transactions_{d}032021.txt",
+        )
+    tx = stream_transactions(spark, str(landing))
+    q = (
+        guessing_amount_stream(tx)
+        .writeStream.format("memory")
+        .queryName("guess3")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        r.event_dt.strftime("%Y-%m-%d %H:%M:%S")
+        for r in spark.sql("SELECT * FROM guess3").collect()
+    )
+    assert got == ["2021-03-01 22:36:38", "2021-03-03 00:13:21"]
