@@ -96,7 +96,7 @@ def run_day(
         ),
         ts,
     )
-    state.store.append(report, REPORT)
+    state.store.append(report, REPORT, partition_by=["report_date"])
 
     if state.archive:
         archive_dir = os.path.join(data_dir, os.pardir, "archive")

@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 
 
 def stamp(report_rows: DataFrame, run_ts: _dt.datetime) -> DataFrame:
-    return report_rows.withColumn("report_dt", F.lit(run_ts))
+    """Stamp report_dt + a derived report_date partition column: the mart is
+    hive-partitioned by day, so per-day reads prune to one directory
+    (PartitionFilters in the scan) instead of scanning the whole history."""
+    return report_rows.withColumn("report_dt", F.lit(run_ts)).withColumn(
+        "report_date", F.to_date(F.lit(run_ts))
+    )
 
 
 def union_rules(rule_outputs: list[DataFrame]) -> DataFrame:

@@ -545,3 +545,82 @@ QUERIES["sql_text_api"] = sql_text_api
 ORACLES["sql_text_api"] = _SQL_TEXT
 QUERIES["union_rule_accumulation"] = union_rule_accumulation
 ORACLES["union_rule_accumulation"] = ORACLE_UNION
+
+
+# -- running aggregates / sessionization / rollup ----------------------------
+
+def sessionize(spark, sf_dir):
+    """Gap-based sessionization: a >30-minute silence starts a new session.
+    lag → new-session flag → running SUM (ROWS UNBOUNDED PRECEDING) builds
+    session ids in two window passes over ONE user_id exchange; per-session
+    aggregate rides the same partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.select("event_id", "user_id", "ts")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 30 * 60 * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("new_sess").over(wrun))
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH s AS (
+  SELECT event_id, user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM s
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+def rollup_revenue(spark, sf_dir):
+    """ROLLUP: hierarchical subtotals (status → status+priority → grand
+    total) in one pass — map-side partials feed all grouping sets."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+QUERIES["sessionize"] = sessionize
+QUERIES["rollup_revenue"] = rollup_revenue
+ORACLES["sessionize"] = ORACLE_SESSIONIZE
+ORACLES["rollup_revenue"] = ORACLE_ROLLUP

@@ -118,6 +118,7 @@ REP_FRAUD = _st(
     ("phone", StringType()),
     ("event_type", StringType()),
     ("report_dt", TimestampType()),
+    ("report_date", DateType()),  # hive partition column of the mart
 )
 
 # extension tables (driver testdata)
