@@ -35,13 +35,17 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in sorted(qs):
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        # queries are independent: drop their cached frames so one query's
-        # cache residue doesn't squeeze the next one's execution memory
-        spark.catalog.clearCache()
+        best, n = None, 0
+        for _ in range(2):  # best-of-2: the host is noisy; min is the signal
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+            # queries are independent: drop cached frames so one query's
+            # cache residue doesn't squeeze the next one's execution memory
+            spark.catalog.clearCache()
+        times[name] = round(best, 3)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
