@@ -1,0 +1,55 @@
+"""MLlib-native near-dup detection: MinHashLSH.approxSimilarityJoin over
+binary shingle vectors (SURVEY §7 phase 5's "approxSimilarityJoin dedup").
+
+This is the library counterpart of queries/dedup.py's hand-rolled
+MinHash+LSH: HashingTF maps each document's 3-word shingle set to a sparse
+binary vector; MinHashLSH builds the banded index; approxSimilarityJoin
+returns candidate pairs with their EXACT Jaccard distance (over the hashed
+feature space), filtered at the threshold. Seeded → deterministic per Spark
+version, but the hash family is MLlib-internal, so there is no DuckDB oracle;
+the test instead checks recall against the exact shingle-Jaccard pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import HashingTF, MinHashLSH
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_FEATURES = 1 << 18  # hash space for shingles; collisions perturb Jaccard ~0.1%
+
+
+def shingle_vectors(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id + binary sparse vector of 3-word shingles."""
+    ws = F.split("text", " ")
+    shingled = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+                lambda i: F.concat_ws("_", *[ws[i + j] for j in range(n)]),
+            )
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=N_FEATURES, binary=True)
+    return tf.transform(shingled).select("doc_id", "features")
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame, jaccard_threshold: float = 0.4, num_tables: int = 8, seed: int = 42
+) -> DataFrame:
+    """Near-dup pairs (doc_a < doc_b, jaccard ≥ threshold) via MinHashLSH."""
+    vecs = shingle_vectors(docs).cache()
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=seed)
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(
+        vecs, vecs, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (F.lit(1.0) - F.col("jaccard_dist")).alias("jaccard"),
+        )
+    )

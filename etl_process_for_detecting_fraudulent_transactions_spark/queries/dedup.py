@@ -419,3 +419,20 @@ FROM reach GROUP BY doc_id
 
 QUERIES["dedup_clusters"] = dedup_clusters
 ORACLES["dedup_clusters"] = ORACLE_CLUSTERS
+
+
+# -- MLlib-native variant (no SQL oracle: MLlib-internal hash family) --------
+
+def dedup_minhash_mllib(spark, sf_dir):
+    """MinHashLSH.approxSimilarityJoin dedup (ml/lsh_dedup.py). Deterministic
+    (seeded) but the hash family is MLlib-internal → rows-only driver check;
+    recall vs the exact-Jaccard oracle pairs is asserted in tests/test_ml.py.
+    """
+    from ..ml.lsh_dedup import minhash_dedup_pairs
+
+    docs = _docs(spark, sf_dir)
+    return minhash_dedup_pairs(docs, jaccard_threshold=JACCARD_T)
+
+
+QUERIES["dedup_minhash_mllib"] = dedup_minhash_mllib
+# deliberately no ORACLES entry — non-SQL-expressible hash family
