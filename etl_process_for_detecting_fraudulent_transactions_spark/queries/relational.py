@@ -624,3 +624,49 @@ QUERIES["sessionize"] = sessionize
 QUERIES["rollup_revenue"] = rollup_revenue
 ORACLES["sessionize"] = ORACLE_SESSIONIZE
 ORACLES["rollup_revenue"] = ORACLE_ROLLUP
+
+
+# -- composed fraud-rule shape (Q1 end-to-end analog) ------------------------
+
+def fraud_flag_events(spark, sf_dir):
+    """The passport-fraud composition (SURVEY §2.9 Q1) mapped onto the star
+    schema: one row per event of an 'invalid' customer — negative balance
+    (expired-passport analog) OR nation in a blacklist set (semi join) —
+    via the broadcast identity chain, with NULL-propagating label concat."""
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    blacklist = n.filter(F.col("n_regionkey") == 3).select("n_nationkey")
+    flagged_customers = (
+        c.join(F.broadcast(blacklist.withColumn("_bl", F.lit(1))),
+               c.c_nationkey == blacklist.n_nationkey, "left")
+        .filter((F.col("c_acctbal") < 0) | F.col("_bl").isNotNull())
+        .select(
+            "c_custkey",
+            F.concat(F.col("c_name"), F.lit(" "), F.col("c_mktsegment")).alias("who"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(flagged_customers), ev.user_id == flagged_customers.c_custkey)
+        .select(
+            F.col("event_id").alias("flag_id"),
+            F.col("ts").alias("event_dt"),
+            "who",
+            F.lit("account_flag").alias("event_type"),
+        )
+    )
+
+
+ORACLE_FRAUD_FLAG = """
+WITH flagged AS (
+  SELECT c_custkey, c_name || ' ' || c_mktsegment AS who
+  FROM customer
+  WHERE c_acctbal < 0
+     OR c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 3)
+)
+SELECT event_id AS flag_id, ts AS event_dt, who, 'account_flag' AS event_type
+FROM events JOIN flagged ON user_id = c_custkey
+"""
+
+QUERIES["fraud_flag_events"] = fraud_flag_events
+ORACLES["fraud_flag_events"] = ORACLE_FRAUD_FLAG
