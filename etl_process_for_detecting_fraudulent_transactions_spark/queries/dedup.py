@@ -163,19 +163,26 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with true Jaccard
+    # size-ratio prefilter: |A∩B|/|A∪B| ≥ t forces min(|A|,|B|)/max ≥ t, so
+    # prune candidates BEFORE the expensive shingle-verify join (provably
+    # output-preserving — the oracle needs no counterpart)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cand = (
+        cand.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .filter(
+            (F.least("na", "nb").cast("double") / F.greatest("na", "nb")) >= JACCARD_T
+        )
+    )
     sa, sb = sh.alias("sa"), sh.alias("sb")
     inter = (
         cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        inter.withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
         .filter(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -670,3 +670,36 @@ FROM events JOIN flagged ON user_id = c_custkey
 
 QUERIES["fraud_flag_events"] = fraud_flag_events
 ORACLES["fraud_flag_events"] = ORACLE_FRAUD_FLAG
+
+
+# -- point-in-time (as-of) join over the SCD2 history ------------------------
+
+def pit_join_events(spark, sf_dir):
+    """As-of join: each event picks the customer-segment VERSION valid at its
+    timestamp from the two-snapshot SCD2 history (operators/asof.py — the
+    correct form of the reference's duplicating J6 join). Events on 2024-01-01
+    before 12:00 have no valid version yet (inner join drops them); events
+    after the day-2 load see the _X segments."""
+    from ..operators.asof import point_in_time_join
+
+    hist = scd2_snapshot_diff(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.select("event_id", "user_id", "ts").filter(
+        F.col("ts") < F.lit(_dt.datetime(2024, 1, 20))
+    )
+    joined = point_in_time_join(
+        facts, hist, F.col("user_id") == F.col("key"), fact_time="ts"
+    )
+    return joined.select("event_id", "user_id", "ts", "segment", "deleted_flg")
+
+
+ORACLE_PIT = f"""
+WITH hist AS ({ORACLE_SCD2.replace('--', '--')})
+SELECT event_id, user_id, ts, segment, deleted_flg
+FROM events JOIN hist
+  ON user_id = key AND ts >= effective_from AND ts <= effective_to
+WHERE ts < TIMESTAMP '2024-01-20'
+"""
+
+QUERIES["pit_join_events"] = pit_join_events
+ORACLES["pit_join_events"] = ORACLE_PIT
