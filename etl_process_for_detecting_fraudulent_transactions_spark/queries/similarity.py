@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 
 TOP_K = 5
 QUERY_MOD = 50          # queries = vec_id % QUERY_MOD == 0
-N_PLANES = 8
+N_PLANES = 8            # planes for the single-table near-dup bucketing
+N_TABLES = 4            # multi-table LSH for knn (recall: union of tables)
+PLANES_PER_TABLE = 6
 COSINE_T = 0.35         # near-dup threshold (testdata max cosine ≈ 0.46)
 DIM = 64
 
@@ -84,28 +86,37 @@ QUALIFY rank <= {TOP_K}
 
 # -- LSH: deterministic ±1 hyperplanes from md5 parity -----------------------
 
-def _plane_signs() -> list[list[int]]:
+def _plane_signs(tag: str, n: int) -> list[list[int]]:
     """signs[p][d] ∈ {-1, +1}, derived from md5 so any engine can replay."""
     out = []
-    for p in range(N_PLANES):
+    for p in range(n):
         row = []
         for d in range(DIM):
-            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            h = hashlib.md5(f"{tag}:{p}:{d}".encode()).hexdigest()
             row.append(1 if h[0] in "01234567" else -1)
         out.append(row)
     return out
 
-_SIGNS = _plane_signs()
+# near-dup bucketing: one 8-bit table (legacy tag layout "p:d")
+_SIGNS = [
+    [1 if hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0] in "01234567" else -1
+     for d in range(DIM)]
+    for p in range(N_PLANES)
+]
+# knn: T independent tables of 6 planes each — candidates are the UNION of
+# same-bucket sets, which is what lifts recall (single-table sign-LSH on
+# unclustered vectors recalls ~2%; 4×6-bit tables recall the bulk of top-5)
+_TABLE_SIGNS = [_plane_signs(f"t{t}", PLANES_PER_TABLE) for t in range(N_TABLES)]
 
 
-def _bucket_col(vec):
-    """Concatenated sign bits of the P hyperplane projections."""
+def _signs_bucket_col(vec, signs):
+    """Concatenated sign bits of the given hyperplane projections."""
     bits = []
-    for p in range(N_PLANES):
+    for row in signs:
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*[F.lit(float(s)) for s in _SIGNS[p]]),
+                F.array(*[F.lit(float(s)) for s in row]),
                 lambda x, s: x * s,
             ),
             F.lit(0.0),
@@ -115,30 +126,52 @@ def _bucket_col(vec):
     return F.concat(*bits)
 
 
-def _sql_bucket(vec_expr: str) -> str:
+def _bucket_col(vec):
+    return _signs_bucket_col(vec, _SIGNS)
+
+
+def _sql_signs_bucket(vec_expr: str, signs) -> str:
     parts = []
-    for p in range(N_PLANES):
-        arr = "[" + ", ".join(f"{s:.1f}" for s in _SIGNS[p]) + "]"
+    for row in signs:
+        arr = "[" + ", ".join(f"{s:.1f}" for s in row) + "]"
         parts.append(
             f"CASE WHEN list_dot_product({vec_expr}, {arr}::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
         )
     return " || ".join(parts)
 
 
+def _sql_bucket(vec_expr: str) -> str:
+    return _sql_signs_bucket(vec_expr, _SIGNS)
+
+
 def knn_lsh(spark, sf_dir):
-    """ANN: sign-LSH bucket, exact cosine rerank within bucket. Queries whose
-    bucket has < k neighbors return fewer rows — the classic LSH recall
-    trade-off, visible (and checked) against the brute-force oracle shape."""
-    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("embedding"))).cache()
-    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    """ANN: multi-table sign-LSH (4 tables × 6 planes). Candidate set =
+    UNION over tables of same-bucket vectors, then exact cosine rerank.
+    Single-table LSH recalls ~2% of top-5 on unclustered vectors; the table
+    union is the standard recall lever (table count trades compute for
+    recall, bits-per-table trades candidate size for selectivity)."""
+    e = _emb(spark, sf_dir)
+    for t in range(N_TABLES):
+        e = e.withColumn(
+            f"b{t}",
+            F.concat(F.lit(f"{t}|"), _signs_bucket_col(F.col("embedding"), _TABLE_SIGNS[t])),
+        )
+    e = e.cache()
+    banded = None
+    for t in range(N_TABLES):
+        part = e.select("vec_id", "embedding", F.col(f"b{t}").alias("bucket"))
+        banded = part if banded is None else banded.unionByName(part)
+    q = banded.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket")
-    scored = (
+    c = banded.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket")
+    cand = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", _cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
     )
+    scored = cand.withColumn("sim", _cosine(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -148,15 +181,24 @@ def knn_lsh(spark, sf_dir):
 
 
 ORACLE_KNN_LSH = f"""
-WITH {EMB_D}, b AS (
-  SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket FROM emb_d
+WITH {EMB_D},
+banded AS (
+SELECT vec_id, embedding, '0|' || {_sql_signs_bucket('embedding', _TABLE_SIGNS[0])} AS bucket FROM emb_d
+UNION ALL
+SELECT vec_id, embedding, '1|' || {_sql_signs_bucket('embedding', _TABLE_SIGNS[1])} AS bucket FROM emb_d
+UNION ALL
+SELECT vec_id, embedding, '2|' || {_sql_signs_bucket('embedding', _TABLE_SIGNS[2])} AS bucket FROM emb_d
+UNION ALL
+SELECT vec_id, embedding, '3|' || {_sql_signs_bucket('embedding', _TABLE_SIGNS[3])} AS bucket FROM emb_d
 ),
-q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id % {QUERY_MOD} = 0),
-scored AS (
-  SELECT query_id, c.vec_id AS neighbor_id,
-         list_cosine_similarity(qv, c.embedding) AS sim
-  FROM q JOIN b c USING (bucket)
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM banded WHERE vec_id % {QUERY_MOD} = 0),
+cand AS (
+  SELECT DISTINCT query_id, qv, c.vec_id AS neighbor_id, c.embedding AS cv
+  FROM q JOIN banded c USING (bucket)
   WHERE query_id <> c.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim FROM cand
 )
 SELECT query_id, neighbor_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
@@ -213,7 +255,7 @@ ORACLES = {
 # lists are ~N/C of the data per probe — the classic IVF cost model.
 
 CENTROID_MOD = 47
-NPROBE = 2
+NPROBE = 4
 
 
 def _assign(vectors, centroids, id_col, out_rank, k):
