@@ -132,3 +132,40 @@ def test_three_day_stream_continuous_state(spark, tmp_path):
         for r in spark.sql("SELECT * FROM guess3").collect()
     )
     assert got == ["2021-03-01 22:36:38", "2021-03-03 00:13:21"]
+
+
+def test_stream_to_mart_identity(spark, tmp_path):
+    """Full streaming path: file stream → stateful matcher → foreachBatch
+    identity enrichment → partitioned mart. The day-1 golden event lands in
+    REP_FRAUD with the right passport (5771 567535)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.schemas import REP_FRAUD
+    from etl_process_for_detecting_fraudulent_transactions_spark.sources.seed_source import (
+        read_seed_dims,
+    )
+    from etl_process_for_detecting_fraudulent_transactions_spark.storage import ParquetStore
+    from etl_process_for_detecting_fraudulent_transactions_spark.streaming.pipeline import (
+        guessing_amount_stream,
+        stream_events_to_mart,
+        stream_transactions,
+    )
+    from tests.conftest import SEED_DUMP
+
+    landing = tmp_path / "landing_m"
+    landing.mkdir()
+    shutil.copy(
+        os.path.join(REFDATA, "transactions_01032021.txt"),
+        landing / "transactions_01032021.txt",
+    )
+    dims = read_seed_dims(spark, SEED_DUMP)
+    store = ParquetStore(spark, str(tmp_path / "mart_store"))
+    q = stream_events_to_mart(
+        guessing_amount_stream(stream_transactions(spark, str(landing))),
+        dims["cards"], dims["accounts"], dims["clients"],
+        store, str(tmp_path / "ckpt_m"),
+    )
+    q.awaitTermination(300)
+    rows = store.read("rep_fraud", REP_FRAUD).collect()
+    assert len(rows) == 1
+    assert rows[0].passport == "5771 567535"
+    assert rows[0].event_type == "guessing_amount_fraud"
+    assert rows[0].fio is not None and rows[0].report_date is not None
