@@ -224,3 +224,67 @@ def stream_events_to_mart(
         .trigger(availableNow=True)
         .start()
     )
+
+
+CITY_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", StringType()),  # last event unix-micros (str for null-safety)
+        StructField("last_city", StringType()),
+    ]
+)
+
+
+def city_fraud_stream(
+    tx_with_city: DataFrame, watermark: str = "2 hours", within_minutes: int = 60
+) -> DataFrame:
+    """The city rule (SURVEY §2.9 Q3, INTENDED semantics) as a stateful
+    streaming operator: per card, emit an event whenever two consecutive
+    transactions happen in different cities within ``within_minutes``.
+
+    Input must already carry ``terminal_city`` (broadcast-join the current
+    terminal dim in front: the lookup composes the same way as in batch).
+    State = last (ts, city) per card — O(1) per key, watermark+timeout bound
+    the key set. Batch Q3 reports max(trans_date) per card per day; the
+    streaming form naturally reports every boundary as it happens.
+    """
+    filtered = tx_with_city.withWatermark("trans_date", watermark).select(
+        "card_num",
+        "trans_date",
+        F.unix_micros("trans_date").alias("ts_us"),
+        "terminal_city",
+    )
+
+    def matcher(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ts_s, last_city = state.get
+            last_ts = int(last_ts_s) if last_ts_s else None
+        else:
+            last_ts, last_city = None, None
+        events = []
+        batch = [pdf for pdf in pdfs]
+        if batch:
+            for r in pd.concat(batch).sort_values("trans_date").itertuples():
+                city = r.terminal_city
+                if (
+                    last_ts is not None
+                    and last_city is not None
+                    and city is not None
+                    and city != last_city
+                    and (int(r.ts_us) - last_ts) <= within_minutes * 60 * 1_000_000
+                ):
+                    events.append((key[0], r.trans_date, "city_fraud"))
+                last_ts, last_city = int(r.ts_us), city
+        state.update((str(last_ts) if last_ts is not None else "", last_city))
+        state.setTimeoutDuration(6 * 60 * 60 * 1000)
+        if events:
+            yield pd.DataFrame(events, columns=["card_num", "event_dt", "event_type"])
+
+    return filtered.groupBy("card_num").applyInPandasWithState(
+        matcher,
+        outputStructType=EVENT_SCHEMA,
+        stateStructType=CITY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -169,3 +169,50 @@ def test_stream_to_mart_identity(spark, tmp_path):
     assert rows[0].passport == "5771 567535"
     assert rows[0].event_type == "guessing_amount_fraud"
     assert rows[0].fio is not None and rows[0].report_date is not None
+
+
+def test_city_fraud_stream_day1(spark, tmp_path):
+    """Streaming city rule on day-1 data: the golden card (passport
+    8115 161624) is flagged; its batch event_dt 02:54:34 appears among the
+    streamed boundary events (streaming emits each hop, batch reports the
+    max per card)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.schemas import TERMINALS_SNAPSHOT
+    from etl_process_for_detecting_fraudulent_transactions_spark.sources.xlsx_source import (
+        read_xlsx_df,
+    )
+    from etl_process_for_detecting_fraudulent_transactions_spark.streaming.pipeline import (
+        city_fraud_stream,
+        stream_transactions,
+    )
+    from pyspark.sql import functions as F
+
+    landing = tmp_path / "landing_c"
+    landing.mkdir()
+    shutil.copy(
+        os.path.join(REFDATA, "transactions_01032021.txt"),
+        landing / "transactions_01032021.txt",
+    )
+    term = read_xlsx_df(
+        spark, os.path.join(REFDATA, "terminals_01032021.xlsx"), TERMINALS_SNAPSHOT
+    )
+    tx = stream_transactions(spark, str(landing)).join(
+        F.broadcast(
+            term.select(F.col("terminal_id").alias("terminal"), "terminal_city")
+        ),
+        "terminal",
+        "left",
+    )
+    q = (
+        city_fraud_stream(tx)
+        .writeStream.format("memory")
+        .queryName("city_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM city_stream").collect()
+    assert rows, "no city events streamed"
+    stamps = {r.event_dt.strftime("%Y-%m-%d %H:%M:%S") for r in rows}
+    assert "2021-03-01 02:54:34" in stamps
