@@ -1,0 +1,352 @@
+"""Engine-completeness queries beyond the reference's own operator set
+(SURVEY.md §2.6 notes the reference has no LIMIT / set ops / ranking — a
+user switching engines still expects them). Same determinism discipline as
+``relational.py``: decimal-exact float aggregates, unique window tiebreakers,
+identical aliases in Spark plan and DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ._io import load_table as _t
+
+
+def _dsum(col):
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
+
+
+# -- top-k / distinct / set ops ----------------------------------------------
+
+def topk_orders(spark, sf_dir):
+    """Global top-k: ORDER BY ... LIMIT pushes a per-partition partial top-k
+    (TakeOrderedAndProject) — no full sort, no single-node shuffle of the
+    whole table; unique tiebreaker makes the cut deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOPK = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def distinct_segments(spark, sf_dir):
+    """DISTINCT = shuffle-dedup on the projected columns only (column pruning
+    keeps the exchange narrow)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+ORACLE_DISTINCT = """
+SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+"""
+
+
+def set_except_customers(spark, sf_dir):
+    """EXCEPT (distinct set difference): all custkeys minus those with an
+    urgent order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.select("c_custkey").subtract(urgent)
+
+
+ORACLE_EXCEPT = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def set_intersect_customers(spark, sf_dir):
+    """INTERSECT: custkeys having BOTH a finished and an open order."""
+    o = _t(spark, sf_dir, "orders")
+    f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p_side = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_side.intersect(p_side)
+
+
+ORACLE_INTERSECT = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+# -- join-type completeness ---------------------------------------------------
+
+def full_outer_orders(spark, sf_dir):
+    """FULL OUTER join with unmatched rows on both sides (customer subset vs
+    order-aggregate subset), keys coalesced."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 2 == 0)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 3 == 0)
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.coalesce("c_name", F.lit("<none>")).alias("c_name"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+ORACLE_FULL_OUTER = """
+SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+       COALESCE(c_name, '<none>') AS c_name,
+       COALESCE(n_orders, 0) AS n_orders
+FROM (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+FULL OUTER JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+  WHERE o_custkey % 3 = 0 GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+"""
+
+
+def right_join_orders(spark, sf_dir):
+    """RIGHT OUTER join (kept-side = orders): every order row survives even
+    when its customer was filtered away."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "right")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.coalesce("c_name", F.lit("<none>")).alias("c_name"),
+        )
+    )
+
+
+ORACLE_RIGHT_JOIN = """
+SELECT o_orderkey, o_custkey, COALESCE(c_name, '<none>') AS c_name
+FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+RIGHT JOIN orders ON c_custkey = o_custkey
+"""
+
+
+# -- ranking / cube / pivot / time-series ------------------------------------
+
+def window_rank_topn(spark, sf_dir):
+    """Ranking windows (row_number / rank / dense_rank) over one sort; top-3
+    orders per status. One Window node → one exchange on o_orderstatus."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+ORACLE_RANK = """
+SELECT * FROM (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rn <= 3
+"""
+
+
+def cube_revenue(spark, sf_dir):
+    """CUBE: all 4 grouping sets of (status, priority) in one pass;
+    grouping_id disambiguates subtotal rows from real NULL groups."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("o_totalprice").alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def pivot_priority_revenue(spark, sf_dir):
+    """Pivot-shape conditional aggregation: one output column per priority
+    class, computed as SUM(CASE WHEN ...) partials — a single shuffle, no
+    per-category scan."""
+    o = _t(spark, sf_dir, "orders")
+
+    def bucket(p, name):
+        return (
+            F.sum(
+                F.when(F.col("o_orderpriority") == p, F.col("o_totalprice"))
+                .otherwise(F.lit(0))
+                .cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias(name)
+        )
+
+    return o.groupBy("o_orderstatus").agg(
+        bucket("1-URGENT", "rev_urgent"),
+        bucket("2-HIGH", "rev_high"),
+        bucket("5-LOW", "rev_low"),
+    )
+
+
+ORACLE_PIVOT = """
+SELECT o_orderstatus,
+  CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS rev_urgent,
+  CAST(SUM(CAST(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS rev_high,
+  CAST(SUM(CAST(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS rev_low
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def monthly_revenue(spark, sf_dir):
+    """Time-series rollup: date_trunc to month → count + exact sum. The
+    truncation is a scalar projection, so partial aggregation still applies."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("month", F.date_trunc("month", F.col("o_orderdate")).cast("date"))
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("n_orders"), _dsum("o_totalprice").alias("revenue"))
+    )
+
+
+ORACLE_MONTHLY = """
+SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
+# -- scalar strings / conditionals / correlated-aggregate ---------------------
+
+def string_ops(spark, sf_dir):
+    """String scalar surface: upper / substring / length / regexp extraction
+    (digits of the TPC-H customer name) — all JVM-side Catalyst expressions."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.col("c_mktsegment")).alias("seg_upper"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+        F.length(F.col("c_name")).alias("name_len"),
+        F.regexp_extract(F.col("c_name"), "([0-9]+)", 1).cast("bigint").alias("name_num"),
+    )
+
+
+ORACLE_STRING_OPS = """
+SELECT c_custkey, UPPER(c_mktsegment) AS seg_upper,
+       SUBSTRING(c_name, 1, 8) AS name_prefix,
+       LENGTH(c_name) AS name_len,
+       CAST(REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num
+FROM customer
+"""
+
+
+def case_when_bands(spark, sf_dir):
+    """CASE WHEN banding + aggregate over the derived category."""
+    c = _t(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return (
+        c.withColumn("band", band)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("c_acctbal").alias("total_bal"))
+    )
+
+
+ORACLE_CASE_BANDS = """
+SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS band,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM customer GROUP BY 1
+"""
+
+
+def above_nation_avg(spark, sf_dir):
+    """Correlated-aggregate shape (customers above their nation's average
+    balance) decorrelated into a broadcast join against the per-nation
+    aggregate — the plan Catalyst's own subquery rewrite would target."""
+    c = _t(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # cross-multiplied compare (bal * n > total) stays in exact decimal
+    # arithmetic — no division-rounding divergence between engines
+    return (
+        c.join(F.broadcast(per_nation), "c_nationkey")
+        .filter(
+            F.col("c_acctbal").cast("decimal(18,4)") * F.col("n") > F.col("total")
+        )
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            (F.col("total").cast("double") / F.col("n")).alias("avg_bal"),
+        )
+    )
+
+
+ORACLE_ABOVE_AVG = """
+WITH per_nation AS (
+  SELECT c_nationkey, SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS total, COUNT(*) AS n
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c.c_custkey, c.c_nationkey, CAST(p.total AS DOUBLE) / p.n AS avg_bal
+FROM customer c JOIN per_nation p USING (c_nationkey)
+WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) * p.n > p.total
+"""
+
+
+QUERIES = {
+    "topk_orders": topk_orders,
+    "distinct_segments": distinct_segments,
+    "set_except_customers": set_except_customers,
+    "set_intersect_customers": set_intersect_customers,
+    "full_outer_orders": full_outer_orders,
+    "right_join_orders": right_join_orders,
+    "window_rank_topn": window_rank_topn,
+    "cube_revenue": cube_revenue,
+    "pivot_priority_revenue": pivot_priority_revenue,
+    "monthly_revenue": monthly_revenue,
+    "string_ops": string_ops,
+    "case_when_bands": case_when_bands,
+    "above_nation_avg": above_nation_avg,
+}
+
+ORACLES = {
+    "topk_orders": ORACLE_TOPK,
+    "distinct_segments": ORACLE_DISTINCT,
+    "set_except_customers": ORACLE_EXCEPT,
+    "set_intersect_customers": ORACLE_INTERSECT,
+    "full_outer_orders": ORACLE_FULL_OUTER,
+    "right_join_orders": ORACLE_RIGHT_JOIN,
+    "window_rank_topn": ORACLE_RANK,
+    "cube_revenue": ORACLE_CUBE,
+    "pivot_priority_revenue": ORACLE_PIVOT,
+    "monthly_revenue": ORACLE_MONTHLY,
+    "string_ops": ORACLE_STRING_OPS,
+    "case_when_bands": ORACLE_CASE_BANDS,
+    "above_nation_avg": ORACLE_ABOVE_AVG,
+}
