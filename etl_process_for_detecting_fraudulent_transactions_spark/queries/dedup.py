@@ -148,15 +148,17 @@ def dedup_minhash_lsh(spark, sf_dir):
         ]
     )
     rows_per_band = N_MINHASH // N_BANDS
-    bands = []
-    for bidx in range(N_BANDS):
-        cols = [F.col(f"mh{k}") for k in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)]
-        bands.append(
-            sig.select("doc_id", F.concat_ws("|", F.lit(str(bidx)), *cols).alias("band_key"))
+    # one explode over an array of band keys (NOT an N_BANDS-way union: union
+    # branches each re-evaluate the signature aggregate — explode scans it once)
+    band_keys = [
+        F.concat_ws(
+            "|",
+            F.lit(str(bidx)),
+            *[F.col(f"mh{k}") for k in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)],
         )
-    banded = bands[0]
-    for bdf in bands[1:]:
-        banded = banded.unionByName(bdf)
+        for bidx in range(N_BANDS)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -266,10 +268,10 @@ def dedup_simhash(spark, sf_dir):
     sigb = sig.select(
         "doc_id", *[F.col(f"bit{b}") for b in range(SIMHASH_BITS)], *band_cols
     ).cache()
-    banded = None
-    for i in range(4):
-        part = sigb.select("doc_id", F.col(f"band{i}").alias("band_key"))
-        banded = part if banded is None else banded.unionByName(part)
+    banded = sigb.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band{i}") for i in range(4)])).alias("band_key"),
+    )
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b_, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -370,21 +372,19 @@ def dedup_clusters(spark, sf_dir):
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # keep the old label through the checkpoint so convergence is a cheap
+        # filter on materialized data, not another shuffle join per round
+        upd = (
             labels.join(neigh, labels.doc_id == neigh.src, "left")
             .select(
                 "doc_id",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = upd.filter(F.col("label") != F.col("old_label")).count()
+        labels = upd.select("doc_id", "label")
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
