@@ -157,10 +157,11 @@ def knn_lsh(spark, sf_dir):
             F.concat(F.lit(f"{t}|"), _signs_bucket_col(F.col("embedding"), _TABLE_SIGNS[t])),
         )
     e = e.cache()
-    banded = None
-    for t in range(N_TABLES):
-        part = e.select("vec_id", "embedding", F.col(f"b{t}").alias("bucket"))
-        banded = part if banded is None else banded.unionByName(part)
+    banded = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*[F.col(f"b{t}") for t in range(N_TABLES)])).alias("bucket"),
+    )
     q = banded.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
     )
@@ -345,3 +346,106 @@ QUALIFY rank <= {TOP_K}
 
 QUERIES["knn_ivf"] = knn_ivf
 ORACLES["knn_ivf"] = ORACLE_KNN_IVF
+
+
+# -- multiprobe LSH -----------------------------------------------------------
+# Same 4×6-bit tables as knn_lsh, but each QUERY also probes every bucket at
+# hamming distance 1 (6 single-bit flips per table → 7 probes/table). The
+# index itself is unchanged — candidates sit only in their true bucket — so
+# storage stays O(T·N) while recall rises steeply (the flipped buckets catch
+# neighbors that disagree with the query on exactly one hyperplane, the
+# dominant miss mode). The standard accuracy/cost lever when adding more
+# tables (more memory at 100 TB) is unaffordable.
+
+
+def _flip_bit(bucket, j: int):
+    """Flip 6-bit-part position j (1-based) of a 't|bbbbbb' bucket string."""
+    pos = j + 2  # skip the 't|' prefix
+    return F.concat(
+        F.substring(bucket, 1, pos - 1),
+        F.when(F.substring(bucket, pos, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+        F.substring(bucket, pos + 1, PLANES_PER_TABLE),
+    )
+
+
+def knn_lsh_multiprobe(spark, sf_dir):
+    """ANN with hamming-1 multiprobe: same output contract as knn_lsh, higher
+    recall at ~7x the probed-bucket count (still ≪ brute force)."""
+    e = _emb(spark, sf_dir)
+    for t in range(N_TABLES):
+        e = e.withColumn(
+            f"b{t}",
+            F.concat(F.lit(f"{t}|"), _signs_bucket_col(F.col("embedding"), _TABLE_SIGNS[t])),
+        )
+    e = e.cache()
+    banded = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*[F.col(f"b{t}") for t in range(N_TABLES)])).alias("bucket"),
+    )
+    probes = (
+        banded.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[_flip_bit(F.col("bucket"), j) for j in range(1, PLANES_PER_TABLE + 1)],
+                )
+            ).alias("bucket"),
+        )
+    )
+    c = banded.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket")
+    cand = (
+        probes.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = cand.withColumn("sim", _cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+ORACLE_KNN_MULTIPROBE = f"""
+WITH {EMB_D},
+banded AS (
+SELECT vec_id, embedding, '0|' || {_sql_signs_bucket('embedding', _TABLE_SIGNS[0])} AS bucket FROM emb_d
+UNION ALL
+SELECT vec_id, embedding, '1|' || {_sql_signs_bucket('embedding', _TABLE_SIGNS[1])} AS bucket FROM emb_d
+UNION ALL
+SELECT vec_id, embedding, '2|' || {_sql_signs_bucket('embedding', _TABLE_SIGNS[2])} AS bucket FROM emb_d
+UNION ALL
+SELECT vec_id, embedding, '3|' || {_sql_signs_bucket('embedding', _TABLE_SIGNS[3])} AS bucket FROM emb_d
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM banded WHERE vec_id % {QUERY_MOD} = 0),
+probes AS (
+  SELECT query_id, qv, bucket FROM q
+  UNION ALL
+  SELECT query_id, qv,
+         substr(bucket, 1, p + 1)
+         || CASE WHEN substr(bucket, p + 2, 1) = '1' THEN '0' ELSE '1' END
+         || substr(bucket, p + 3) AS bucket
+  FROM q, unnest(range(1, {PLANES_PER_TABLE + 1})) AS u(p)
+),
+cand AS (
+  SELECT DISTINCT query_id, qv, c.vec_id AS neighbor_id, c.embedding AS cv
+  FROM probes JOIN banded c USING (bucket)
+  WHERE query_id <> c.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim FROM cand
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+QUERIES["knn_lsh_multiprobe"] = knn_lsh_multiprobe
+ORACLES["knn_lsh_multiprobe"] = ORACLE_KNN_MULTIPROBE

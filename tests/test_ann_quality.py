@@ -14,7 +14,7 @@ import pytest
 
 
 @pytest.mark.parametrize(
-    "variant,floor", [("knn_lsh", 0.10), ("knn_ivf", 0.50)]
+    "variant,floor", [("knn_lsh", 0.10), ("knn_lsh_multiprobe", 0.35), ("knn_ivf", 0.50)]
 )
 def test_ann_recall_floor(spark, sf_dir, variant, floor):
     from etl_process_for_detecting_fraudulent_transactions_spark.queries import all_queries
