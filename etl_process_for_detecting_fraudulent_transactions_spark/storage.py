@@ -57,3 +57,24 @@ class ParquetStore:
         final = self.path(name)
         shutil.rmtree(final, ignore_errors=True)
         os.replace(tmp, final)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    n_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) managed table.
+
+    Bucketing pre-shuffles the data ONCE at write time: any later equi-join
+    or aggregation on ``bucket_key`` between tables bucketed the same way
+    runs with NO exchange (and, when sorted, no sort) — at 100 TB this turns
+    the nightly fact-to-fact join from the dominant shuffle into a zip of
+    co-located files. See tests/test_bucketing.py for the plan-level proof.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
+    if sort:
+        w = w.sortBy(bucket_key)
+    w.saveAsTable(table)
