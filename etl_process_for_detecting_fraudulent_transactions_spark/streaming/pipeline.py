@@ -288,3 +288,38 @@ def city_fraud_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def passport_fraud_stream(
+    tx: DataFrame,
+    cards: DataFrame,
+    accounts: DataFrame,
+    clients: DataFrame,
+    blacklist: DataFrame,
+    run_date,
+) -> DataFrame:
+    """Q1 on a streaming transaction frame.
+
+    The batch rule (plans/rules.py:passport_fraud) is a pure DataFrame
+    transform built from stream-legal operators (broadcast stream-static
+    inner joins + filters), so the streaming variant IS the batch function —
+    same code path, zero divergence risk between modes. Stateless: no
+    watermark needed, append output.
+    """
+    from ..plans.rules import passport_fraud
+
+    return passport_fraud(tx, cards, accounts, clients, blacklist, run_date)
+
+
+def account_fraud_stream(
+    tx: DataFrame,
+    cards: DataFrame,
+    accounts: DataFrame,
+    clients: DataFrame,
+    run_date,
+) -> DataFrame:
+    """Q2 on a streaming transaction frame — same reuse as
+    passport_fraud_stream (stateless stream-static join rule)."""
+    from ..plans.rules import account_fraud
+
+    return account_fraud(tx, cards, accounts, clients, run_date)

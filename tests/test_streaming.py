@@ -216,3 +216,55 @@ def test_city_fraud_stream_day1(spark, tmp_path):
     assert rows, "no city events streamed"
     stamps = {r.event_dt.strftime("%Y-%m-%d %H:%M:%S") for r in rows}
     assert "2021-03-01 02:54:34" in stamps
+
+
+def test_passport_fraud_stream_day2(spark, tmp_path):
+    """Streaming Q1 on day-2 data reproduces the 480 golden rows (all for
+    blacklisted client passport 3032 452883) via stream-static broadcast
+    joins — the batch rule function applied to a streaming frame."""
+    import datetime as dt
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.plans.ingest import typed_blacklist
+    from etl_process_for_detecting_fraudulent_transactions_spark.schemas import BLACKLIST_RAW
+    from etl_process_for_detecting_fraudulent_transactions_spark.sources.seed_source import (
+        read_seed_dims,
+    )
+    from etl_process_for_detecting_fraudulent_transactions_spark.sources.xlsx_source import (
+        read_xlsx_df,
+    )
+    from etl_process_for_detecting_fraudulent_transactions_spark.streaming.pipeline import (
+        passport_fraud_stream,
+        stream_transactions,
+    )
+    from tests.conftest import SEED_DUMP
+
+    landing = tmp_path / "landing_p"
+    landing.mkdir()
+    shutil.copy(
+        os.path.join(REFDATA, "transactions_02032021.txt"),
+        landing / "transactions_02032021.txt",
+    )
+    dims = read_seed_dims(spark, SEED_DUMP)
+    bl = typed_blacklist(
+        read_xlsx_df(
+            spark, os.path.join(REFDATA, "passport_blacklist_02032021.xlsx"), BLACKLIST_RAW
+        )
+    )
+    out = passport_fraud_stream(
+        stream_transactions(spark, str(landing)),
+        dims["cards"], dims["accounts"], dims["clients"], bl,
+        run_date=dt.date(2021, 3, 2),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("passport_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_p"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM passport_stream").collect()
+    assert len(rows) == 480
+    assert {r.passport for r in rows} == {"3032 452883"}
+    assert {r.event_type for r in rows} == {"passport_fraud"}
