@@ -36,9 +36,16 @@ def shingle_vectors(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_dedup_pairs(
-    docs: DataFrame, jaccard_threshold: float = 0.4, num_tables: int = 8, seed: int = 42
+    docs: DataFrame, jaccard_threshold: float = 0.4, num_tables: int = 5, seed: int = 42
 ) -> DataFrame:
-    """Near-dup pairs (doc_a < doc_b, jaccard ≥ threshold) via MinHashLSH."""
+    """Near-dup pairs (doc_a < doc_b, jaccard ≥ threshold) via MinHashLSH.
+
+    MLlib's MinHashLSH is OR-amplified only (one minhash per table), so
+    candidate volume — the whole runtime — scales linearly with
+    ``num_tables`` while recall at similarity j is 1-(1-j)^T. At the 0.9+
+    Jaccard of real near-dups, T=5 already recalls >99.99%; raising T buys
+    recall only near the threshold boundary.
+    """
     vecs = shingle_vectors(docs).cache()
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=seed)
     model = lsh.fit(vecs)
