@@ -319,6 +319,134 @@ WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) * p.n > p.total
 """
 
 
+# -- classic TPC-H composed shapes (adapted to the testdata columns) ----------
+
+def _revenue():
+    d = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        F.sum((d("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d("l_discount"))).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+_SQL_REVENUE = (
+    "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+    "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) "
+    "AS DECIMAL(28,8))) AS DOUBLE) AS revenue"
+)
+
+
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment-filtered customers' unshipped order revenue,
+    top 10. Both filters push to the scans; customer broadcasts; the single
+    fact-fact join shuffles once on orderkey."""
+    import datetime as dt
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < dt.datetime(1998, 3, 15))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > dt.datetime(1998, 3, 15))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_revenue())
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_TPCH_Q3 = f"""
+SELECT l_orderkey, o_orderdate, {_SQL_REVENUE}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue by nation where customer and supplier share
+    the nation, one region, one year. Region/nation/supplier/customer all
+    broadcast; lineitem shuffles once."""
+    import datetime as dt
+
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= dt.datetime(1996, 1, 1))
+        & (F.col("o_orderdate") < dt.datetime(1997, 1, 1))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_revenue())
+    )
+
+
+ORACLE_TPCH_Q5 = f"""
+SELECT n_name, {_SQL_REVENUE}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returns in one
+    quarter."""
+    import datetime as dt
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= dt.datetime(1996, 10, 1))
+        & (F.col("o_orderdate") < dt.datetime(1997, 1, 1))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_revenue())
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLE_TPCH_Q10 = f"""
+SELECT c_custkey, c_name, n_name, {_SQL_REVENUE}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "topk_orders": topk_orders,
     "distinct_segments": distinct_segments,
@@ -333,6 +461,9 @@ QUERIES = {
     "string_ops": string_ops,
     "case_when_bands": case_when_bands,
     "above_nation_avg": above_nation_avg,
+    "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
+    "tpch_q10_returned_items": tpch_q10_returned_items,
 }
 
 ORACLES = {
@@ -349,4 +480,7 @@ ORACLES = {
     "string_ops": ORACLE_STRING_OPS,
     "case_when_bands": ORACLE_CASE_BANDS,
     "above_nation_avg": ORACLE_ABOVE_AVG,
+    "tpch_q3_shipping_priority": ORACLE_TPCH_Q3,
+    "tpch_q5_local_supplier_volume": ORACLE_TPCH_Q5,
+    "tpch_q10_returned_items": ORACLE_TPCH_Q10,
 }

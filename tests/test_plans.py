@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the optimizations the engine's scale
+story depends on (SCALING.md) are asserted, not assumed.
+
+Uses the pre-AQE executed plan string (the properties checked — pushed
+filters, broadcast strategy, Window-node count, partition pruning — are
+decided before adaptive re-planning).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_process_for_detecting_fraudulent_transactions_spark.queries.relational import (
+    window_lag_seq,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    """Predicate pushdown + column pruning: the scan itself carries the
+    filter, and reads only the projected columns."""
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)" in plan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_orderpriority:string>" in plan
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    """The 3-hop identity chain broadcasts every dim — the fact side never
+    shuffles for a lookup."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.relational import (
+        join_3hop_agg,
+    )
+
+    plan = _plan(join_3hop_agg(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_lag_sequence_uses_single_window_node(spark, sf_dir):
+    """All four lags of the Q4 shape collapse into ONE Window node over one
+    card exchange (lagging the materialized column, not the cast
+    expression — SURVEY §7 hard-part (4))."""
+    plan = _plan(window_lag_seq(spark, sf_dir))
+    assert plan.count("Window ") + plan.count("Window[") <= 2  # one logical node
+    # exactly one exchange introduced by the window partitioning
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_report_mart_reads_prune_partitions(spark, tmp_path):
+    """REP_FRAUD is hive-partitioned by report_date; a date filter prunes
+    at the partition level (PartitionFilters), not per-row."""
+    import datetime as dt
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.storage import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(dt.datetime(2021, 3, d, 12, 0), f"p{d}", dt.date(2021, 3, d)) for d in (1, 2, 3)],
+        "event_dt timestamp, passport string, report_date date",
+    )
+    store.append(df, "rep_fraud", partition_by=["report_date"])
+    got = store.read("rep_fraud").filter(F.col("report_date") == "2021-03-02")
+    plan = _plan(got)
+    assert "PartitionFilters: [isnotnull(report_date" in plan
+    assert got.count() == 1
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    """ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition
+    partial top-k), not a full global sort."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.extra import topk_orders
+
+    plan = _plan(topk_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
