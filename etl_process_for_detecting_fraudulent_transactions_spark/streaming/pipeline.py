@@ -323,3 +323,75 @@ def account_fraud_stream(
     from ..plans.rules import account_fraud
 
     return account_fraud(tx, cards, accounts, clients, run_date)
+
+
+def guessing_amount_stream_tws(tx: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Q4 matcher on the Spark 4 ``transformWithStateInPandas`` API (the
+    successor of applyInPandasWithState: typed state handles, timers, easier
+    state evolution). Same semantics as ``guessing_amount_stream`` — shared
+    ``match_step`` core — so both APIs are covered by the same golden test
+    expectations. Requires the RocksDB state-store provider AND
+    ``google.protobuf`` (the API's Python runner dependency — absent in some
+    environments; ``applyInPandasWithState`` remains the dependency-free path).
+    """
+    try:  # fail fast with a clear message where the runner would crash opaquely
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf; "
+            "use guessing_amount_stream (applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    filtered = (
+        tx.withWatermark("trans_date", watermark)
+        .filter(F.col("oper_type").isin("PAYMENT", "WITHDRAW"))
+        .select(
+            "card_num",
+            "trans_date",
+            F.unix_micros("trans_date").alias("ts_us"),
+            int_amount(F.col("amt")).alias("amt_int"),
+            "oper_result",
+        )
+    )
+
+    class Q4Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._hist = handle.getValueState(
+                "hist", "results string, amts string, ts_us string"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            if self._hist.exists():
+                results_s, amts_s, ts_s = self._hist.get()
+                results = results_s.split("|") if results_s else []
+                amts = [int(x) for x in amts_s.split("|")] if amts_s else []
+                ts_us = [int(x) for x in ts_s.split("|")] if ts_s else []
+            else:
+                results, amts, ts_us = [], [], []
+            events = []
+            batch = [pdf for pdf in rows]
+            if batch:
+                for r in pd.concat(batch).sort_values("trans_date").itertuples():
+                    if match_step(
+                        results, amts, ts_us, r.oper_result, int(r.amt_int), int(r.ts_us)
+                    ):
+                        events.append((key[0], r.trans_date, "guessing_amount_fraud"))
+            self._hist.update(
+                ("|".join(results), "|".join(map(str, amts)), "|".join(map(str, ts_us)))
+            )
+            if events:
+                yield pd.DataFrame(events, columns=["card_num", "event_dt", "event_type"])
+
+        def close(self) -> None:
+            pass
+
+    return filtered.groupBy("card_num").transformWithStateInPandas(
+        Q4Processor(),
+        outputStructType=EVENT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
+    )

@@ -268,3 +268,51 @@ def test_passport_fraud_stream_day2(spark, tmp_path):
     assert len(rows) == 480
     assert {r.passport for r in rows} == {"3032 452883"}
     assert {r.event_type for r in rows} == {"passport_fraud"}
+
+
+def _protobuf_ok() -> bool:
+    # transformWithStateInPandas's Python runner requires google.protobuf,
+    # which this container lacks; the operator is gated the same way.
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _protobuf_ok(), reason="google.protobuf unavailable")
+def test_guessing_amount_tws_day1(spark, tmp_path):
+    """The transformWithStateInPandas Q4 variant reproduces the day-1 golden
+    event (same match_step core as the applyInPandasWithState version)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.streaming.pipeline import (
+        guessing_amount_stream_tws,
+        stream_transactions,
+    )
+
+    landing = tmp_path / "landing_t"
+    landing.mkdir()
+    shutil.copy(
+        os.path.join(REFDATA, "transactions_01032021.txt"),
+        landing / "transactions_01032021.txt",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            guessing_amount_stream_tws(stream_transactions(spark, str(landing)))
+            .writeStream.format("memory")
+            .queryName("guess_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_t"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    rows = spark.sql("SELECT * FROM guess_tws").collect()
+    assert len(rows) == 1
+    assert rows[0].card_num is not None
+    assert rows[0].event_dt.strftime("%Y-%m-%d %H:%M:%S") == "2021-03-01 22:36:38"
