@@ -79,3 +79,45 @@ def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
 
     plan = _plan(topk_orders(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    """Catalyst OR-factoring extracts the per-side prunable parts of the
+    OR-of-conjunctions predicate and pushes them into BOTH parquet scans —
+    lineitem rows outside every quantity range and part rows outside every
+    (brand, size) branch never leave the scan."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.tpch_more import (
+        tpch_q19_disjunctive_revenue,
+    )
+
+    plan = _plan(tpch_q19_disjunctive_revenue(spark, sf_dir))
+    # one pushed OR filter mentioning quantity (lineitem side), one mentioning
+    # brand/size (part side)
+    assert "PushedFilters: [IsNotNull(l_partkey), Or(" in plan
+    assert "Or(Or(And(EqualTo(p_brand,Brand#4)" in plan
+
+
+def test_q4_exists_compiles_to_semi_join_with_residual(spark, sf_dir):
+    """The EXISTS subquery becomes a LeftSemi join carrying the non-equi
+    shipdate comparison as a residual — no duplication, no aggregate-dedup."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.tpch_more import (
+        tpch_q4_order_priority,
+    )
+
+    plan = _plan(tpch_q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "+ INTERVAL '30' DAY" in plan
+
+
+def test_q22_scalar_aggregate_broadcasts_one_row(spark, sf_dir):
+    """The scalar AVG-gate is a 1-row broadcast nested-loop cross join, and
+    the dormancy NOT EXISTS is a broadcast anti join — the customer side
+    never shuffles."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.tpch_more import (
+        tpch_q22_dormant_customers,
+    )
+
+    plan = _plan(tpch_q22_dormant_customers(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
