@@ -15,9 +15,9 @@ produce bit-identical results regardless of partitioning/order.
 
 from __future__ import annotations
 
-from . import dedup, extra, multimodal, relational, similarity, text, tpch_more
+from . import dedup, extra, multimodal, relational, similarity, stats, text, tpch_more
 
-_MODULES = (relational, extra, tpch_more, dedup, similarity, text, multimodal)
+_MODULES = (relational, extra, tpch_more, stats, dedup, similarity, text, multimodal)
 
 
 def all_queries():

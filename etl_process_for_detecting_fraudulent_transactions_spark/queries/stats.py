@@ -1,0 +1,158 @@
+"""Statistical / multi-dimensional aggregation queries: exact percentiles,
+GROUPING SETS, and approximate sketches.
+
+Exact percentiles: Spark's ``percentile`` and DuckDB's ``quantile_cont`` use
+the same linear interpolation (``lower + (upper - lower) * frac`` over the
+sorted values at rank ``(n-1)*q``), so results hash-match bit-for-bit, even
+for q=0.9 over doubles (verified at sf0.001 and sf0.01 before this module
+landed). Approximate sketches (HLL) are engine-specific by construction, so
+``approx_distinct_sketch`` ships without an oracle (rows-only driver check);
+its accuracy contract is asserted against the exact answer in
+``tests/test_sketches.py`` instead.
+
+Scale notes: exact percentile is a sort-based aggregate — fine per-group when
+groups are few (here: 3 return flags); for per-key percentiles over billions
+of keys the scale path is ``approx_percentile`` (t-digest, mergeable,
+map-side partial). GROUPING SETS computes every set from ONE shuffle (Spark
+expands then aggregates; no per-set re-scan). HLL sketches are mergeable
+map-side partials — the 100 TB way to count distincts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._io import load_table as _t
+
+
+# -- exact percentiles ---------------------------------------------------------
+
+def quantity_percentiles(spark, sf_dir):
+    """Exact p25/p50/p90 of line quantity and p90 of extended price per
+    return flag (sort-based exact percentile; interpolation identical across
+    engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("qty_p25"),
+        F.percentile("l_quantity", 0.5).alias("qty_p50"),
+        F.percentile("l_quantity", 0.9).alias("qty_p90"),
+        F.percentile("l_extendedprice", 0.9).alias("price_p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS qty_p25,
+       quantile_cont(l_quantity, 0.5)  AS qty_p50,
+       quantile_cont(l_quantity, 0.9)  AS qty_p90,
+       quantile_cont(l_extendedprice, 0.9) AS price_p90,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# -- GROUPING SETS -------------------------------------------------------------
+
+def grouping_sets_revenue(spark, sf_dir):
+    """GROUPING SETS — two independent aggregation dimensions (customer
+    nation, order priority) in one pass: Spark expands the sets after a
+    single shuffle instead of scanning per set. Expressed through the SQL
+    surface (the DataFrame API exposes only cube/rollup)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    j.createOrReplaceTempView("gs_orders")
+    # grouping-set NULL markers are coalesced to a sentinel so the rows stay
+    # totally ordered for the order-insensitive value compare
+    return spark.sql(
+        """
+        SELECT COALESCE(n_name, '<all>') AS nation,
+               COALESCE(o_orderpriority, '<all>') AS priority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+               COUNT(*) AS n_orders
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT COALESCE(n_name, '<all>') AS nation,
+       COALESCE(o_orderpriority, '<all>') AS priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+"""
+
+
+# -- approximate sketches (rows-only gate; accuracy tested in pytest) ----------
+
+def approx_distinct_sketch(spark, sf_dir):
+    """HyperLogLog++ distinct-count sketch per event type. Engine-specific
+    estimates can't hash-match another engine — the driver records the
+    rows-only check; `tests/test_sketches.py` pins the accuracy contract
+    (relative error < 5% vs exact) and the mergeability story is Spark's own
+    (HLL partials merge map-side)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# -- incremental rollup maintenance (operators/rollup.py) ----------------------
+
+def incremental_monthly_rollup(spark, sf_dir):
+    """Materialized-aggregate maintenance: the monthly order rollup built by
+    folding three date-range batches into mergeable state, one batch at a
+    time, equals a full recompute (the oracle). Sums/counts merge as exact
+    decimal/bigint monoids — any batch split yields the identical table."""
+    import datetime as dt
+
+    from ..operators.rollup import finish_rollup, merge_rollup, rollup_state
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "month", F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    )
+    cuts = [dt.datetime(1, 1, 1), dt.datetime(1997, 1, 1), dt.datetime(1999, 1, 1), dt.datetime(9999, 1, 1)]
+    batches = [
+        o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        for lo, hi in zip(cuts, cuts[1:])
+    ]
+    keys, measures = ["month"], ["o_totalprice"]
+    state = rollup_state(batches[0], keys, measures)
+    for b in batches[1:]:
+        state = merge_rollup(state, rollup_state(b, keys, measures), keys, measures)
+    return finish_rollup(state, measures)
+
+
+ORACLE_INCR_ROLLUP = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       COUNT(*) AS rollup_cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS o_totalprice_total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS o_totalprice_avg
+FROM orders
+GROUP BY date_trunc('month', o_orderdate)
+"""
+
+
+QUERIES = {
+    "quantity_percentiles": quantity_percentiles,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "approx_distinct_sketch": approx_distinct_sketch,
+    "incremental_monthly_rollup": incremental_monthly_rollup,
+}
+
+ORACLES = {
+    "quantity_percentiles": ORACLE_PERCENTILES,
+    "grouping_sets_revenue": ORACLE_GROUPING_SETS,
+    "incremental_monthly_rollup": ORACLE_INCR_ROLLUP,
+}
