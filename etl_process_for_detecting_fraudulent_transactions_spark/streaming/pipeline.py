@@ -87,6 +87,31 @@ def city_hop_counts(tx: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def card_sessions(tx: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session windows per card: consecutive transactions closer
+    than ``gap`` merge into one session (``session_window`` — dynamic-width,
+    unlike the fixed sliding window above). State is per (card, open
+    session); the watermark closes sessions and garbage-collects their
+    state, so memory is bounded by concurrently-active cards, not history.
+    Works identically on a batch frame (same function, no streaming-only
+    fork) — equivalence is asserted in tests/test_streaming.py."""
+    return (
+        tx.withWatermark("trans_date", watermark)
+        .groupBy(F.session_window("trans_date", gap), F.col("card_num"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tx"),
+            F.sum(F.col("amt").cast("decimal(18,4)")).cast("double").alias("amt_sum"),
+        )
+        .select(
+            "card_num",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_tx",
+            "amt_sum",
+        )
+    )
+
+
 def match_step(
     results: list[str], amts: list[int], ts_us: list[int],
     row_result: str, row_amt: int, row_ts: int,

@@ -316,3 +316,60 @@ def test_guessing_amount_tws_day1(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].card_num is not None
     assert rows[0].event_dt.strftime("%Y-%m-%d %H:%M:%S") == "2021-03-01 22:36:38"
+
+
+def test_card_sessions_stream_matches_batch(spark, tmp_path):
+    """Session windows (gap-merge) computed by the STREAMING path (state
+    store, watermark-closed sessions) equal the BATCH path (same function on
+    a static frame) for every session the watermark closed — one operator,
+    two execution modes."""
+    from pyspark.sql import functions as F
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.plans.ingest import (
+        typed_transactions,
+    )
+    from etl_process_for_detecting_fraudulent_transactions_spark.sources.csv_source import (
+        read_transactions_csv,
+    )
+    from etl_process_for_detecting_fraudulent_transactions_spark.streaming.pipeline import (
+        card_sessions,
+        stream_transactions,
+    )
+
+    src = os.path.join(REFDATA, "transactions_01032021.txt")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(src, landing / "transactions_01032021.txt")
+
+    q = (
+        card_sessions(stream_transactions(spark, str(landing)))
+        .writeStream.format("memory")
+        .queryName("card_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sessions"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM card_sessions").collect()}
+    assert streamed, "no sessions closed by the watermark"
+
+    batch_tx = typed_transactions(read_transactions_csv(spark, src))
+    batch_all = {tuple(r) for r in card_sessions(batch_tx).collect()}
+
+    # (1) soundness: every emitted session is EXACTLY a batch session (same
+    # boundaries, count, decimal-exact sum) — stream/batch never disagree on
+    # content, only on how far emission has progressed;
+    assert streamed <= batch_all
+
+    # (2) completeness: every session comfortably past the final watermark
+    # (end <= wm - gap) must have been emitted. Sessions in the last
+    # (wm - gap, wm] strip may or may not flush depending on micro-batch
+    # timing, so the exact boundary is not asserted.
+    import datetime as dt
+
+    max_ts = batch_tx.agg(F.max("trans_date")).collect()[0][0]
+    safe_cutoff = max_ts - dt.timedelta(hours=2) - dt.timedelta(minutes=30)
+    safe = {t for t in batch_all if t[2] <= safe_cutoff}
+    assert safe <= streamed
+    assert len(safe) > 1000  # the property is non-vacuous at this data size
