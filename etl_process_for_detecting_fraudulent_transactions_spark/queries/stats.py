@@ -144,8 +144,76 @@ GROUP BY date_trunc('month', o_orderdate)
 """
 
 
+# -- window frame specs ---------------------------------------------------------
+
+def rolling_7day_window(spark, sf_dir):
+    """RANGE-frame running aggregate: per customer, each order's trailing
+    7-day spend and order count. The frame is value-based (RANGE BETWEEN
+    interval), not row-based — ties and gaps behave correctly. One exchange
+    on the partition key; the frame evaluates inside the sort, no self-join.
+    Spark expresses the interval bound over unix seconds (exact longs)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 25 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
+
+
+ORACLE_ROLLING = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS spend_7d,
+       COUNT(*) OVER w AS n_7d
+FROM orders
+WHERE o_custkey % 25 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+# -- higher-order array functions ------------------------------------------------
+
+def embedding_hof_stats(spark, sf_dir):
+    """Higher-order functions over the embedding vectors, all JVM-side
+    Catalyst lambdas (no UDF): fold (sum of squares), array_max, filter+size
+    (positive-component count). Fold order is the array's element order in
+    both engines, so doubles match exactly."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x).alias("sq_sum"),
+        F.array_max(vec).alias("vmax"),
+        F.size(F.filter(vec, lambda x: x > 0)).alias("n_pos"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+ORACLE_HOF = """
+SELECT vec_id,
+       list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS sq_sum,
+       list_max(CAST(embedding AS DOUBLE[])) AS vmax,
+       len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS n_pos,
+       len(embedding) AS dim
+FROM embeddings
+"""
+
+
 QUERIES = {
     "quantity_percentiles": quantity_percentiles,
+    "rolling_7day_window": rolling_7day_window,
+    "embedding_hof_stats": embedding_hof_stats,
     "grouping_sets_revenue": grouping_sets_revenue,
     "approx_distinct_sketch": approx_distinct_sketch,
     "incremental_monthly_rollup": incremental_monthly_rollup,
@@ -153,6 +221,8 @@ QUERIES = {
 
 ORACLES = {
     "quantity_percentiles": ORACLE_PERCENTILES,
+    "rolling_7day_window": ORACLE_ROLLING,
+    "embedding_hof_stats": ORACLE_HOF,
     "grouping_sets_revenue": ORACLE_GROUPING_SETS,
     "incremental_monthly_rollup": ORACLE_INCR_ROLLUP,
 }
