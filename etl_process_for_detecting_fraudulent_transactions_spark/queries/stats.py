@@ -108,6 +108,54 @@ def approx_distinct_sketch(spark, sf_dir):
     )
 
 
+# -- reshaping: UNPIVOT and explode/unnest --------------------------------------
+
+def unpivot_line_metrics(spark, sf_dir):
+    """UNPIVOT (wide → long): three measure columns melt into (metric, val)
+    rows. Narrow transform — no shuffle; the inverse of the pivot gate."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+
+
+_UNPIVOT_BRANCH = (
+    "SELECT l_orderkey, l_linenumber, '{m}' AS metric, {m} AS val "
+    "FROM lineitem WHERE l_orderkey % 50 = 0"
+)
+ORACLE_UNPIVOT = " UNION ALL ".join(
+    _UNPIVOT_BRANCH.format(m=m) for m in ("l_quantity", "l_discount", "l_tax")
+)
+
+
+def doc_word_topk(spark, sf_dir):
+    """Explode/unnest as a first-class gate: tokenize each document on
+    whitespace, flatten (generator — one row in, many out), aggregate word
+    frequencies, top 25 with a lexical tiebreaker."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 3)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(25)
+    )
+
+
+ORACLE_WORD_TOPK = """
+SELECT word, COUNT(*) AS freq
+FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents) t
+WHERE length(word) > 3
+GROUP BY word
+ORDER BY freq DESC, word
+LIMIT 25
+"""
+
+
 # -- incremental rollup maintenance (operators/rollup.py) ----------------------
 
 def incremental_monthly_rollup(spark, sf_dir):
@@ -214,6 +262,8 @@ QUERIES = {
     "quantity_percentiles": quantity_percentiles,
     "rolling_7day_window": rolling_7day_window,
     "embedding_hof_stats": embedding_hof_stats,
+    "unpivot_line_metrics": unpivot_line_metrics,
+    "doc_word_topk": doc_word_topk,
     "grouping_sets_revenue": grouping_sets_revenue,
     "approx_distinct_sketch": approx_distinct_sketch,
     "incremental_monthly_rollup": incremental_monthly_rollup,
@@ -223,6 +273,8 @@ ORACLES = {
     "quantity_percentiles": ORACLE_PERCENTILES,
     "rolling_7day_window": ORACLE_ROLLING,
     "embedding_hof_stats": ORACLE_HOF,
+    "unpivot_line_metrics": ORACLE_UNPIVOT,
+    "doc_word_topk": ORACLE_WORD_TOPK,
     "grouping_sets_revenue": ORACLE_GROUPING_SETS,
     "incremental_monthly_rollup": ORACLE_INCR_ROLLUP,
 }

@@ -112,6 +112,46 @@ def card_sessions(tx: DataFrame, gap: str = "30 minutes", watermark: str = "2 ho
     )
 
 
+def reject_then_success_join(
+    tx: DataFrame, watermark: str = "1 hour", within_minutes: int = 20
+) -> DataFrame:
+    """Stream-stream self join with an event-time range condition: every
+    (REJECT, SUCCESS) pair on the same card where the success lands within
+    ``within_minutes`` after the reject — the pairwise precursor of the Q4
+    guessing pattern. The watermark plus the time-range bound lets Spark
+    GC both sides' join state (a reject older than watermark+range can
+    never match a future success). Inner join: results are exactly the
+    batch join of the same frames — equivalence asserted in
+    tests/test_streaming.py."""
+    rejects = (
+        tx.filter(F.col("oper_result") == "REJECT")
+        .select(
+            "card_num",
+            F.col("trans_date").alias("reject_ts"),
+            F.col("amt").alias("reject_amt"),
+        )
+        .withWatermark("reject_ts", watermark)
+    )
+    successes = (
+        tx.filter(F.col("oper_result") == "SUCCESS")
+        .select(
+            F.col("card_num").alias("s_card"),
+            F.col("trans_date").alias("success_ts"),
+        )
+        .withWatermark("success_ts", watermark)
+    )
+    return rejects.join(
+        successes,
+        (F.col("card_num") == F.col("s_card"))
+        & (F.col("success_ts") > F.col("reject_ts"))
+        & (
+            F.col("success_ts")
+            <= F.col("reject_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")
+        ),
+        "inner",
+    ).select("card_num", "reject_ts", "reject_amt", "success_ts")
+
+
 def match_step(
     results: list[str], amts: list[int], ts_us: list[int],
     row_result: str, row_amt: int, row_ts: int,

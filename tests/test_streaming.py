@@ -373,3 +373,43 @@ def test_card_sessions_stream_matches_batch(spark, tmp_path):
     safe = {t for t in batch_all if t[2] <= safe_cutoff}
     assert safe <= streamed
     assert len(safe) > 1000  # the property is non-vacuous at this data size
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """The stream-stream (REJECT, SUCCESS within 20 min) self join emits
+    EXACTLY the batch join of the same frames — inner joins emit on match,
+    so unlike the session test no watermark strip is excluded."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.plans.ingest import (
+        typed_transactions,
+    )
+    from etl_process_for_detecting_fraudulent_transactions_spark.sources.csv_source import (
+        read_transactions_csv,
+    )
+    from etl_process_for_detecting_fraudulent_transactions_spark.streaming.pipeline import (
+        reject_then_success_join,
+        stream_transactions,
+    )
+
+    src = os.path.join(REFDATA, "transactions_01032021.txt")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(src, landing / "transactions_01032021.txt")
+
+    q = (
+        reject_then_success_join(stream_transactions(spark, str(landing)))
+        .writeStream.format("memory")
+        .queryName("rs_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(tuple(r) for r in spark.sql("SELECT * FROM rs_pairs").collect())
+
+    batch = reject_then_success_join(
+        typed_transactions(read_transactions_csv(spark, src))
+    )
+    expected = sorted(tuple(r) for r in batch.collect())
+    assert len(expected) > 50  # non-vacuous at day-1 size
+    assert streamed == expected
