@@ -443,3 +443,45 @@ def dedup_minhash_mllib(spark, sf_dir):
 
 QUERIES["dedup_minhash_mllib"] = dedup_minhash_mllib
 # deliberately no ORACLES entry — non-SQL-expressible hash family
+
+
+# -- edit-distance fuzzy matching ---------------------------------------------
+
+def fuzzy_name_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs: customers in the SAME nation whose
+    names are within levenshtein distance 2. The nation equi-key is the
+    blocking key — the quadratic comparison runs per block, never across the
+    whole table (at 100 TB the blocking key is the difference between a
+    shuffle and an impossibility). ``levenshtein`` is a Catalyst expression
+    (JVM-side) with the standard edit-distance definition in both engines."""
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("k1"),
+            F.col("b.c_custkey").alias("k2"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+
+
+ORACLE_FUZZY = """
+SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+QUERIES["fuzzy_name_pairs"] = fuzzy_name_pairs
+ORACLES["fuzzy_name_pairs"] = ORACLE_FUZZY

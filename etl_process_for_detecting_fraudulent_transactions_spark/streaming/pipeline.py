@@ -112,6 +112,17 @@ def card_sessions(tx: DataFrame, gap: str = "30 minutes", watermark: str = "2 ho
     )
 
 
+def dedup_stream(tx: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication on the event id:
+    ``dropDuplicatesWithinWatermark`` keeps per-id state only until the
+    watermark passes it, so state is bounded by the dedup horizon instead of
+    growing with the stream — the streaming counterpart of the batch
+    ``dedup_exact`` gate (re-delivered files, at-least-once upstreams)."""
+    return tx.withWatermark("trans_date", watermark).dropDuplicatesWithinWatermark(
+        ["trans_id"]
+    )
+
+
 def reject_then_success_join(
     tx: DataFrame, watermark: str = "1 hour", within_minutes: int = 20
 ) -> DataFrame:

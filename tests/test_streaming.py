@@ -413,3 +413,48 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     expected = sorted(tuple(r) for r in batch.collect())
     assert len(expected) > 50  # non-vacuous at day-1 size
     assert streamed == expected
+
+
+def test_dedup_stream_drops_redelivered_file(spark, tmp_path):
+    """The same daily file delivered TWICE (at-least-once upstream): the
+    streaming dedup emits each trans_id exactly once — output matches the
+    batch distinct of a single copy."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.plans.ingest import (
+        typed_transactions,
+    )
+    from etl_process_for_detecting_fraudulent_transactions_spark.sources.csv_source import (
+        read_transactions_csv,
+    )
+    from etl_process_for_detecting_fraudulent_transactions_spark.streaming.pipeline import (
+        dedup_stream,
+        stream_transactions,
+    )
+
+    src = os.path.join(REFDATA, "transactions_01032021.txt")
+    landing = tmp_path / "landing_dd"
+    landing.mkdir()
+    shutil.copy(src, landing / "transactions_a.txt")
+    shutil.copy(src, landing / "transactions_b.txt")
+
+    q = (
+        dedup_stream(stream_transactions(spark, str(landing)))
+        .writeStream.format("memory")
+        .queryName("dedup_tx")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed_ids = [
+        r.trans_id for r in spark.sql("SELECT trans_id FROM dedup_tx").collect()
+    ]
+    assert len(streamed_ids) == len(set(streamed_ids)), "stream emitted duplicates"
+
+    batch_ids = {
+        r.trans_id
+        for r in typed_transactions(read_transactions_csv(spark, src))
+        .select("trans_id")
+        .collect()
+    }
+    assert set(streamed_ids) == batch_ids
