@@ -28,14 +28,12 @@ def _identity_by_card(events: DataFrame, cards: DataFrame, accounts: DataFrame,
     """Left-join identity lookup chain card→account→client shared by Q3/Q4
     (rep_fraud.py:151-165, 229-242)."""
     return (
-        events.join(F.broadcast(cards.select("card_num", "account_num")), "card_num", "left")
-        .join(F.broadcast(accounts.select("account_num", "client")), "account_num", "left")
+        events.join(cards.select("card_num", "account_num"), "card_num", "left")
+        .join(accounts.select("account_num", "client"), "account_num", "left")
         .join(
-            F.broadcast(
-                clients.select(
-                    "client_id", "passport_num", "last_name", "first_name",
-                    "patrinymic", "phone",
-                )
+            clients.select(
+                "client_id", "passport_num", "last_name", "first_name",
+                "patrinymic", "phone",
             ),
             F.col("client") == F.col("client_id"),
             "left",
@@ -77,10 +75,10 @@ def passport_fraud(
         )
     )
     return (
-        transactions.join(F.broadcast(cards.select("card_num", "account_num")), "card_num", "inner")
-        .join(F.broadcast(accounts.select("account_num", "client")), "account_num", "inner")
+        transactions.join(cards.select("card_num", "account_num"), "card_num", "inner")
+        .join(accounts.select("account_num", "client"), "account_num", "inner")
         .join(
-            F.broadcast(invalid_clients),
+            invalid_clients,
             F.col("client") == F.col("client_id"),
             "inner",
         )
@@ -106,7 +104,7 @@ def account_fraud(
     (rep_fraud.py:59-106)."""
     invalid_accounts = (
         accounts.filter(F.lit(run_date) > F.col("valid_to"))
-        .join(F.broadcast(clients), F.col("client") == F.col("client_id"), "left")
+        .join(clients, F.col("client") == F.col("client_id"), "left")
         .select(
             "account_num",
             fio_concat("last_name", "first_name", "patrinymic").alias("fio"),
@@ -115,8 +113,8 @@ def account_fraud(
         )
     )
     return (
-        transactions.join(F.broadcast(cards.select("card_num", "account_num")), "card_num", "inner")
-        .join(F.broadcast(invalid_accounts), "account_num", "inner")
+        transactions.join(cards.select("card_num", "account_num"), "card_num", "inner")
+        .join(invalid_accounts, "account_num", "inner")
         .select(
             F.col("trans_date").alias("event_dt"),
             F.col("passport_num").alias("passport"),

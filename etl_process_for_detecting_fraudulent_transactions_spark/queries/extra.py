@@ -339,8 +339,9 @@ _SQL_REVENUE = (
 
 def tpch_q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: segment-filtered customers' unshipped order revenue,
-    top 10. Both filters push to the scans; customer broadcasts; the single
-    fact-fact join shuffles once on orderkey."""
+    top 10. Both filters push to the scans; customer broadcasts by the size
+    threshold (no forced hint — it is SF-proportional); the single fact-fact
+    join shuffles once on orderkey."""
     import datetime as dt
 
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -348,7 +349,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > dt.datetime(1998, 3, 15))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_revenue())
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
@@ -372,8 +373,9 @@ LIMIT 10
 
 def tpch_q5_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5 shape: revenue by nation where customer and supplier share
-    the nation, one region, one year. Region/nation/supplier/customer all
-    broadcast; lineitem shuffles once."""
+    the nation, one region, one year. Region/nation carry broadcast hints
+    (structurally bounded); supplier/customer broadcast by size threshold
+    only (SF-proportional); lineitem shuffles once."""
     import datetime as dt
 
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -387,8 +389,8 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -424,7 +426,7 @@ def tpch_q10_returned_items(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(_revenue())

@@ -100,7 +100,7 @@ def join_3hop_agg(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
@@ -638,7 +638,7 @@ def fraud_flag_events(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     blacklist = n.filter(F.col("n_regionkey") == 3).select("n_nationkey")
     flagged_customers = (
-        c.join(F.broadcast(blacklist.withColumn("_bl", F.lit(1))),
+        c.join(blacklist.withColumn("_bl", F.lit(1)),
                c.c_nationkey == blacklist.n_nationkey, "left")
         .filter((F.col("c_acctbal") < 0) | F.col("_bl").isNotNull())
         .select(
@@ -647,7 +647,7 @@ def fraud_flag_events(spark, sf_dir):
         )
     )
     return (
-        ev.join(F.broadcast(flagged_customers), ev.user_id == flagged_customers.c_custkey)
+        ev.join(flagged_customers, ev.user_id == flagged_customers.c_custkey)
         .select(
             F.col("event_id").alias("flag_id"),
             F.col("ts").alias("event_dt"),

@@ -63,7 +63,7 @@ def grouping_sets_revenue(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+    j = o.join(c, o.o_custkey == c.c_custkey).join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     )
     j.createOrReplaceTempView("gs_orders")

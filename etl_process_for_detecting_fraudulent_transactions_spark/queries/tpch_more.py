@@ -20,9 +20,14 @@ in the testdata); every computed column carries the same alias in the Spark
 plan and the DuckDB oracle.
 
 Scale notes (100 TB): lineitem is the only large input in every query here.
-Part/supplier/customer sides are broadcast; the remaining shuffles are the
-unavoidable ones (groupBy on lineitem-derived keys, one orderkey shuffle for
-the fact-fact joins in Q4/Q12/Q18). Q17's per-part average reuses the same
+Broadcast policy: explicit ``F.broadcast`` hints are reserved for
+STRUCTURALLY bounded sides (nation/region, 1-row scalar aggregates) — a
+hint forces broadcast at any size, which OOMs when an SF-proportional table
+(part/supplier/customer) outgrows memory. Those sides carry no hint: the
+stats/AQE threshold broadcasts them at small SF and degrades to shuffle
+joins at 100 TB with no code change. Remaining shuffles are the unavoidable
+ones (groupBy on lineitem-derived keys, one orderkey shuffle for the
+fact-fact joins in Q4/Q12/Q18). Q17's per-part average reuses the same
 ``l_partkey`` shuffle for the aggregate and the self-join under AQE.
 """
 
@@ -142,7 +147,7 @@ def tpch_q14_promo_share(spark, sf_dir):
         * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
     ).cast("decimal(28,8)")
     agg = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(28,8)")))
             .cast("double")
@@ -181,8 +186,8 @@ FROM agg
 def tpch_q16_supplier_variety(spark, sf_dir):
     """TPC-H Q16 shape: distinct suppliers per (brand, type, size) bucket,
     excluding one brand and every supplier with a negative account balance
-    (the NOT IN subquery becomes a broadcast anti join — lineitem stands in
-    for partsupp as the part<->supplier association)."""
+    (the NOT IN subquery becomes an anti join, size-based broadcast —
+    lineitem stands in for partsupp as the part<->supplier association)."""
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#4")
         & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45))
@@ -190,8 +195,8 @@ def tpch_q16_supplier_variety(spark, sf_dir):
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -222,7 +227,7 @@ def tpch_q17_small_qty_revenue(spark, sf_dir):
     )
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4").select("p_partkey")
     small = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(per_part, li.l_partkey == per_part.pk)
         .filter(
             F.lit(5) * F.col("l_quantity").cast("bigint") * F.col("qty_cnt")
@@ -268,7 +273,7 @@ def tpch_q18_large_orders(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         o.join(big, o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "qty_sum")
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
@@ -297,7 +302,7 @@ def tpch_q19_disjunctive_revenue(spark, sf_dir):
     membership) still reach the part scan via Catalyst's OR-factoring."""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     li = _t(spark, sf_dir, "lineitem")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     branch = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
         (F.col("p_brand") == brand)
         & F.col("p_size").between(s_lo, s_hi)
@@ -349,7 +354,7 @@ def tpch_q22_dormant_customers(spark, sf_dir):
     rich = c.crossJoin(F.broadcast(stats)).filter(
         F.col("c_acctbal").cast("decimal(18,4)") * F.col("bal_cnt") > F.col("bal_sum")
     )
-    dormant = rich.join(F.broadcast(recent), rich.c_custkey == recent.o_custkey, "left_anti")
+    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
     return dormant.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("numcust"),
         F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("totacctbal"),

@@ -268,14 +268,12 @@ def stream_events_to_mart(
         if batch_df.isEmpty():
             return
         enriched = (
-            batch_df.join(F.broadcast(cards.select("card_num", "account_num")), "card_num", "left")
-            .join(F.broadcast(accounts.select("account_num", "client")), "account_num", "left")
+            batch_df.join(cards.select("card_num", "account_num"), "card_num", "left")
+            .join(accounts.select("account_num", "client"), "account_num", "left")
             .join(
-                F.broadcast(
-                    clients.select(
-                        "client_id", "passport_num", "last_name", "first_name",
-                        "patrinymic", "phone",
-                    )
+                clients.select(
+                    "client_id", "passport_num", "last_name", "first_name",
+                    "patrinymic", "phone",
                 ),
                 F.col("client") == F.col("client_id"),
                 "left",
