@@ -15,9 +15,31 @@ produce bit-identical results regardless of partitioning/order.
 
 from __future__ import annotations
 
-from . import dedup, extra, multimodal, relational, similarity, stats, text, tpch_more
+from . import (
+    dedup,
+    extra,
+    multimodal,
+    relational,
+    sampling,
+    similarity,
+    stats,
+    text,
+    tpch_more,
+    tpch_rest,
+)
 
-_MODULES = (relational, extra, tpch_more, stats, dedup, similarity, text, multimodal)
+_MODULES = (
+    relational,
+    extra,
+    tpch_more,
+    tpch_rest,
+    stats,
+    sampling,
+    dedup,
+    similarity,
+    text,
+    multimodal,
+)
 
 
 def all_queries():

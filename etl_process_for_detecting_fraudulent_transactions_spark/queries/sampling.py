@@ -1,0 +1,182 @@
+"""Deterministic sampling / splitting / upsert operators for the
+training-data pipeline (reference parity: the curation stages a 100 TB
+corpus pipeline needs around the dedup/quality families already covered).
+
+Why not ``df.sample()``: Spark's sampler is seeded per-partition, so the
+selected set changes with partitioning/cluster size — useless as a stable
+train/test split and impossible to oracle-check. Every operator here keys
+selection off ``md5`` of a stable row key (the only hash function Spark and
+DuckDB share, see queries/dedup.py): the split is a pure function of the
+data, reproducible across engines, partitionings and cluster sizes.
+
+The hex-threshold trick: the first 4 hex chars of md5 are compared
+LEXICOGRAPHICALLY against a constant — md5 hex is lowercase [0-9a-f] in
+both engines, so string order == numeric order of the 16-bit prefix and no
+hex->int conversion is needed (rate = threshold/65536).
+
+Scale notes (100 TB): all three are embarrassingly parallel map-side
+filters/projections — no shuffle at all for split assignment and stratified
+sampling (the md5 compare rides the scan); the upsert is one co-partitioned
+full-outer join on the merge key, the minimal possible data movement for
+merge semantics (equivalent to Delta MERGE's shuffle). Nothing here touches
+a driver-side loop or a global order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._io import load_table as _t
+
+
+def _bucket(col):
+    """First 4 md5 hex chars of the stringified key: 65536 stable buckets."""
+    return F.substring(F.md5(F.col(col).cast("string")), 1, 4)
+
+
+_SQL_BUCKET = "substring(md5(CAST({col} AS VARCHAR)), 1, 4)"
+
+
+# -- deterministic train/val/test split ---------------------------------------
+
+def train_test_split(spark, sf_dir):
+    """Assign every document to train/val/test (~80/10/10) by md5 bucket of
+    ``doc_id`` and report per-(split, lang) counts + total chars. The
+    assignment is a scan-side CASE over the hash prefix — zero shuffle
+    beyond the final small aggregate, and adding machines cannot change any
+    row's split."""
+    d = _t(spark, sf_dir, "documents")
+    b = _bucket("doc_id")
+    split = (
+        F.when(b < "cccd", F.lit("train"))  # 0xcccd/0x10000 ~ 0.80
+        .when(b < "e667", F.lit("val"))     # next ~0.10
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_TRAIN_TEST_SPLIT = f"""
+SELECT CASE WHEN {_SQL_BUCKET.format(col="doc_id")} < 'cccd' THEN 'train'
+            WHEN {_SQL_BUCKET.format(col="doc_id")} < 'e667' THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# -- stratified sampling (per-class rates) ------------------------------------
+
+def stratified_sample(spark, sf_dir):
+    """Per-language downsampling to rebalance a corpus: each language keeps
+    a different fraction (lang-keyed hex threshold on md5(doc_id)). A pure
+    scan-side filter — the 100 TB plan is a single map pass with the
+    predicate pushed onto the scan output, no shuffle, no state."""
+    d = _t(spark, sf_dir, "documents")
+    thr = (
+        F.when(F.col("lang") == "en", F.lit("4000"))   # keep ~25% of en
+        .when(F.col("lang") == "de", F.lit("8000"))    # ~50%
+        .otherwise(F.lit("c000"))                       # ~75% of the rest
+    )
+    return (
+        d.filter(_bucket("doc_id") < thr)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_SQL_BUCKET.format(col="doc_id")} <
+      CASE WHEN lang = 'en' THEN '4000'
+           WHEN lang = 'de' THEN '8000'
+           ELSE 'c000' END
+"""
+
+
+# -- SCD1 merge / upsert ------------------------------------------------------
+
+def merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (Delta-style upsert) as a pure full-outer
+    rewrite: target = customer snapshot, source = per-user event activity.
+    Matched rows take the source's values, unmatched targets persist,
+    unmatched sources insert with defaults. One co-partitioned full-outer
+    join on the merge key — the same single shuffle a storage-level MERGE
+    performs. Returns the post-merge snapshot aggregated per nation so the
+    gate output stays small at any SF."""
+    tgt = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    src = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("m_key"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("m_value"),
+            F.count(F.lit(1)).alias("m_events"),
+        )
+    )
+    merged = (
+        tgt.join(src, tgt.c_custkey == src.m_key, "full_outer")
+        .select(
+            F.coalesce(F.col("c_custkey"), F.col("m_key")).alias("key"),
+            F.coalesce(F.col("c_nationkey"), F.lit(-1)).alias("nationkey"),
+            # matched/insert -> source value; not-matched-target -> keep balance
+            F.coalesce(
+                F.col("m_value").cast("double"), F.col("c_acctbal")
+            ).alias("balance"),
+            F.coalesce(F.col("m_events"), F.lit(0)).alias("n_events"),
+            F.when(F.col("m_key").isNull(), F.lit("kept"))
+            .when(F.col("c_custkey").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("merge_action"),
+        )
+    )
+    return merged.groupBy("nationkey", "merge_action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("balance").cast("decimal(18,4)")).cast("double").alias("balance_sum"),
+        F.sum("n_events").alias("events_sum"),
+    )
+
+
+ORACLE_MERGE_UPSERT = """
+WITH src AS (
+  SELECT user_id AS m_key,
+         SUM(CAST(value AS DECIMAL(18,4))) AS m_value,
+         COUNT(*) AS m_events
+  FROM events GROUP BY user_id
+), merged AS (
+  SELECT COALESCE(c_custkey, m_key) AS key,
+         COALESCE(c_nationkey, -1) AS nationkey,
+         COALESCE(CAST(m_value AS DOUBLE), c_acctbal) AS balance,
+         COALESCE(m_events, 0) AS n_events,
+         CASE WHEN m_key IS NULL THEN 'kept'
+              WHEN c_custkey IS NULL THEN 'inserted'
+              ELSE 'updated' END AS merge_action
+  FROM customer FULL OUTER JOIN src ON c_custkey = m_key
+)
+SELECT nationkey, merge_action, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(balance AS DECIMAL(18,4))) AS DOUBLE) AS balance_sum,
+       SUM(n_events) AS events_sum
+FROM merged
+GROUP BY nationkey, merge_action
+"""
+
+
+QUERIES = {
+    "train_test_split": train_test_split,
+    "stratified_sample": stratified_sample,
+    "merge_upsert": merge_upsert,
+}
+
+ORACLES = {
+    "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "merge_upsert": ORACLE_MERGE_UPSERT,
+}

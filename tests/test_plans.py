@@ -121,3 +121,59 @@ def test_q22_scalar_aggregate_broadcasts_one_row(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q6_filters_all_reach_lineitem_scan(spark, sf_dir):
+    """Q6 is scan-bound by design: date range, discount band and quantity
+    cap all appear as data filters on the single parquet scan, and the only
+    exchange is the 1-row final aggregate."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.tpch_rest import (
+        tpch_q6_forecast_revenue,
+    )
+
+    plan = _plan(tpch_q6_forecast_revenue(spark, sf_dir))
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln][0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in scan
+    assert plan.count("Exchange") == 1 and "SinglePartition" in plan
+
+
+def test_q21_self_joins_compile_to_semi_and_anti(spark, sf_dir):
+    """The EXISTS / NOT EXISTS pair compiles to a LeftSemi and a LeftAnti
+    join, each carrying the supplier-inequality as a residual — no
+    aggregate-dedup, no cartesian blowup."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.tpch_rest import (
+        tpch_q21_waiting_suppliers,
+    )
+
+    plan = _plan(tpch_q21_waiting_suppliers(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert plan.count("NOT (l_suppkey") == 2
+
+
+def test_stats_gate_reuses_heavy_shuffle_at_runtime(spark, sf_dir):
+    """Q11's value-vs-total gate references the per-partkey aggregate twice;
+    at runtime AQE must dedupe the heavy subtree (ReusedExchange) so the
+    fact-side join+shuffle executes once — the property that makes the
+    two-pass scalar-gate pattern viable at 100 TB."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.tpch_rest import (
+        tpch_q11_important_parts,
+    )
+
+    df = tpch_q11_important_parts(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_stratified_sample_is_shuffle_free(spark, sf_dir):
+    """Hash-threshold sampling is a pure scan-side filter/projection: the
+    physical plan contains NO exchange at all — the property that makes the
+    sampler a single map pass at 100 TB."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.sampling import (
+        stratified_sample,
+    )
+
+    plan = _plan(stratified_sample(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "FileScan parquet" in plan
