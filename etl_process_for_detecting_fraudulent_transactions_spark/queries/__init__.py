@@ -19,11 +19,13 @@ from . import (
     dedup,
     extra,
     multimodal,
+    quality,
     relational,
     sampling,
     similarity,
     stats,
     text,
+    timeseries,
     tpch_more,
     tpch_rest,
 )
@@ -35,6 +37,8 @@ _MODULES = (
     tpch_rest,
     stats,
     sampling,
+    timeseries,
+    quality,
     dedup,
     similarity,
     text,

@@ -1,0 +1,126 @@
+"""Data-quality / integrity profiling — the validation pass an ETL engine
+runs before trusting a load (the reference's implicit contract: its seed
+dump and file loads assume PK uniqueness and intact FKs; this makes those
+assumptions checkable at scale).
+
+One gate query returns a small (check_name, n_bad) table covering:
+primary-key duplication, FK orphans in both fact directions, null/blank
+attribute counts, and domain violations. Each check is an independent
+aggregate/anti-join; the union output is bounded by the number of checks,
+never by data size.
+
+Scale notes (100 TB): every check is either a map-side aggregate (null /
+domain counts — one scan, no shuffle beyond the 1-row reduce) or a single
+key shuffle (PK dup via groupBy, FK orphan via anti join on the key). The
+checks are independent subtrees, so Spark schedules them concurrently
+inside one job; nothing collects to the driver."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._io import load_table as _t
+
+
+def _one(name, df_count):
+    return df_count.select(F.lit(name).alias("check_name"),
+                           F.col("n").cast("bigint").alias("n_bad"))
+
+
+def integrity_checks(spark, sf_dir):
+    """Seven integrity checks over the star schema, returned as
+    (check_name, n_bad) rows. All pass-counts are exact; a healthy load
+    yields n_bad = 0 for the PK/FK rows (the null/domain profiling rows
+    report whatever the data contains)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+
+    pk_dup_orders = _one(
+        "pk_dup_orders",
+        o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    # composite PK on the fact
+    pk_dup_lineitem = _one(
+        "pk_dup_lineitem",
+        li.groupBy("l_orderkey", "l_linenumber").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    fk_orphan_lineitem = _one(
+        "fk_orphan_lineitem_orders",
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    fk_orphan_orders = _one(
+        "fk_orphan_orders_customer",
+        o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    null_props_events = _one(
+        "null_props_events",
+        ev.agg(F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("n")),
+    )
+    neg_qty_lineitem = _one(
+        "domain_nonpositive_qty_lineitem",
+        li.agg(F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("n")),
+    )
+    bad_discount = _one(
+        "domain_discount_out_of_range",
+        li.agg(
+            F.sum(
+                F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+                .otherwise(0)
+            ).alias("n")
+        ),
+    )
+    out = pk_dup_orders
+    for part in (
+        pk_dup_lineitem,
+        fk_orphan_lineitem,
+        fk_orphan_orders,
+        null_props_events,
+        neg_qty_lineitem,
+        bad_discount,
+    ):
+        out = out.unionByName(part)
+    return out
+
+
+ORACLE_INTEGRITY = """
+SELECT 'pk_dup_orders' AS check_name,
+       (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+         GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS n_bad
+UNION ALL
+SELECT 'pk_dup_lineitem',
+       (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+         GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+UNION ALL
+SELECT 'fk_orphan_lineitem_orders',
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+         (SELECT o_orderkey FROM orders))
+UNION ALL
+SELECT 'fk_orphan_orders_customer',
+       (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+         (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'null_props_events',
+       (SELECT COALESCE(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END), 0)
+        FROM events)
+UNION ALL
+SELECT 'domain_nonpositive_qty_lineitem',
+       (SELECT COALESCE(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0)
+        FROM lineitem)
+UNION ALL
+SELECT 'domain_discount_out_of_range',
+       (SELECT COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                                 THEN 1 ELSE 0 END), 0)
+        FROM lineitem)
+"""
+
+
+QUERIES = {"integrity_checks": integrity_checks}
+ORACLES = {"integrity_checks": ORACLE_INTEGRITY}

@@ -1,0 +1,106 @@
+"""Time-series resampling operators: calendar spine generation, gap
+detection and forward-fill — the "hypertable gap-fill" family that Spark
+has no built-in operator for, composed from sequence/explode + a bounded
+running ``last(ignorenulls)`` window (no UDF anywhere).
+
+Determinism: revenue stays DECIMAL through the aggregate AND the window
+fill, cast to double once at the end; the gap flag is an int in both
+engines. The spine is generated from fixed literal bounds so the output
+set is a pure function of the data.
+
+Scale notes (100 TB): the spine is (groups x days) — calendar-bounded,
+i.e. structurally tiny no matter the fact size, so it broadcasts. The
+daily aggregate is the one fact-scale shuffle; the forward-fill window
+partitions by series key, so fill parallelism equals series cardinality
+and no global sort exists. This is the composition-over-custom-operator
+answer: sequence+explode+left join+last(ignorenulls) gives hypertable
+``time_bucket_gapfill``/``locf`` semantics with plain Catalyst operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ._io import load_table as _t
+
+_SPINE_START = "1995-01-01 00:00:00"
+_SPINE_END = "1995-03-31 00:00:00"
+
+
+def resample_ffill(spark, sf_dir):
+    """Daily order revenue per priority over a fixed 90-day window,
+    resampled onto a dense calendar spine: days with no orders appear with
+    the last observed value carried forward (LOCF) and ``was_gap = 1``.
+    Leading days before a series' first observation stay NULL (nothing to
+    carry), exactly as in the SQL oracle."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_SPINE_START).cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit(_SPINE_END).cast("timestamp"))
+    )
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("day", "o_orderdate").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(_SPINE_START).cast("timestamp"),
+                F.lit(_SPINE_END).cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    prios = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio")
+    ).distinct()
+    spine = prios.crossJoin(F.broadcast(days))
+
+    w = (
+        Window.partitionBy("prio")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        spine.join(daily, ["prio", "day"], "left")
+        .withColumn("was_gap", F.when(F.col("rev").isNull(), 1).otherwise(0))
+        .withColumn("rev_filled", F.last("rev", ignorenulls=True).over(w))
+    )
+    return filled.select(
+        "prio",
+        "day",
+        F.col("rev_filled").cast("double").alias("revenue"),
+        "was_gap",
+    )
+
+
+ORACLE_RESAMPLE_FFILL = f"""
+WITH days AS (
+  SELECT gs AS day
+  FROM generate_series(TIMESTAMP '{_SPINE_START}', TIMESTAMP '{_SPINE_END}',
+                       INTERVAL 1 DAY) t(gs)
+), prios AS (
+  SELECT DISTINCT o_orderpriority AS prio FROM orders
+), daily AS (
+  SELECT o_orderpriority AS prio, date_trunc('day', o_orderdate) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_SPINE_START}'
+    AND o_orderdate <= TIMESTAMP '{_SPINE_END}'
+  GROUP BY 1, 2
+)
+SELECT prio, day,
+       CAST(last_value(rev IGNORE NULLS) OVER (
+         PARTITION BY prio ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS revenue,
+       CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS was_gap
+FROM prios
+CROSS JOIN days
+LEFT JOIN daily USING (prio, day)
+"""
+
+
+QUERIES = {"resample_ffill": resample_ffill}
+ORACLES = {"resample_ffill": ORACLE_RESAMPLE_FFILL}
