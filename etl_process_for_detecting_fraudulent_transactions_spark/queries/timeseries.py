@@ -102,5 +102,52 @@ LEFT JOIN daily USING (prio, day)
 """
 
 
-QUERIES = {"resample_ffill": resample_ffill}
-ORACLES = {"resample_ffill": ORACLE_RESAMPLE_FFILL}
+def hopping_window_stats(spark, sf_dir):
+    """Overlapping (hopping) time windows in BATCH mode via ``F.window``:
+    2-hour windows sliding every hour over the events stream table — each
+    event contributes to exactly two windows. The same operator the
+    streaming pipeline uses for its watermarked sliding counts
+    (streaming/pipeline.py), here gated against a SQL oracle that expands
+    each event into its two epoch-aligned window starts. The window
+    assignment is a scan-side projection (generator of 2 rows per event);
+    the one shuffle is the final (window, type) aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+ORACLE_HOPPING_WINDOW = """
+WITH e AS (
+  SELECT event_type, value,
+         unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start
+  FROM events
+)
+SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM e
+GROUP BY window_start, event_type
+"""
+
+
+QUERIES = {
+    "resample_ffill": resample_ffill,
+    "hopping_window_stats": hopping_window_stats,
+}
+ORACLES = {
+    "resample_ffill": ORACLE_RESAMPLE_FFILL,
+    "hopping_window_stats": ORACLE_HOPPING_WINDOW,
+}
