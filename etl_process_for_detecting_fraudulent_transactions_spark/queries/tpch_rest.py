@@ -93,10 +93,10 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 def tpch_q2_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 shape: for every LARGE part supplied from EUROPE, the
     supplier(s) with the minimum account balance (standing in for
-    ``ps_supplycost``). The correlated MIN subquery decorrelates into a
-    per-partkey aggregation equality-joined back to the candidate set —
-    equality on the untouched double is exact (no arithmetic). Top 100 with
-    a unique (partkey, suppkey) tiebreaker."""
+    ``ps_supplycost``). The correlated MIN subquery becomes a per-partkey
+    window MIN filtered by equality — equality on the untouched double is
+    exact (no arithmetic). Top 100 with a unique (partkey, suppkey)
+    tiebreaker."""
     assoc = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE").select(
         "p_partkey", "p_name"
@@ -109,19 +109,20 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    from pyspark.sql import Window
+
     cand = (
         assoc.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    mins = cand.groupBy(F.col("p_partkey").alias("pk")).agg(
-        F.min("s_acctbal").alias("min_bal")
-    )
+    # per-partkey MIN as a window over the candidate set: ONE pass, one
+    # p_partkey exchange — no groupBy + self-join back (which plans the
+    # candidate subtree twice pre-AQE and sort-merges at unknown stats)
+    min_bal = F.min("s_acctbal").over(Window.partitionBy("p_partkey"))
     return (
-        cand.join(
-            mins,
-            (cand.p_partkey == mins.pk) & (cand.s_acctbal == mins.min_bal),
-        )
+        cand.withColumn("min_bal", min_bal)
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .orderBy(F.desc("s_acctbal"), "p_partkey", "s_suppkey")
         .limit(100)
