@@ -21,13 +21,16 @@ N_FEATURES = 1 << 18  # hash space for shingles; collisions perturb Jaccard ~0.1
 
 def shingle_vectors(docs: DataFrame, n: int = 3) -> DataFrame:
     """doc_id + binary sparse vector of 3-word shingles."""
-    ws = F.split("text", " ")
-    shingled = docs.select(
+    # split ONCE into a named column: an inlined split(text) expression is
+    # re-evaluated at every ws[i+j] element access inside the lambda (no CSE
+    # inside higher-order functions), turning shingling O(tokens^2) per doc
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    shingled = toks.select(
         "doc_id",
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
-                lambda i: F.concat_ws("_", *[ws[i + j] for j in range(n)]),
+                F.sequence(F.lit(0), F.greatest(F.size("ws") - n, F.lit(0))),
+                lambda i: F.concat_ws("_", *[F.col("ws")[i + j] for j in range(n)]),
             )
         ).alias("shingles"),
     ).filter(F.size("shingles") > 0)

@@ -475,9 +475,12 @@ def fuzzy_name_pairs(spark, sf_dir):
         .select(
             F.col("a.c_custkey").alias("k1"),
             F.col("b.c_custkey").alias("k2"),
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+            # 3-arg levenshtein: banded DP that early-exits past the
+            # threshold (-1 sentinel) — ~2x cheaper per pair than the full
+            # matrix, and the per-pair cost IS this query's runtime
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2).alias("dist"),
         )
-        .filter(F.col("dist") <= 2)
+        .filter(F.col("dist") >= 0)
     )
 
 
