@@ -289,3 +289,140 @@ FROM sampled GROUP BY source
 
 QUERIES["curation_pipeline"] = curation_pipeline
 ORACLES["curation_pipeline"] = ORACLE_CURATION
+
+
+# -- pretraining chunking ----------------------------------------------------
+
+CHUNK_LEN = 32
+CHUNK_STRIDE = 24
+
+
+def doc_chunk_windows(spark, sf_dir):
+    """Pretraining chunking: each document split into fixed-size token
+    windows (CHUNK_LEN tokens at CHUNK_STRIDE, trailing partial windows
+    kept). Entirely narrow — sequence/slice/posexplode over a materialized
+    token array, zero shuffles: at 100 TB this is a pure map stage whose
+    output streams straight into the tokenizer. chunk_idx doubles as the
+    window ordinal ((start-1)/stride) on both sides."""
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _tokens().alias("ws"))
+        .filter(F.size("ws") >= 1)  # sequence(1, 0) would error on empties
+    )
+    starts = F.sequence(F.lit(1), F.size("ws"), F.lit(CHUNK_STRIDE))
+    chunks = F.transform(starts, lambda s: F.array_join(F.slice("ws", s, CHUNK_LEN), " "))
+    return d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(F.split("chunk", " ")).cast("bigint").alias("chunk_tokens"),
+        F.md5("chunk").alias("chunk_hash"),
+    )
+
+
+ORACLE_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(least({CHUNK_LEN}, len(ws) - s + 1) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(ws[s : least(s + {CHUNK_LEN} - 1, len(ws))], ' ')) AS chunk_hash
+FROM t, unnest(generate_series(1, len(ws), {CHUNK_STRIDE})) AS u(s)
+WHERE len(ws) >= 1
+"""
+
+QUERIES["doc_chunk_windows"] = doc_chunk_windows
+ORACLES["doc_chunk_windows"] = ORACLE_CHUNKS
+
+
+# -- repetition-based quality (Gopher-style) ---------------------------------
+
+def doc_repetition_ratio(spark, sf_dir):
+    """Repetition signals per document (Gopher-style quality filters):
+    duplicate-bigram fraction (1 - distinct/total bigrams, array-side) and
+    top-token fraction (mode count / n_tokens, via explode + two-level agg
+    — partial map-side combine keeps the shuffle proportional to the doc
+    vocabulary, not the token stream)."""
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _tokens().alias("ws"))
+        .filter(F.size("ws") >= 2)
+    )
+    bg = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - 2),
+        lambda i: F.concat_ws(" ", F.col("ws")[i], F.col("ws")[i + 1]),
+    )
+    base = d.select("doc_id", "ws", bg.alias("bg"))
+    arr_stats = base.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct("bg")).cast("double") / F.size("bg")).alias(
+            "dup_bigram_frac"
+        ),
+    )
+    top = (
+        base.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_cnt"))
+    )
+    return arr_stats.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_bigram_frac",
+        (F.col("top_cnt").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
+    )
+
+
+ORACLE_REPETITION = """
+WITH t AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), base AS (
+  SELECT doc_id, ws,
+         list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1]) AS bg
+  FROM t WHERE len(ws) >= 2
+), top AS (
+  SELECT doc_id, MAX(c) AS top_cnt
+  FROM (SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS w FROM base)
+        GROUP BY doc_id, w)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_frac,
+       CAST(top_cnt AS DOUBLE) / len(ws) AS top_token_frac
+FROM base b JOIN top USING (doc_id)
+"""
+
+QUERIES["doc_repetition_ratio"] = doc_repetition_ratio
+ORACLES["doc_repetition_ratio"] = ORACLE_REPETITION
+
+
+# -- redaction scrub ---------------------------------------------------------
+
+def pii_redact_names(spark, sf_dir):
+    """Redaction scrub (the shape of a PII pass over training text): mask
+    long digit runs and count masked spans. Spark's regexp_replace is
+    all-occurrences; the oracle passes the 'g' flag for the same semantics.
+    Pattern is plain character-class regex, identical under Java regex and
+    RE2."""
+    return spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]{6,}", "[ID]").alias("redacted"),
+        F.regexp_count("c_name", F.lit("[0-9]{6,}")).cast("bigint").alias("n_redacted"),
+    )
+
+
+ORACLE_REDACT = """
+SELECT c_custkey,
+       regexp_replace(c_name, '[0-9]{6,}', '[ID]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(c_name, '[0-9]{6,}')) AS BIGINT) AS n_redacted
+FROM customer
+"""
+
+QUERIES["pii_redact_names"] = pii_redact_names
+ORACLES["pii_redact_names"] = ORACLE_REDACT
