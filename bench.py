@@ -34,17 +34,24 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(qs):
         best, n = None, 0
-        for _ in range(2):  # best-of-2: the host is noisy; min is the signal
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            n = df.count()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-            # queries are independent: drop cached frames so one query's
-            # cache residue doesn't squeeze the next one's execution memory
+        try:
+            for _ in range(2):  # best-of-2: the host is noisy; min is the signal
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf_dir)
+                n = df.count()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+                # queries are independent: drop cached frames so one query's
+                # cache residue doesn't squeeze the next one's execution memory
+                spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001 — one bad query must not kill the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             spark.catalog.clearCache()
+            continue
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -56,6 +63,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "errors": errors,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -17,7 +17,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Parquet footer-schema caching makes the nanosAsLong conf
+            # first-read-order-sensitive: if the session already read this
+            # file, ts comes back as TIMESTAMP_NTZ and every unix_micros()
+            # call downstream throws DATATYPE_MISMATCH. Session tz is pinned
+            # to UTC (session.py), so the cast is value-preserving vs
+            # DuckDB's naive timestamps.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -108,16 +108,16 @@ SELECT 'fk_orphan_orders_customer',
          (SELECT c_custkey FROM customer))
 UNION ALL
 SELECT 'null_props_events',
-       (SELECT COALESCE(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END), 0)
+       (SELECT CAST(COALESCE(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
         FROM events)
 UNION ALL
 SELECT 'domain_nonpositive_qty_lineitem',
-       (SELECT COALESCE(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0)
+       (SELECT CAST(COALESCE(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
         FROM lineitem)
 UNION ALL
 SELECT 'domain_discount_out_of_range',
-       (SELECT COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
-                                 THEN 1 ELSE 0 END), 0)
+       (SELECT CAST(COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
         FROM lineitem)
 """
 

@@ -66,7 +66,7 @@ ORACLE_TRAIN_TEST_SPLIT = f"""
 SELECT CASE WHEN {_SQL_BUCKET.format(col="doc_id")} < 'cccd' THEN 'train'
             WHEN {_SQL_BUCKET.format(col="doc_id")} < 'e667' THEN 'val'
             ELSE 'test' END AS split,
-       lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+       lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1, 2
 """
@@ -163,7 +163,7 @@ WITH src AS (
 )
 SELECT nationkey, merge_action, COUNT(*) AS n_rows,
        CAST(SUM(CAST(balance AS DECIMAL(18,4))) AS DOUBLE) AS balance_sum,
-       SUM(n_events) AS events_sum
+       CAST(SUM(n_events) AS BIGINT) AS events_sum
 FROM merged
 GROUP BY nationkey, merge_action
 """

@@ -283,7 +283,7 @@ sampled AS (
   WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
         ({", ".join("'" + c + "'" for c in SAMPLE_HEX)})
 )
-SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM sampled GROUP BY source
 """
 

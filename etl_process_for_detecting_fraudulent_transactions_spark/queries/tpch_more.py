@@ -119,9 +119,9 @@ def tpch_q12_priority_class(spark, sf_dir):
 
 ORACLE_TPCH_Q12 = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
          AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
          AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -284,7 +284,7 @@ ORACLE_TPCH_Q18 = """
 SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, qty_sum
 FROM orders
 JOIN (
-  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS qty_sum
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
   FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 160
 ) big ON o_orderkey = big.l_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -395,7 +395,7 @@ def json_props_stats(spark, sf_dir):
 
 ORACLE_JSON_PROPS = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
        COUNT(*) AS n
 FROM events
