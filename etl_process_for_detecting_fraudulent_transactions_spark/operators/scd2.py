@@ -65,10 +65,16 @@ def scd2_apply_snapshot(
     cur = current_view(hist, key).select(cols)
     snap = snapshot.select(cols)
 
-    # one full-outer classify pass: new / deleted / changed / unchanged
+    # Classify in two broadcast-able joins instead of one full outer:
+    # Spark executes a full-outer equi-join only as sort-merge (broadcast
+    # hash doesn't support it), which put 6 SMJs in the r1 plan audit.
+    # snap ⟕ cur (new/changed/unchanged) + cur ▷ snap (deleted) covers the
+    # same four-way split, and both joins broadcast the small side at dim
+    # scale — the full-outer semantics are exactly these two pieces because
+    # the join is on a unique key.
     s = snap.alias("s")
     c = cur.alias("c")
-    joined = s.join(c, F.col(f"s.{key}") == F.col(f"c.{key}"), "full_outer")
+    joined = s.join(c, F.col(f"s.{key}") == F.col(f"c.{key}"), "left")
 
     if null_safe_diff:
         diff = reduce(
@@ -83,24 +89,25 @@ def scd2_apply_snapshot(
         )
 
     classified = joined.select(
-        F.coalesce(F.col(f"s.{key}"), F.col(f"c.{key}")).alias(key),
+        F.col(f"s.{key}").alias(key),
         *[F.col(f"s.{x}").alias(f"s_{x}") for x in attrs],
-        *[F.col(f"c.{x}").alias(f"c_{x}") for x in attrs],
         F.when(F.col(f"c.{key}").isNull(), F.lit("new"))
-        .when(F.col(f"s.{key}").isNull(), F.lit("deleted"))
         .when(diff, F.lit("changed"))
         .otherwise(F.lit("unchanged"))
         .alias("_status"),
     ).cache()
+    deleted = cur.join(snap.select(key), key, "left_anti").cache()
 
     # 'new' is included so that a re-added key's open TOMBSTONE gets closed
     # (the reference never closes it — data_to_db.py:209-271 only updates
     # changed/deleted keys — leaving two open rows per re-added terminal;
     # that latent bug is not replicated: hist invariants > bug parity here,
     # and the bundled data never re-adds a deleted terminal)
-    affected_keys = classified.filter(
-        F.col("_status").isin("deleted", "changed", "new")
-    ).select(key)
+    affected_keys = (
+        classified.filter(F.col("_status").isin("changed", "new"))
+        .select(key)
+        .unionByName(deleted.select(key))
+    )
 
     # close ALL open rows (any deleted_flg) of affected keys — reference UPDATE
     # matches on key + open effective_to only (data_to_db.py:227-232, 251-256)
@@ -120,8 +127,7 @@ def scd2_apply_snapshot(
         .withColumn("deleted_flg", F.lit(0))
     )
     opened_deleted = (
-        classified.filter(F.col("_status") == "deleted")
-        .select(key, *[F.col(f"c_{x}").alias(x) for x in attrs])
+        deleted.select(key, *attrs)
         .withColumn("effective_from", F.lit(run_ts))
         .withColumn("effective_to", F.lit(HIGH_TS))
         .withColumn("deleted_flg", F.lit(1))
