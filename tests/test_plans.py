@@ -177,3 +177,33 @@ def test_stratified_sample_is_shuffle_free(spark, sf_dir):
     plan = _plan(stratified_sample(spark, sf_dir))
     assert "Exchange" not in plan
     assert "FileScan parquet" in plan
+
+
+def test_pit_probe_plan_is_one_broadcast_join(spark, sf_dir):
+    """The as-of gate materializes its SCD2 hist fixture (localCheckpoint)
+    before probing, so the probe plan is scan + ONE broadcast join — not the
+    inlined 19-exchange hist-build subtree the r1 plan audit flagged."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.relational import (
+        pit_join_events,
+    )
+
+    plan = _plan(pit_join_events(spark, sf_dir))
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert plan.count("Exchange") <= 2
+
+
+def test_scd2_classify_broadcasts_under_aqe(spark, sf_dir):
+    """The SCD2 classifier decomposes into left + anti joins precisely so
+    AQE can convert them to broadcast at dim scale (full outer never
+    converts). After execution the adaptive plan must carry no full-outer
+    join and more broadcast than sort-merge joins."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.relational import (
+        scd2_snapshot_diff,
+    )
+
+    df = scd2_snapshot_diff(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" not in plan
+    assert plan.count("BroadcastHashJoin") > plan.count("SortMergeJoin")
