@@ -38,12 +38,17 @@ def main() -> None:
     for name in sorted(qs):
         best, n = None, 0
         try:
-            for _ in range(2):  # best-of-2: the host is noisy; min is the signal
+            for it in range(2):  # best-of-2: the host is noisy; min is the signal
                 t0 = time.perf_counter()
                 df = qs[name](spark, sf_dir)
-                n = df.count()
+                # noop sink: materializes EVERY output column (count() would
+                # let Catalyst prune unreferenced columns, under-timing
+                # narrow projection queries) without write-path cost
+                df.write.format("noop").mode("overwrite").save()
                 elapsed = time.perf_counter() - t0
                 best = elapsed if best is None else min(best, elapsed)
+                if it == 0:
+                    n = df.count()  # untimed, reporting only
                 # queries are independent: drop cached frames so one query's
                 # cache residue doesn't squeeze the next one's execution memory
                 spark.catalog.clearCache()
