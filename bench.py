@@ -30,6 +30,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = all_queries()
+    only = os.environ.get("SPARK_GRAFT_BENCH_KEYS")  # test hook: subset keys
+    if only:
+        keep = set(only.split(","))
+        qs = {k: v for k, v in qs.items() if k in keep}
     # warm the JVM + parquet footers with one cheap action (excluded)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 

@@ -31,3 +31,33 @@ def test_cli_processes_one_day(spark, tmp_path):
     assert not (data / "transactions_01032021.txt").exists()
     out = spark.read.parquet(str(tmp_path / "store" / "rep_fraud"))
     assert out.count() == 2
+
+
+def test_bench_emits_contract_json(tmp_path):
+    """bench.py is the driver's headline artifact: it must print exactly one
+    JSON line with metric/value/unit/queries/errors/sf even when run on a
+    key subset, and a failing query must land in errors, not kill the run."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=os.path.join(
+            os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001"
+        ),
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_KEYS="between_filter,concat_null,groupby_max",
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if l.strip().startswith("{")]
+    assert len(lines) == 1
+    d = json.loads(lines[0])
+    assert d["unit"] == "sec" and d["errors"] == {}
+    assert set(d["queries"]) == {"between_filter", "concat_null", "groupby_max"}
+    assert all(v > 0 for v in d["queries"].values())
