@@ -157,22 +157,33 @@ def knn_lsh(spark, sf_dir):
             F.concat(F.lit(f"{t}|"), _signs_bucket_col(F.col("embedding"), _TABLE_SIGNS[t])),
         )
     e = e.cache()
+    # Late materialization: the bucket join, dedupe, and shuffle all run on
+    # SCALAR ids only — carrying the 64-dim embeddings through the bucket
+    # join would ship two arrays per candidate pair and (worse) key the
+    # distinct() on them. Vectors are re-attached afterwards by key joins,
+    # which ship each vector once per partition, not once per pair, and the
+    # exact cosine runs exactly once per unique candidate pair.
     banded = e.select(
         "vec_id",
-        "embedding",
         F.explode(F.array(*[F.col(f"b{t}") for t in range(N_TABLES)])).alias("bucket"),
     )
     q = banded.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"), "bucket"
     )
-    c = banded.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket")
+    c = banded.select(F.col("vec_id").alias("neighbor_id"), "bucket")
     cand = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn("sim", _cosine(F.col("qv"), F.col("cv")))
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -378,16 +389,16 @@ def knn_lsh_multiprobe(spark, sf_dir):
             F.concat(F.lit(f"{t}|"), _signs_bucket_col(F.col("embedding"), _TABLE_SIGNS[t])),
         )
     e = e.cache()
+    # same late-materialization shape as knn_lsh: ids-only bucket/probe join
+    # and distinct, vectors re-attached by key, cosine once per unique pair
     banded = e.select(
         "vec_id",
-        "embedding",
         F.explode(F.array(*[F.col(f"b{t}") for t in range(N_TABLES)])).alias("bucket"),
     )
     probes = (
         banded.filter(F.col("vec_id") % QUERY_MOD == 0)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
             F.explode(
                 F.array(
                     F.col("bucket"),
@@ -396,14 +407,20 @@ def knn_lsh_multiprobe(spark, sf_dir):
             ).alias("bucket"),
         )
     )
-    c = banded.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket")
+    c = banded.select(F.col("vec_id").alias("neighbor_id"), "bucket")
     cand = (
         probes.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn("sim", _cosine(F.col("qv"), F.col("cv")))
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
