@@ -466,3 +466,89 @@ QUALIFY rank <= {TOP_K}
 
 QUERIES["knn_lsh_multiprobe"] = knn_lsh_multiprobe
 ORACLES["knn_lsh_multiprobe"] = ORACLE_KNN_MULTIPROBE
+
+
+# -- nearest-centroid classification (k-means assignment step) ---------------
+# Uses the embeddings table's `label` column (unexercised until round 2):
+# per-label centroids (element-wise mean, decimal-exact so both engines
+# produce bit-identical doubles), then every vector is assigned to its
+# max-cosine centroid — the assignment step of k-means and the prototypical
+# classifier a curation pipeline runs to tag documents by domain/quality
+# cluster. Output is the confusion matrix (true label, assigned, count).
+
+def label_centroid_assign(spark, sf_dir):
+    """Per-label centroid + nearest-centroid assignment, confusion counts.
+
+    Scale shape: centroids are computed with one posexplode + (label, pos)
+    aggregation — fully map-side-combinable — and the assignment is a
+    broadcast of the tiny (n_labels × DIM) centroid table against a single
+    scan of the vectors; no shuffle touches the vector side."""
+    e = _emb(spark, sf_dir)
+    pos = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent_elem = (
+        pos.groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("v").cast("decimal(28,12)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            (F.col("s").cast("double") / F.col("n")).alias("c"),
+        )
+    )
+    cent = (
+        cent_elem.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("pc", lambda x: x["c"]).alias("centroid"),
+        )
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        _cosine(F.col("embedding"), F.col("centroid")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_label"))
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy(
+        "label", F.col("c_label").alias("assigned_label")
+    ).agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+ORACLE_CENTROID_ASSIGN = f"""
+WITH {EMB_D},
+labeled AS (SELECT e.vec_id, e.label, d.embedding
+            FROM embeddings e JOIN emb_d d ON e.vec_id = d.vec_id),
+pos AS (
+  SELECT label, i AS pos, embedding[i] AS v
+  FROM labeled, unnest(range(1, {DIM} + 1)) AS u(i)
+),
+cent_elem AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM pos GROUP BY label, pos
+),
+cent AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+  FROM cent_elem GROUP BY label
+),
+scored AS (
+  SELECT vec_id, label, c_label,
+         list_cosine_similarity(embedding, centroid) AS sim
+  FROM labeled, cent
+),
+best AS (
+  SELECT vec_id, label, c_label AS assigned_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn
+  FROM scored
+)
+SELECT label, assigned_label, COUNT(*) AS n_vecs
+FROM best WHERE rn = 1
+GROUP BY label, assigned_label
+"""
+
+QUERIES["label_centroid_assign"] = label_centroid_assign
+ORACLES["label_centroid_assign"] = ORACLE_CENTROID_ASSIGN
