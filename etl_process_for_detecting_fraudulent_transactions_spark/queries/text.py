@@ -426,3 +426,70 @@ FROM customer
 
 QUERIES["pii_redact_names"] = pii_redact_names
 ORACLES["pii_redact_names"] = ORACLE_REDACT
+
+
+# -- sequence packing (pretraining batch assembly) ---------------------------
+# Pack documents into fixed token-budget training sequences, greedily in
+# doc_id order WITHIN each source shard: bin = floor(start_offset / budget)
+# where start_offset is the running token sum before the doc. This is the
+# standard contiguous-packing approximation (no cross-shard shuffle, one
+# window per shard); per-bin fill statistics expose padding waste.
+
+PACK_BUDGET = 512
+
+
+def seq_packing(spark, sf_dir):
+    """Per-(source, bin) packing stats: docs per sequence, token fill.
+
+    Scale shape: ONE window partitioned by the shard key (source) — running
+    sums never cross shards, so the plan is a single hash-partitioned sort,
+    no global ordering. Oversized docs (> budget) deliberately overflow
+    their bin (they get truncated downstream by doc_chunk_windows)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(_tokens()).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(PACK_BUDGET)
+        ).alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+ORACLE_SEQ_PACKING = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+binned AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / {PACK_BUDGET}) AS BIGINT) AS bin
+  FROM t
+)
+SELECT source, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM binned
+GROUP BY source, bin
+"""
+
+QUERIES["seq_packing"] = seq_packing
+ORACLES["seq_packing"] = ORACLE_SEQ_PACKING
