@@ -493,3 +493,73 @@ GROUP BY source, bin
 
 QUERIES["seq_packing"] = seq_packing
 ORACLES["seq_packing"] = ORACLE_SEQ_PACKING
+
+
+# -- benchmark decontamination (eval-set n-gram collision scan) --------------
+# Standard pretraining hygiene: an eval/benchmark document is "contaminated"
+# if the training corpus contains one of its n-token grams verbatim. The
+# eval set here is the doc_id % EVAL_MOD == 0 slice (stand-in benchmark);
+# everything else is the training corpus. Real pipelines use n=8..13; the
+# synthetic ~30-word vocabulary only produces verbatim collisions up to
+# n=4, so the gate pins n=4 to keep the result set non-trivial.
+
+EVAL_MOD = 100
+CONTAM_N = 4
+
+
+def _word_grams(n: int):
+    toks = _tokens()
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+        )
+    )
+
+
+def eval_contamination(spark, sf_dir):
+    """Per eval doc: how many training docs share an n-gram, and how many
+    distinct 8-grams collide.
+
+    Scale shape: the EVAL side's gram set is broadcast (benchmarks are tiny
+    relative to the corpus); the training corpus is scanned ONCE, grams
+    generated map-side and probed against the broadcast set — no corpus
+    shuffle. Only the (small) hit set aggregates."""
+    d = _docs(spark, sf_dir).filter(F.size(_tokens()) >= CONTAM_N)
+    grams = d.select(
+        "doc_id", F.explode(_word_grams(CONTAM_N)).alias("g")
+    )
+    eval_g = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "g"
+    )
+    train_g = grams.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "g"
+    )
+    hits = train_g.join(F.broadcast(eval_g), "g")
+    return hits.groupBy("eval_doc_id").agg(
+        F.count_distinct("train_doc_id").alias("n_train_docs"),
+        F.count_distinct("g").alias("n_shared_grams"),
+    )
+
+
+ORACLE_CONTAMINATION = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i:i+{CONTAM_N - 1}], ' ') AS g
+  FROM t, unnest(range(1, len(toks) - {CONTAM_N - 2})) AS u(i)
+  WHERE len(toks) >= {CONTAM_N}
+)
+SELECT e.doc_id AS eval_doc_id,
+       COUNT(DISTINCT tr.doc_id) AS n_train_docs,
+       COUNT(DISTINCT e.g) AS n_shared_grams
+FROM g e JOIN g tr ON e.g = tr.g
+WHERE e.doc_id % {EVAL_MOD} = 0 AND tr.doc_id % {EVAL_MOD} <> 0
+GROUP BY e.doc_id
+"""
+
+QUERIES["eval_contamination"] = eval_contamination
+ORACLES["eval_contamination"] = ORACLE_CONTAMINATION
