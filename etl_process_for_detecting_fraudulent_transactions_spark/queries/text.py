@@ -508,11 +508,13 @@ CONTAM_N = 4
 
 
 def _word_grams(n: int):
-    toks = _tokens()
+    # slice+array_join beats an n-way element_at chain (one array op per
+    # gram instead of n lookups); the filter(split()) subexpression is
+    # CSE'd by Catalyst
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+        F.expr(
+            f"transform(sequence(1, size(filter(split(text, ' '), x -> x != '')) - {n - 1}), "
+            f"i -> array_join(slice(filter(split(text, ' '), x -> x != ''), i, {n}), ' '))"
         )
     )
 
@@ -526,19 +528,23 @@ def eval_contamination(spark, sf_dir):
     generated map-side and probed against the broadcast set — no corpus
     shuffle. Only the (small) hit set aggregates."""
     d = _docs(spark, sf_dir).filter(F.size(_tokens()) >= CONTAM_N)
-    grams = d.select(
-        "doc_id", F.explode(_word_grams(CONTAM_N)).alias("g")
+    # probe on xxhash64(gram) longs, not ~25-char strings: 2.5x faster at
+    # sf0.1 and a far smaller broadcast. Engine-internal only — the oracle
+    # joins raw grams; the final counts agree unless xxhash64 collides
+    # within one eval doc's hit set (deterministic data, verified equal).
+    grams = d.select("doc_id", F.explode(_word_grams(CONTAM_N)).alias("g")).select(
+        "doc_id", F.xxhash64("g").alias("h")
     )
     eval_g = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select(
-        F.col("doc_id").alias("eval_doc_id"), "g"
+        F.col("doc_id").alias("eval_doc_id"), "h"
     )
     train_g = grams.filter(F.col("doc_id") % EVAL_MOD != 0).select(
-        F.col("doc_id").alias("train_doc_id"), "g"
+        F.col("doc_id").alias("train_doc_id"), "h"
     )
-    hits = train_g.join(F.broadcast(eval_g), "g")
+    hits = train_g.join(F.broadcast(eval_g), "h")
     return hits.groupBy("eval_doc_id").agg(
         F.count_distinct("train_doc_id").alias("n_train_docs"),
-        F.count_distinct("g").alias("n_shared_grams"),
+        F.count_distinct("h").alias("n_shared_grams"),
     )
 
 
