@@ -231,26 +231,35 @@ WHERE i / (sa.n + sb.n - i) >= {JACCARD_T}
 _HEX = "0123456789abcdef"
 
 
+# One hex→int conversion per WORD (the 32-bit md5 prefix as 'wi'), then each
+# bit is a shift+mask — not 32 per-bit substring+conv extractions. Bit b of
+# the signature = bit (31-b) of the big-endian prefix int, identical to the
+# old per-hex-char layout (char b//4, bit 3-b%4).
+
+def _spark_word_int():
+    return F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
+
+
 def _spark_bit(b: int):
-    ch = F.substring(F.md5("w"), b // 4 + 1, 1)
-    val = F.conv(ch, 16, 10).cast("int")  # hex digit → 0..15
-    return F.when(F.shiftright(val, 3 - b % 4).bitwiseAND(1) == 1, 1).otherwise(-1)
+    return F.when(F.shiftright(F.col("wi"), 31 - b).bitwiseAND(1) == 1, 1).otherwise(-1)
+
+
+_SQL_WORD_INT = "('0x' || substr(md5(w), 1, 8))::UBIGINT"
 
 
 def _sql_bit(b: int) -> str:
-    return (
-        f"CASE WHEN ((instr('{_HEX}', substr(md5(w), {b // 4 + 1}, 1)) - 1) "
-        f">> {3 - b % 4}) & 1 = 1 THEN 1 ELSE -1 END"
-    )
+    return f"CASE WHEN (wi >> {31 - b}) & 1 = 1 THEN 1 ELSE -1 END"
 
 
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 16-bit signature over distinct words, banded into
     4×8 bits; pairs sharing any band verified at hamming ≤ 3."""
     d = _docs(spark, sf_dir)
-    words = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
-    ).filter(F.col("w") != "")
+    words = (
+        d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+        .filter(F.col("w") != "")
+        .withColumn("wi", _spark_word_int())
+    )
     votes = words.groupBy("doc_id").agg(
         *[F.sum(_spark_bit(b)).alias(f"v{b}") for b in range(SIMHASH_BITS)]
     )
@@ -305,7 +314,7 @@ _sql_hamming = " + ".join(
 )
 ORACLE_SIMHASH = f"""
 WITH words AS (
-  SELECT DISTINCT doc_id, w
+  SELECT DISTINCT doc_id, w, {_SQL_WORD_INT} AS wi
   FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents) t
   WHERE w <> ''
 ),
