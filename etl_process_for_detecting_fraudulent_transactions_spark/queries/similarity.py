@@ -552,3 +552,101 @@ GROUP BY label, assigned_label
 
 QUERIES["label_centroid_assign"] = label_centroid_assign
 ORACLES["label_centroid_assign"] = ORACLE_CENTROID_ASSIGN
+
+
+# -- semantic dedup (SemDeDup-style cross-modal curation) --------------------
+# Combine the TEXT quality signal with EMBEDDING-space near-duplication:
+# drop documents below the quality floor, then greedily drop the higher-id
+# member of every embedding near-dup pair (keep-first semantic dedup — the
+# standard greedy approximation of per-cluster keep-one). documents and
+# embeddings are parallel tables (doc_id == vec_id).
+
+SEM_QUALITY_MIN = 0.5
+
+
+def semantic_dedup(spark, sf_dir):
+    """Per-source curation ledger: kept / dropped-by-quality /
+    dropped-as-semantic-dup counts.
+
+    Scale shape: quality scoring is a narrow scan of documents; the near-dup
+    pair set comes from the LSH-bucketed cosine join (sub-quadratic); the
+    drop set (higher ids of pairs) is tiny and broadcasts into an anti join
+    against the quality survivors — the corpus never shuffles."""
+    from .text import STOPWORDS, _docs, _tokens
+
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n
+    len_ok = F.when((n >= 20) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = ttr * F.lit(0.4) + stop_ratio * F.lit(0.2) + len_ok * F.lit(0.4)
+    scored = d.select("doc_id", "source", score.alias("q"))
+
+    sem_drop = (
+        embedding_cosine_pairs(spark, sf_dir)
+        .select(F.col("vec_b").alias("doc_id"))
+        .distinct()
+    )
+    quality_ok = scored.filter(F.col("q") >= SEM_QUALITY_MIN)
+    kept = quality_ok.join(F.broadcast(sem_drop), "doc_id", "left_anti")
+
+    n_total = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_quality = quality_ok.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality_ok"))
+    n_kept = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        n_total.join(n_quality, "source", "left")
+        .join(n_kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_quality_ok", F.lit(0)).alias("n_quality_ok"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH {EMB_D}, b AS (
+  SELECT vec_id, embedding, {{bucket}} AS bucket FROM emb_d
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM b a JOIN b c USING (bucket)
+  WHERE a.vec_id < c.vec_id
+    AND list_cosine_similarity(a.embedding, c.embedding) >= {COSINE_T}
+),
+sem_drop AS (SELECT DISTINCT vec_b AS doc_id FROM pairs),
+scored AS (
+  SELECT doc_id, source,
+         (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4
+       + (CAST(len(list_filter(toks, x -> x IN ({{sw}}))) AS DOUBLE) / len(toks)) * 0.2
+       + (CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.4 AS q
+  FROM (SELECT doc_id, source, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+        FROM documents) t
+),
+quality_ok AS (SELECT * FROM scored WHERE q >= {SEM_QUALITY_MIN}),
+kept AS (
+  SELECT * FROM quality_ok
+  WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)
+)
+SELECT s.source,
+       COUNT(*) AS n_docs,
+       COALESCE((SELECT COUNT(*) FROM quality_ok qo WHERE qo.source = s.source), 0) AS n_quality_ok,
+       COALESCE((SELECT COUNT(*) FROM kept k WHERE k.source = s.source), 0) AS n_kept
+FROM scored s
+GROUP BY s.source
+"""
+
+
+def _finalize_semantic_oracle():
+    from .text import STOPWORDS
+
+    return ORACLE_SEMANTIC_DEDUP.format(
+        bucket=_sql_bucket("embedding"),
+        sw=", ".join(f"'{w}'" for w in STOPWORDS),
+    )
+
+
+QUERIES["semantic_dedup"] = semantic_dedup
+ORACLES["semantic_dedup"] = _finalize_semantic_oracle()
