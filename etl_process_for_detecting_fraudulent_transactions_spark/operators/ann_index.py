@@ -70,6 +70,22 @@ def build_lsh_index(emb: DataFrame, path: str) -> None:
     )
 
 
+def append_to_lsh_index(emb: DataFrame, path: str) -> None:
+    """Incrementally add vectors to an existing index (no rebuild).
+
+    Same banding + one shuffle on bucket; hive-partitioned appends only
+    touch the directories the new vectors' buckets land in. Periodic
+    compaction (re-running build_lsh_index) folds small append files back
+    into few-per-directory — the standard LSM-ish maintenance story."""
+    banded = _with_buckets(emb)
+    (
+        banded.repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
 def query_lsh_index(
     spark: SparkSession,
     path: str,

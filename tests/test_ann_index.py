@@ -87,3 +87,26 @@ def test_probe_scan_prunes_partitions(spark, sf_dir, tmp_path):
     )
     total_rows = spark.read.parquet(path).count()
     assert probed_rows < total_rows / 4
+
+
+def test_incremental_append_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Building from half the vectors then appending the other half must
+    answer probes identically to a one-shot full build."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.ann_index import (
+        append_to_lsh_index,
+    )
+
+    e = _emb(spark, sf_dir)
+    full_path = str(tmp_path / "full")
+    incr_path = str(tmp_path / "incr")
+    build_lsh_index(e, full_path)
+    build_lsh_index(e.filter(F.col("vec_id") % 2 == 0), incr_path)
+    append_to_lsh_index(e.filter(F.col("vec_id") % 2 == 1), incr_path)
+
+    queries = (
+        e.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    full = {tuple(r) for r in query_lsh_index(spark, full_path, queries).collect()}
+    incr = {tuple(r) for r in query_lsh_index(spark, incr_path, queries).collect()}
+    assert full == incr and len(full) > 0
