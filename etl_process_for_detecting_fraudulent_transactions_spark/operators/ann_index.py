@@ -99,12 +99,16 @@ def query_lsh_index(
     pushed as a partition IN-filter, so the parquet scan prunes directories
     statically — no full-index read, no dynamic-pruning dependence.
     """
-    qb = _with_buckets(
-        queries.select(F.col("query_id").alias("vec_id"), "embedding")
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        "bucket",
+    qb = (
+        _with_buckets(queries.select(F.col("query_id").alias("vec_id"), "embedding"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            "bucket",
+        )
+        # cached: the hyperplane projections would otherwise run twice —
+        # once for the driver-side bucket collect, once in the scored join
+        .cache()
     )
     # driver-side bucket list: this is metadata (≤ |queries|*N_TABLES short
     # strings), not data — the exception to the no-collect rule

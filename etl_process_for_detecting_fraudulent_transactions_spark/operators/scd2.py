@@ -4,9 +4,13 @@ The reference mutates a history table in place — anti-joins for new/deleted
 rows, an equi-join with attribute-inequality residual for changed rows, then
 two UPDATEs + three INSERTs (py_scripts/data_to_db.py:145-295). Spark has no
 in-place UPDATE, and a Spark-first design doesn't want one: we classify the
-snapshot against the current version set with ONE full-outer join and emit the
-new history as ``untouched ∪ closed ∪ opened`` — a single deterministic,
-testable transform with an injectable ``run_ts``.
+snapshot against the current version set with TWO broadcast-able joins —
+snapshot ⟕ current (new/changed/unchanged) plus current ▷ snapshot (deleted),
+the exact decomposition of a full outer on a unique key — and emit the new
+history as ``untouched ∪ closed ∪ opened``, a deterministic, testable
+transform with an injectable ``run_ts``. (A single full-outer classify was
+the round-1 shape; Spark executes full outer only as sort-merge and AQE may
+never demote it to broadcast, so the decomposed form wins at dim scale.)
 
 Scale notes (100 TB design): dimension history ≪ facts, so a full rewrite per
 load is cheap; the classify join shuffles only by the natural key (or
@@ -96,7 +100,10 @@ def scd2_apply_snapshot(
         .otherwise(F.lit("unchanged"))
         .alias("_status"),
     ).cache()
-    deleted = cur.join(snap.select(key), key, "left_anti").cache()
+    # deleted is read twice (affected_keys + tombstones) but is dim-scale;
+    # recomputing the anti join is cheaper than pinning another cache entry
+    # for the lifetime of a long-running multi-day ingest
+    deleted = cur.join(snap.select(key), key, "left_anti")
 
     # 'new' is included so that a re-added key's open TOMBSTONE gets closed
     # (the reference never closes it — data_to_db.py:209-271 only updates

@@ -224,12 +224,9 @@ WHERE i / (sa.n + sb.n - i) >= {JACCARD_T}
 
 
 # -- SimHash -----------------------------------------------------------------
-# 16-bit simhash from word md5s. Bit b of a word's hash = bit (3 - b%4) of
+# 32-bit simhash from word md5s. Bit b of a word's hash = bit (3 - b%4) of
 # hex char (b//4) of md5(word), extracted arithmetically so both engines
 # agree. simhash bit = majority vote (sum of ±1 >= 0).
-
-_HEX = "0123456789abcdef"
-
 
 # One hex→int conversion per WORD (the 32-bit md5 prefix as 'wi'), then each
 # bit is a shift+mask — not 32 per-bit substring+conv extractions. Bit b of
@@ -252,7 +249,7 @@ def _sql_bit(b: int) -> str:
 
 
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup: 16-bit signature over distinct words, banded into
+    """SimHash near-dup: 32-bit signature over distinct words, banded into
     4×8 bits; pairs sharing any band verified at hamming ≤ 3."""
     d = _docs(spark, sf_dir)
     words = (

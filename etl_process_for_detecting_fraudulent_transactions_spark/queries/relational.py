@@ -413,8 +413,8 @@ def _scd2_hist(spark, sf_dir):
 
 
 def scd2_snapshot_diff(spark, sf_dir):
-    """X2: two-snapshot SCD2 historization via the engine's full-outer-join
-    classifier (operators/scd2.py), deterministic run_ts.
+    """X2: two-snapshot SCD2 historization via the engine's left+anti
+    classify joins (operators/scd2.py), deterministic run_ts.
 
     Gate-only formatting: the sentinel effective_to (2999-12-31) overflows
     pandas' ns datetime range in the driver's comparison harness

@@ -520,8 +520,8 @@ def _word_grams(n: int):
 
 
 def eval_contamination(spark, sf_dir):
-    """Per eval doc: how many training docs share an n-gram, and how many
-    distinct 8-grams collide.
+    """Per eval doc: how many training docs share a CONTAM_N-token gram, and how many
+    distinct 4-token grams collide (CONTAM_N).
 
     Scale shape: the EVAL side's gram set is broadcast (benchmarks are tiny
     relative to the corpus); the training corpus is scanned ONCE, grams
@@ -529,22 +529,23 @@ def eval_contamination(spark, sf_dir):
     shuffle. Only the (small) hit set aggregates."""
     d = _docs(spark, sf_dir).filter(F.size(_tokens()) >= CONTAM_N)
     # probe on xxhash64(gram) longs, not ~25-char strings: 2.5x faster at
-    # sf0.1 and a far smaller broadcast. Engine-internal only — the oracle
-    # joins raw grams; the final counts agree unless xxhash64 collides
-    # within one eval doc's hit set (deterministic data, verified equal).
-    grams = d.select("doc_id", F.explode(_word_grams(CONTAM_N)).alias("g")).select(
-        "doc_id", F.xxhash64("g").alias("h")
-    )
+    # sf0.1 and a far smaller broadcast-side hash table. The raw grams still
+    # ride along and are equality-checked AFTER the hash join, so a 64-bit
+    # collision costs one spurious candidate row, never a wrong count —
+    # results are exact, not probabilistic.
+    grams = d.select("doc_id", F.explode(_word_grams(CONTAM_N)).alias("g"))
     eval_g = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select(
-        F.col("doc_id").alias("eval_doc_id"), "h"
+        F.col("doc_id").alias("eval_doc_id"),
+        F.xxhash64("g").alias("h"),
+        F.col("g").alias("eg"),
     )
     train_g = grams.filter(F.col("doc_id") % EVAL_MOD != 0).select(
-        F.col("doc_id").alias("train_doc_id"), "h"
+        F.col("doc_id").alias("train_doc_id"), F.xxhash64("g").alias("h"), "g"
     )
-    hits = train_g.join(F.broadcast(eval_g), "h")
+    hits = train_g.join(F.broadcast(eval_g), "h").filter(F.col("g") == F.col("eg"))
     return hits.groupBy("eval_doc_id").agg(
         F.count_distinct("train_doc_id").alias("n_train_docs"),
-        F.count_distinct("h").alias("n_shared_grams"),
+        F.count_distinct("eg").alias("n_shared_grams"),
     )
 
 
