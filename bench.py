@@ -1,12 +1,26 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: sec, ...}, "errors": {name: msg, ...}, "sf": ...}.
 
-Each query is timed as a cold logical plan → full materialization
-(count via noop-ish collect of aggregates; collect() for row outputs).
-Session startup is excluded (the driver compares per-query throughput,
-not JVM boot).
+Each query is timed as a cold logical plan → full materialization through a
+noop sink (count() would let Catalyst prune unreferenced columns,
+under-timing narrow projections; the noop sink materializes every output
+column without write-path cost). Best-of-2 per query — the host is noisy;
+min is the signal. Session startup is excluded (the driver compares
+per-query throughput, not JVM boot).
+
+The complete result (including every per-query time, which the driver's
+stored tail may truncate) is also written to bench_full.json next to this
+file.
+
+Env hooks:
+- SPARK_GRAFT_BENCH_KEYS=a,b,c  — subset the query keys.
+- SPARK_GRAFT_BENCH_SCALE_UNION=K — ALSO run a throughput tier: the
+  documents/embeddings-family headline queries against a K-way self-union
+  of the input tables (K×sf rows), reporting rows/s per query in the
+  "throughput" JSON key. This gives at least one number that is not
+  per-query-overhead-dominated at local scales.
 """
 
 from __future__ import annotations
@@ -20,6 +34,82 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_process_for_detecting_fraudulent_transactions_spark.queries import all_queries  # noqa: E402
 from etl_process_for_detecting_fraudulent_transactions_spark.session import get_spark  # noqa: E402
+
+# throughput tier: queries whose input-side rows dominate their cost, one
+# representative per family (dedup / similarity / text / relational-window)
+SCALE_KEYS = (
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_lsh",
+    "text_token_stats",
+    "text_quality",
+    "doc_fingerprint",
+    "sessionize",
+)
+# input table each scale query is throughput-bounded by (for the rows/s numerator)
+SCALE_INPUT = {
+    "dedup_exact": "documents",
+    "dedup_minhash_lsh": "documents",
+    "dedup_simhash": "documents",
+    "knn_lsh": "embeddings",
+    "text_token_stats": "documents",
+    "text_quality": "documents",
+    "doc_fingerprint": "documents",
+    "sessionize": "events",
+}
+
+
+def _time_query(spark, fn, sf_dir: str, iters: int = 2):
+    """(best_sec or None, row_count or None, error or None)."""
+    best, n, err = None, None, None
+    for it in range(iters):
+        try:
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+            if it == 0:
+                n = df.count()  # untimed, reporting only
+        except Exception as exc:  # noqa: BLE001 — one bad query must not kill the bench
+            # keep a valid earlier iteration's time: a transient failure on
+            # iteration 2 should not discard iteration 1's measurement
+            err = f"{type(exc).__name__}: {exc}"[:300]
+        finally:
+            # queries are independent: drop cached frames so one query's
+            # cache residue doesn't squeeze the next one's execution memory
+            spark.catalog.clearCache()
+    return best, n, err
+
+
+def _scale_union_dir(spark, sf_dir: str, k: int, out_dir: str) -> str:
+    """Materialize a K-way self-union of the scale-tier input tables with
+    re-keyed ids (distinct rows, same distributions) as parquet."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    specs = {
+        "documents": ("doc_id", 1_000_000),
+        "embeddings": ("vec_id", 1_000_000),
+        "events": ("event_id", 100_000_000),
+    }
+    for table, (key, stride) in specs.items():
+        src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        parts = [
+            src.withColumn(key, (src[key] + (i * stride)).cast(src.schema[key].dataType))
+            for i in range(k)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+    # remaining tables are read as-is via symlink (queries only touch the 3 above)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        dst = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{sf_dir}/{t}.parquet", dst)
+    return out_dir
 
 
 def main() -> None:
@@ -40,43 +130,59 @@ def main() -> None:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(qs):
-        best, n = None, 0
-        try:
-            for it in range(2):  # best-of-2: the host is noisy; min is the signal
-                t0 = time.perf_counter()
-                df = qs[name](spark, sf_dir)
-                # noop sink: materializes EVERY output column (count() would
-                # let Catalyst prune unreferenced columns, under-timing
-                # narrow projection queries) without write-path cost
-                df.write.format("noop").mode("overwrite").save()
-                elapsed = time.perf_counter() - t0
-                best = elapsed if best is None else min(best, elapsed)
-                if it == 0:
-                    n = df.count()  # untimed, reporting only
-                # queries are independent: drop cached frames so one query's
-                # cache residue doesn't squeeze the next one's execution memory
-                spark.catalog.clearCache()
-        except Exception as exc:  # noqa: BLE001 — one bad query must not kill the bench
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-            spark.catalog.clearCache()
-            continue
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        best, n, err = _time_query(spark, qs[name], sf_dir)
+        if err is not None:
+            errors[name] = err
+            print(f"# {name}: ERROR {err}", file=sys.stderr)
+        if best is not None:
+            times[name] = round(best, 3)
+            print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
-    total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "query_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "errors": errors,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    result = {
+        "metric": "query_suite_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "errors": errors,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    scale_k = os.environ.get("SPARK_GRAFT_BENCH_SCALE_UNION")
+    if scale_k:
+        k = int(scale_k)
+        import tempfile
+
+        with tempfile.TemporaryDirectory(prefix="bench_scale_") as tmp:
+            big_dir = _scale_union_dir(spark, sf_dir, k, tmp)
+            in_rows = {
+                t: spark.read.parquet(f"{big_dir}/{t}.parquet").count()
+                for t in set(SCALE_INPUT.values())
             }
-        )
-    )
+            throughput: dict[str, dict] = {}
+            for name in SCALE_KEYS:
+                if name not in qs:
+                    continue
+                best, n, err = _time_query(spark, qs[name], big_dir)
+                if best is None:
+                    errors[f"scale:{name}"] = err or "failed"
+                    continue
+                rows = in_rows[SCALE_INPUT[name]]
+                throughput[name] = {
+                    "sec": round(best, 3),
+                    "input_rows": rows,
+                    "rows_per_sec": round(rows / best),
+                }
+                print(
+                    f"# scale[{k}x] {name}: {best:.3f}s "
+                    f"({throughput[name]['rows_per_sec']} rows/s)",
+                    file=sys.stderr,
+                )
+            result["throughput"] = {"union_k": k, "queries": throughput}
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_full.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
     spark.stop()
 
 

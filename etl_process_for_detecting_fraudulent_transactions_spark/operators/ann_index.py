@@ -59,11 +59,15 @@ def build_lsh_index(emb: DataFrame, path: str) -> None:
 
     ``emb`` must carry (vec_id, embedding array<double>). The write shuffles
     once on bucket so each of the ~N_TABLES*2^P directories is a few large
-    files, not one file per input task.
+    files, not one file per input task. The AQE ``REBALANCE`` hint (not a
+    plain ``repartition``) makes the shuffle SKEW-SAFE: a hot bucket — a
+    dense hash region holding far more than 1/2^P of the corpus — is split
+    across multiple tasks/files instead of serializing into one giant task
+    (pinned by tests/test_ann_index.py::test_build_splits_hot_bucket).
     """
     banded = _with_buckets(emb)
     (
-        banded.repartition("bucket")
+        banded.hint("rebalance", "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
@@ -79,7 +83,7 @@ def append_to_lsh_index(emb: DataFrame, path: str) -> None:
     into few-per-directory — the standard LSM-ish maintenance story."""
     banded = _with_buckets(emb)
     (
-        banded.repartition("bucket")
+        banded.hint("rebalance", "bucket")
         .write.mode("append")
         .partitionBy("bucket")
         .parquet(path)
@@ -91,6 +95,7 @@ def query_lsh_index(
     path: str,
     queries: DataFrame,
     top_k: int = TOP_K,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact-rerank top-k within the probed buckets.
 
@@ -98,6 +103,12 @@ def query_lsh_index(
     is collected to the driver (bounded: |queries| * N_TABLES strings) and
     pushed as a partition IN-filter, so the parquet scan prunes directories
     statically — no full-index read, no dynamic-pruning dependence.
+
+    ``exclude_self=True`` drops neighbors whose corpus vec_id equals the
+    query_id — correct when queries ARE corpus members (the self-match is
+    noise). For EXTERNAL queries whose ids are not in the corpus vec_id
+    space, pass ``exclude_self=False``: a coincidental id collision would
+    otherwise silently drop a valid neighbor.
     """
     qb = (
         _with_buckets(queries.select(F.col("query_id").alias("vec_id"), "embedding"))
@@ -106,9 +117,14 @@ def query_lsh_index(
             F.col("embedding").alias("qv"),
             "bucket",
         )
-        # cached: the hyperplane projections would otherwise run twice —
-        # once for the driver-side bucket collect, once in the scored join
-        .cache()
+        # eagerly checkpointed, NOT cached: the hyperplane projections would
+        # otherwise run twice (driver-side bucket collect + scored join), and
+        # a cache() here would stay pinned in executor storage after the
+        # probe returns — in the "build once, probe many" loop each probe
+        # would leak one cached frame until eviction (ADVICE r2). The
+        # checkpoint blocks are tiny (|queries| × N_TABLES rows) and are
+        # released by the ContextCleaner when this frame goes out of scope.
+        .localCheckpoint(eager=True)
     )
     # driver-side bucket list: this is metadata (≤ |queries|*N_TABLES short
     # strings), not data — the exception to the no-collect rule
@@ -121,10 +137,11 @@ def query_lsh_index(
     # score in the map stage, dedupe multi-table hits on scalar keys (the
     # duplicate scores are bit-identical, so max() is a pure dedupe) — never
     # shuffle or key a distinct on the embedding arrays themselves
+    scored = qb.join(idx, "bucket")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = (
-        qb.join(idx, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        scored.select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("cv")).alias("sim"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("sim").alias("sim"))
     )

@@ -31,14 +31,18 @@ from . import (
 )
 
 # Order matters: the driver's correctness budget covers roughly the first 50
-# registered queries. Round 1 listed relational/extra/tpch first and starved
-# every dedup/similarity/text/sampling/timeseries/quality gate of driver
-# evidence (VERDICT r1 #5). Registry order for round 2:
-#   1. the 7 gates fixed this round (NTZ window gates, SCD2 sentinel,
-#      BIGINT-cast oracles) — they need fresh driver evidence;
-#   2. the LLM-pipeline families the driver has never checked;
-#   3. the already-driver-green relational/extra/tpch families (still guarded
-#      by local parity tests in tests/test_oracle_parity.py).
+# registered queries (r1 and r2 both checked exactly the first 50). Rotation
+# for round 3 (VERDICT r2 #1):
+#   1. the 7 tpch_rest batch-3 queries — the ONLY oracle-backed queries with
+#      zero driver evidence across rounds 1-2;
+#   2. queries whose implementation changed this round and need fresh
+#      evidence: dedup_minhash_mllib (now exact-verified + oracle-backed),
+#      multimodal_features (real PPM decode kernel replaces the stub);
+#   3. the similarity family (re-verify after the cosine-kernel A/B);
+#   4. fill to 50 with the families last checked in round 1 (relational,
+#      tpch_more) — two rounds stale, still locally parity-tested.
+# The r2-green dedup/text/sampling/timeseries/quality/stats families rotate
+# out; they keep local parity coverage in tests/test_oracle_parity.py.
 _MODULES = (
     relational,
     extra,
@@ -54,31 +58,36 @@ _MODULES = (
     multimodal,
 )
 
-# Keys re-verified first this round (fixed since CORRECTNESS_r01).
+# Keys verified first this round (never-checked or changed since r2).
 _PRIORITY_KEYS = (
-    "window_lead_gap",
-    "window_lag_seq",
-    "sessionize",
-    "scd2_snapshot_diff",
-    "tpch_q12_priority_class",
-    "tpch_q18_large_orders",
-    "json_props_stats",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "dedup_minhash_mllib",
+    "multimodal_features",
+    "multimodal_frame_sample",
 )
 
-# Family order after the priority keys: never-driver-checked families first.
+# Family order after the priority keys.
+# First-50 budget: 10 priority + tpch_rest remainder (3) + similarity (7)
+# + relational (21) + tpch_more (9) = 50.
 _FAMILY_ORDER = (
-    dedup,
+    tpch_rest,
     similarity,
+    relational,
+    tpch_more,
+    extra,
+    dedup,
     text,
     sampling,
     timeseries,
     quality,
     stats,
     multimodal,
-    relational,
-    extra,
-    tpch_more,
-    tpch_rest,
 )
 
 

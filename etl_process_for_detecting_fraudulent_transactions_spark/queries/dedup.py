@@ -133,6 +133,36 @@ WHERE i / (sa.n + sb.n - i) >= {JACCARD_T}
 
 # -- MinHash + LSH -----------------------------------------------------------
 
+def _verify_exact_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-Jaccard verify of candidate (doc_a < doc_b) pairs over the
+    shingle set ``sh``: size-ratio prefilter (|A∩B|/|A∪B| ≥ t forces
+    min(|A|,|B|)/max ≥ t — provably output-preserving, so the oracle needs
+    no counterpart) then the shingle-intersection join. Shared by every LSH
+    candidate generator: the generator only affects RECALL, the verified
+    output is exact, which is what makes approximate generators
+    oracle-checkable at all."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cand = (
+        cand.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .filter(
+            (F.least("na", "nb").cast("double") / F.greatest("na", "nb")) >= JACCARD_T
+        )
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup: shingle → K=9 minhashes (string-min over seeded
     md5 digests) → 3 bands of 3 → band-bucket join → verify true Jaccard.
@@ -165,29 +195,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # size-ratio prefilter: |A∩B|/|A∪B| ≥ t forces min(|A|,|B|)/max ≥ t, so
-    # prune candidates BEFORE the expensive shingle-verify join (provably
-    # output-preserving — the oracle needs no counterpart)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    cand = (
-        cand.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .filter(
-            (F.least("na", "nb").cast("double") / F.greatest("na", "nb")) >= JACCARD_T
-        )
-    )
-    sa, sb = sh.alias("sa"), sh.alias("sb")
-    inter = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    return (
-        inter.withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
-        .filter(F.col("jaccard") >= JACCARD_T)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_exact_jaccard(sh, cand)
 
 
 _mh_cols = ", ".join(
@@ -434,21 +442,31 @@ QUERIES["dedup_clusters"] = dedup_clusters
 ORACLES["dedup_clusters"] = ORACLE_CLUSTERS
 
 
-# -- MLlib-native variant (no SQL oracle: MLlib-internal hash family) --------
+# -- MLlib-native variant (candidate generator: MinHashLSH) ------------------
 
 def dedup_minhash_mllib(spark, sf_dir):
-    """MinHashLSH.approxSimilarityJoin dedup (ml/lsh_dedup.py). Deterministic
-    (seeded) but the hash family is MLlib-internal → rows-only driver check;
-    recall vs the exact-Jaccard oracle pairs is asserted in tests/test_ml.py.
+    """MLlib MinHashLSH as the CANDIDATE GENERATOR, exact-Jaccard verified.
+
+    ``approxSimilarityJoin`` (ml/lsh_dedup.py) proposes pairs from its
+    internal seeded hash family — non-SQL-expressible, which kept this gate
+    rows-only in rounds 1-2. Round 3 closes that: candidates are re-verified
+    with the same exact shingle-Jaccard join the hand-rolled LSH uses, so the
+    OUTPUT is the exact ≥0.4 pair set and the DuckDB exact-pairs oracle
+    applies. The hash-match then doubles as a RECALL assertion: a missed true
+    pair would show up as a row-count/hash mismatch (recall is additionally
+    pinned in tests/test_ml.py; at the planted dups' >0.9 Jaccard, T=5 tables
+    recall 1-(1-j)^5 > 99.99%).
     """
     from ..ml.lsh_dedup import minhash_dedup_pairs
 
     docs = _docs(spark, sf_dir)
-    return minhash_dedup_pairs(docs, jaccard_threshold=JACCARD_T)
+    cand = minhash_dedup_pairs(docs, jaccard_threshold=JACCARD_T).select("doc_a", "doc_b")
+    return _verify_exact_jaccard(_shingles(spark, sf_dir), cand)
 
 
 QUERIES["dedup_minhash_mllib"] = dedup_minhash_mllib
-# deliberately no ORACLES entry — non-SQL-expressible hash family
+# same exact-pairs contract as dedup_ngram_jaccard once verified
+ORACLES["dedup_minhash_mllib"] = ORACLE_NGRAM
 
 
 # -- edit-distance fuzzy matching ---------------------------------------------

@@ -1,10 +1,15 @@
-"""Multimodal plumbing gate: binary payload → Arrow-batched mapInPandas
-feature extraction, validated against an analytic DuckDB oracle.
+"""Multimodal decode gate: synthesize REAL binary-PPM payloads from the
+documents fixture, decode them with the real pure-Python PPM parser inside
+Arrow-batched ``mapInPandas``, and validate the decoded dimensions and
+pixel-mean against an analytic DuckDB oracle.
 
-The stub decoder derives (width, height, mean) from md5 bytes, so the oracle
-can recompute them in pure SQL — the gate therefore checks the REAL
-Pandas-UDF path (schema contract, Arrow batch iteration, binary handling)
-against an independent derivation, not against itself.
+The synthesis is deterministic (dimensions from md5(text) bytes, pixel i =
+``(doc_id*31 + i*7) % 256``), so the oracle recomputes width/height/byte_len
+analytically and the raster mean with a per-doc lateral ``range`` — a fully
+independent derivation of what the decoder must read out of the actual
+bytes. ``content_md5`` (payload md5) is real but this DuckDB build has no
+``md5(BLOB)``, so the gate projects it out; tests/test_multimodal.py pins it
+against a Python-side construction instead.
 """
 
 from __future__ import annotations
@@ -15,6 +20,7 @@ from ..operators.multimodal import (
     extract_media_features,
     frame_sample,
     media_from_documents,
+    synthesize_ppm_media,
 )
 
 _HEX = "0123456789abcdef"
@@ -29,20 +35,30 @@ def _sql_md5_byte(expr: str, i: int) -> str:
 
 def multimodal_features(spark: SparkSession, sf_dir: str):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return extract_media_features(media_from_documents(docs), fake_decode=True)
+    return extract_media_features(synthesize_ppm_media(docs)).drop("content_md5")
 
 
+# Header is b"P6\n%d %d\n255\n" → 3 + digits(w) + 1 + digits(h) + 1 + 4 bytes;
+# raster is 3*w*h bytes of (doc_id*31 + i*7) % 256; mean = sum/(3*w*h*255).
 ORACLE_FEATURES = f"""
-SELECT doc_id AS media_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'image'
-            WHEN doc_id % 3 = 1 THEN 'audio'
-            ELSE 'video' END AS media_type,
-       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-       md5(text) AS content_md5,
-       CAST(16 + {_sql_md5_byte('text', 0)} % 240 AS INT) AS width,
-       CAST(16 + {_sql_md5_byte('text', 1)} % 240 AS INT) AS height,
-       CAST({_sql_md5_byte('text', 2)} AS DOUBLE) / CAST(255 AS DOUBLE) AS mean_intensity
-FROM documents
+WITH m AS (
+  SELECT doc_id,
+         CAST(4 + {_sql_md5_byte('text', 0)} % 13 AS INT) AS width,
+         CAST(4 + {_sql_md5_byte('text', 1)} % 13 AS INT) AS height
+  FROM documents
+),
+px AS (
+  SELECT doc_id, CAST(SUM((doc_id * 31 + i * 7) % 256) AS BIGINT) AS s
+  FROM m, unnest(range(0, 3 * width * height)) AS u(i)
+  GROUP BY doc_id
+)
+SELECT m.doc_id AS media_id,
+       'image' AS media_type,
+       CAST(9 + length(CAST(width AS VARCHAR)) + length(CAST(height AS VARCHAR))
+            + 3 * width * height AS BIGINT) AS byte_len,
+       width, height,
+       CAST(px.s AS DOUBLE) / (3 * width * height * 255) AS mean_intensity
+FROM m JOIN px USING (doc_id)
 """
 
 
