@@ -16,6 +16,7 @@ error, and ties break on vec_id, so row_number ranks are engine-stable.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -38,11 +39,63 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cosine(a, b):
+def _cosine_hof(a, b):
+    """Catalyst higher-order-function cosine: JVM-side, sequential sums
+    (bit-identical to DuckDB's list_cosine_similarity), but the HOF lambdas
+    are INTERPRETED per element — ~200 expression evals per pair."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
     return dot / (na * nb)
+
+
+def _make_cosine_pandas():
+    """Arrow-batched vectorized cosine: whole candidate batches cross into
+    numpy once and the dot/norm reductions run as BLAS/SIMD matrix ops.
+
+    Float note: numpy's pairwise-summed reductions can differ from a
+    sequential sum in the last ulp. The knn gates output RANKS (sims of
+    distinct random vectors differ by ≫ float error, ties break on id) so
+    ranks are engine-stable either way; the THRESHOLD gates
+    (embedding_cosine_pairs / semantic_dedup) stay on the sequential HOF
+    kernel so their boundary comparisons match the oracle bit-for-bit.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(a, b):
+        import numpy as np
+        import pandas as pd
+
+        av = np.stack(a.to_numpy())
+        bv = np.stack(b.to_numpy())
+        dots = np.einsum("ij,ij->i", av, bv)
+        na = np.sqrt(np.einsum("ij,ij->i", av, av))
+        nb = np.sqrt(np.einsum("ij,ij->i", bv, bv))
+        return pd.Series(dots / (na * nb))
+
+    return pandas_udf(_cos, "double")
+
+
+_cosine_pandas_udf = None
+
+
+def _cosine_vec(a, b):
+    """Vectorized cosine (A/B winner for rank-output gates — 2024-style
+    Arrow pandas_udf; see ROUNDLOG r3 for the measured deltas)."""
+    global _cosine_pandas_udf
+    if _cosine_pandas_udf is None:
+        _cosine_pandas_udf = _make_cosine_pandas()
+    return _cosine_pandas_udf(a, b)
+
+
+# Kernel switch for the rank-output knn family. "pandas" (default) =
+# Arrow-vectorized; "hof" = Catalyst sequential (the oracle-exact kernel,
+# also used unconditionally by the threshold gates). Env override for A/B:
+# SPARK_GRAFT_COSINE=hof python bench.py
+def _cosine(a, b):
+    if os.environ.get("SPARK_GRAFT_COSINE", "pandas") == "hof":
+        return _cosine_hof(a, b)
+    return _cosine_vec(a, b)
 
 
 def knn_brute_force(spark, sf_dir):
@@ -228,7 +281,9 @@ def embedding_cosine_pairs(spark, sf_dir):
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim", _cosine(F.col("va"), F.col("vb")))
+        # sequential-sum kernel on purpose: the >= COSINE_T boundary must
+        # match the oracle bit-for-bit (rank gates can use the vector kernel)
+        .withColumn("sim", _cosine_hof(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= COSINE_T)
         .select("vec_a", "vec_b")
     )
