@@ -60,15 +60,14 @@ class MediaDecodeError(ValueError):
     """Malformed payload for the format its magic bytes claim."""
 
 
-def decode_ppm(payload: bytes) -> tuple[int, int, float]:
-    """REAL pure-Python decoder for binary PPM (netpbm ``P6``).
+def decode_ppm_raster(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL pure-Python parser for binary PPM (netpbm ``P6``).
 
     Parses the header per the netpbm spec subset that matters — ``P6``
     magic, ``#`` comment lines, whitespace-separated width/height/maxval,
-    single whitespace byte before the raster — then computes the pixel-mean
-    from the actual raster bytes. Returns (width, height, mean_intensity)
-    with mean_intensity = sum(raster) / (n_samples * maxval) ∈ [0, 1].
-    Raises MediaDecodeError on truncation or malformed headers.
+    single whitespace byte before the raster — and returns
+    (width, height, maxval, raster_bytes). Raises MediaDecodeError on
+    truncation or malformed headers.
     """
     if payload[:2] != b"P6":
         raise MediaDecodeError("not a P6 PPM payload")
@@ -99,15 +98,89 @@ def decode_ppm(payload: bytes) -> tuple[int, int, float]:
     raster = payload[pos : pos + n]
     if len(raster) != n:
         raise MediaDecodeError(f"truncated PPM raster: {len(raster)} of {n} bytes")
-    if bytes_per_sample == 1:
-        total = sum(raster)
-        samples = n
+    return width, height, maxval, raster
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, float]:
+    """Decode a P6 PPM and compute the pixel mean from the actual raster.
+
+    Returns (width, height, mean_intensity) with
+    mean_intensity = sum(samples) / (n_samples * maxval) ∈ [0, 1].
+    """
+    width, height, maxval, raster = decode_ppm_raster(payload)
+    if maxval < 256:
+        total, samples = sum(raster), len(raster)
     else:  # 16-bit samples, big-endian per spec
-        samples = n // 2
+        samples = len(raster) // 2
         total = sum(
             (raster[2 * i] << 8) | raster[2 * i + 1] for i in range(samples)
         )
     return width, height, total / (samples * maxval)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL pure-Python decoder for RIFF/WAVE PCM audio.
+
+    Walks the chunk list (not fixed offsets — real WAV files carry LIST/fact
+    chunks before data), validates the fmt chunk (PCM, 16-bit), and computes
+    RMS amplitude from the actual little-endian samples. Returns
+    (sample_rate, n_channels, n_samples, rms) with rms in raw sample units.
+    Raises MediaDecodeError on truncation/malformed chunks.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise MediaDecodeError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise MediaDecodeError(f"truncated {cid!r} chunk: {len(body)} of {size}")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise MediaDecodeError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise MediaDecodeError(f"unsupported WAV encoding fmt={audio_format} bits={bits}")
+    if n_channels < 1 or len(data) % (2 * n_channels):
+        raise MediaDecodeError("data chunk not a whole number of frames")
+    n_total = len(data) // 2
+    sq = 0
+    for i in range(n_total):
+        s = int.from_bytes(data[2 * i : 2 * i + 2], "little", signed=True)
+        sq += s * s
+    n_samples = n_total // n_channels
+    import math
+
+    return sample_rate, n_channels, n_samples, math.sqrt(sq / n_total)
+
+
+def resize_nearest(
+    raster: bytes, src_w: int, src_h: int, out_w: int, out_h: int
+) -> bytes:
+    """REAL nearest-neighbor RGB resize over a decoded raster: output pixel
+    (x, y) samples source pixel (x*src_w//out_w, y*src_h//out_h) — exact
+    integer index math so any engine can replay it."""
+    if len(raster) != 3 * src_w * src_h:
+        raise MediaDecodeError("raster size does not match dimensions")
+    out = bytearray(3 * out_w * out_h)
+    o = 0
+    for y in range(out_h):
+        sy = y * src_h // out_h
+        for x in range(out_w):
+            sx = x * src_w // out_w
+            src = 3 * (sy * src_w + sx)
+            out[o : o + 3] = raster[src : src + 3]
+            o += 3
+    return bytes(out)
 
 
 def decode_image(payload: bytes) -> tuple[int, int, float]:
@@ -194,6 +267,121 @@ def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id", "text", "source").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+WAV_RATE = 8000
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("resized_sum", LongType()),
+        StructField("resized_mean", DoubleType()),
+    ]
+)
+
+
+def synthesize_wav_media(docs: DataFrame) -> DataFrame:
+    """Fabricate REAL RIFF/WAVE PCM payloads from the documents fixture.
+
+    Deterministic for oracle replay: n_samples = 64 + md5(text)[2] % 192,
+    sample i = ``((doc_id*7 + i*13) % 65536) - 32768`` as little-endian
+    int16, mono at WAV_RATE. The files are genuine canonical WAVs — any
+    audio tool plays them — so the decoder downstream walks real chunks.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = 64 + hashlib.md5(text.encode()).digest()[2] % 192
+                data = b"".join(
+                    (((d * 7 + i * 13) % 65536) - 32768).to_bytes(2, "little", signed=True)
+                    for i in range(n)
+                )
+                fmt = (
+                    (1).to_bytes(2, "little")          # PCM
+                    + (1).to_bytes(2, "little")        # mono
+                    + WAV_RATE.to_bytes(4, "little")
+                    + (WAV_RATE * 2).to_bytes(4, "little")  # byte rate
+                    + (2).to_bytes(2, "little")        # block align
+                    + (16).to_bytes(2, "little")       # bits per sample
+                )
+                chunks = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                chunks += b"data" + len(data).to_bytes(4, "little") + data
+                payloads.append(b"RIFF" + len(chunks).to_bytes(4, "little") + chunks)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "source": pdf["source"],
+                }
+            )
+
+    return docs.select("doc_id", "text", "source").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads in Arrow batches: sample-rate/duration from the
+    fmt chunk, RMS from the actual PCM samples."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [decode_wav(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [r[0] for r in rows],
+                    "n_channels": [r[1] for r in rows],
+                    "n_samples": [r[2] for r in rows],
+                    "duration_sec": [r[2] / r[0] for r in rows],
+                    "rms": [r[3] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+def resize_media(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Decode P6 payloads and nearest-neighbor-resize the real raster to
+    (out_w, out_h); emits the resized raster's sum/mean so an analytic
+    oracle can replay the exact integer index math."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, maxval, raster = decode_ppm_raster(bytes(p))
+                rz = resize_nearest(raster, w, h, out_w, out_h)
+                s = sum(rz)
+                out_rows.append(
+                    (mid, w, h, out_w, out_h, s, s / (len(rz) * maxval))
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "media_id", "src_width", "src_height",
+                    "out_width", "out_height", "resized_sum", "resized_mean",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:

@@ -70,11 +70,14 @@ _PRIORITY_KEYS = (
     "dedup_minhash_mllib",
     "multimodal_features",
     "multimodal_frame_sample",
+    "multimodal_audio_features",
+    "multimodal_resize",
 )
 
 # Family order after the priority keys.
-# First-50 budget: 10 priority + tpch_rest remainder (3) + similarity (7)
-# + relational (21) + tpch_more (9) = 50.
+# First-50 budget: 12 priority + tpch_rest remainder (3) + similarity (7)
+# + relational (21) + tpch_more (first 7) = 50; tpch_more's last two
+# (r1-green, locally parity-tested) rotate just outside.
 _FAMILY_ORDER = (
     tpch_rest,
     similarity,

@@ -17,10 +17,14 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from ..operators.multimodal import (
+    WAV_RATE,
+    extract_audio_features,
     extract_media_features,
     frame_sample,
     media_from_documents,
+    resize_media,
     synthesize_ppm_media,
+    synthesize_wav_media,
 )
 
 _HEX = "0123456789abcdef"
@@ -78,12 +82,86 @@ FROM m, unnest(range(0, n)) AS u(i)
 """
 
 
+def multimodal_audio_features(spark: SparkSession, sf_dir: str):
+    """Genuine RIFF/WAVE PCM payloads → real chunk-walking decoder → RMS and
+    duration from the actual samples; oracle replays the deterministic
+    sample function analytically."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_audio_features(synthesize_wav_media(docs))
+
+
+# sample i = ((doc_id*7 + i*13) % 65536) - 32768; n = 64 + md5(text)[2] % 192
+ORACLE_AUDIO = f"""
+WITH m AS (
+  SELECT doc_id, 64 + {_sql_md5_byte('text', 2)} % 192 AS n FROM documents
+),
+ss AS (
+  SELECT doc_id,
+         SUM(((doc_id * 7 + i * 13) % 65536 - 32768)
+             * ((doc_id * 7 + i * 13) % 65536 - 32768)) AS sq
+  FROM m, unnest(range(0, n)) AS u(i)
+  GROUP BY doc_id
+)
+SELECT m.doc_id AS media_id,
+       CAST({WAV_RATE} AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(m.n AS BIGINT) AS n_samples,
+       CAST(m.n AS DOUBLE) / {WAV_RATE} AS duration_sec,
+       sqrt(CAST(sq AS DOUBLE) / m.n) AS rms
+FROM m JOIN ss USING (doc_id)
+"""
+
+
+RESIZE_W = RESIZE_H = 4
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str):
+    """Real nearest-neighbor resize of the decoded PPM rasters to 4x4;
+    oracle replays the exact integer index math (x*src_w//out_w) over the
+    known pixel function."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return resize_media(synthesize_ppm_media(docs), RESIZE_W, RESIZE_H)
+
+
+# resized pixel (x, y, c) samples raster index 3*((y*h//4)*w + (x*w//4)) + c,
+# whose value is (doc_id*31 + idx*7) % 256
+ORACLE_RESIZE = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(4 + {_sql_md5_byte('text', 0)} % 13 AS INT) AS w,
+         CAST(4 + {_sql_md5_byte('text', 1)} % 13 AS INT) AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+         SUM((doc_id * 31
+              + (3 * ((y * h // {RESIZE_H}) * w + (x * w // {RESIZE_W})) + c) * 7)
+             % 256) AS s
+  FROM m,
+       unnest(range(0, {RESIZE_H})) AS uy(y),
+       unnest(range(0, {RESIZE_W})) AS ux(x),
+       unnest(range(0, 3)) AS uc(c)
+  GROUP BY doc_id
+)
+SELECT m.doc_id AS media_id,
+       m.w AS src_width, m.h AS src_height,
+       CAST({RESIZE_W} AS INT) AS out_width, CAST({RESIZE_H} AS INT) AS out_height,
+       CAST(px.s AS BIGINT) AS resized_sum,
+       CAST(px.s AS DOUBLE) / ({RESIZE_W * RESIZE_H * 3} * 255) AS resized_mean
+FROM m JOIN px USING (doc_id)
+"""
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_resize": multimodal_resize,
 }
 
 ORACLES = {
     "multimodal_features": ORACLE_FEATURES,
     "multimodal_frame_sample": ORACLE_FRAMES,
+    "multimodal_audio_features": ORACLE_AUDIO,
+    "multimodal_resize": ORACLE_RESIZE,
 }

@@ -64,6 +64,71 @@ def test_decode_image_dispatch():
         decode_image(b"\x89PNG\r\n\x1a\n")
 
 
+def test_decode_wav_known_samples():
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    samples = [0, 1000, -1000, 32767]
+    data = b"".join(s.to_bytes(2, "little", signed=True) for s in samples)
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    # extra LIST chunk before data: the decoder must WALK chunks, not assume
+    # a fixed 44-byte layout
+    chunks = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    wav = b"RIFF" + len(chunks).to_bytes(4, "little") + chunks
+    rate, ch, n, rms = decode_wav(wav)
+    assert (rate, ch, n) == (8000, 1, 4)
+    import math
+
+    assert rms == math.sqrt(sum(s * s for s in samples) / 4)
+
+
+def test_decode_wav_rejects_malformed():
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    with pytest.raises(MediaDecodeError, match="not a RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    with pytest.raises(MediaDecodeError, match="missing fmt/data"):
+        decode_wav(b"RIFF" + (4).to_bytes(4, "little") + b"WAVE")
+    # fmt claiming mu-law must be refused, not mis-decoded
+    fmt = (
+        (7).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    chunks = (
+        b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + (2).to_bytes(4, "little") + b"\x00\x00"
+    )
+    with pytest.raises(MediaDecodeError, match="unsupported WAV encoding"):
+        decode_wav(b"RIFF" + len(chunks).to_bytes(4, "little") + chunks)
+
+
+def test_resize_nearest_known_raster():
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    # 2x2 RGB downsampled to 1x1 must pick the top-left pixel (0*2//1 == 0)
+    raster = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])
+    assert resize_nearest(raster, 2, 2, 1, 1) == bytes([1, 2, 3])
+    # 1x1 upsampled to 2x2 replicates the single pixel
+    assert resize_nearest(bytes([9, 8, 7]), 1, 1, 2, 2) == bytes([9, 8, 7] * 4)
+    with pytest.raises(MediaDecodeError, match="raster size"):
+        resize_nearest(raster, 3, 3, 1, 1)
+
+
 def test_synthesized_payloads_decode_end_to_end(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     feats = extract_media_features(synthesize_ppm_media(docs))
