@@ -31,26 +31,22 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries.similarity import (
-    N_TABLES,
     TOP_K,
-    _TABLE_SIGNS,
+    _all_buckets_col,
     _cosine,
-    _signs_bucket_col,
 )
 
 
 def _with_buckets(emb: DataFrame) -> DataFrame:
-    """One row per (vec_id, table-qualified bucket), embedding inlined."""
-    e = emb
-    for t in range(N_TABLES):
-        e = e.withColumn(
-            f"b{t}",
-            F.concat(F.lit(f"{t}|"), _signs_bucket_col(F.col("embedding"), _TABLE_SIGNS[t])),
-        )
-    return e.select(
+    """One row per (vec_id, table-qualified bucket), embedding inlined.
+
+    Shares the knn-family bucket kernel (`_all_buckets_col`, Arrow matmul by
+    default) so index probes stay bit-identical to the in-query knn_lsh gate
+    (pinned by tests/test_ann_index.py)."""
+    return emb.select(
         "vec_id",
         "embedding",
-        F.explode(F.array(*[F.col(f"b{t}") for t in range(N_TABLES)])).alias("bucket"),
+        F.explode(_all_buckets_col(F.col("embedding"))).alias("bucket"),
     )
 
 

@@ -183,6 +183,72 @@ def _bucket_col(vec):
     return _signs_bucket_col(vec, _SIGNS)
 
 
+def _all_buckets_hof(vec):
+    """array<string> of the N_TABLES table-qualified bucket strings, via the
+    Catalyst HOF projections (sequential sums, the oracle-exact kernel)."""
+    return F.array(
+        *[
+            F.concat(F.lit(f"{t}|"), _signs_bucket_col(vec, _TABLE_SIGNS[t]))
+            for t in range(N_TABLES)
+        ]
+    )
+
+
+_buckets_pandas_udf = None
+
+
+def _make_buckets_pandas():
+    """Arrow-batched bucket kernel: ONE (n×DIM)·(DIM×24) matmul replaces
+    N_TABLES×PLANES_PER_TABLE interpreted HOF aggregates per vector.
+
+    Float note: numpy's pairwise-summed dot can differ from the sequential
+    HOF/DuckDB sum in the last ulp, so a sign bit could in principle flip —
+    but only when the exact projection is within ~1e-13 of 0. Projections
+    here are sums of 64 O(0.1) terms (the embeddings are random floats, no
+    constructed zeros), so the flip probability per projection is ~1e-13;
+    bucket parity vs the sequential oracle is re-verified at every sf in
+    tests/test_oracle_parity.py and was hash-exact on adoption.
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.array(
+        [row for signs in _TABLE_SIGNS for row in signs], dtype=np.float64
+    )  # (N_TABLES*PLANES_PER_TABLE, DIM)
+
+    def _buckets(emb):
+        import numpy as np
+        import pandas as pd
+
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack(emb.to_numpy())
+        chars = np.where((v @ mat.T) >= 0.0, "1", "0")  # (n, 24)
+        out = [
+            [
+                f"{t}|" + "".join(chars[i, t * PLANES_PER_TABLE : (t + 1) * PLANES_PER_TABLE])
+                for t in range(N_TABLES)
+            ]
+            for i in range(chars.shape[0])
+        ]
+        return pd.Series(out)
+
+    return pandas_udf(_buckets, "array<string>")
+
+
+# Kernel switch for the knn-family bucket computation, mirroring _cosine:
+# "pandas" (default) = one Arrow matmul for all tables; "hof" = per-plane
+# Catalyst aggregates. Env override for A/B: SPARK_GRAFT_BUCKETS=hof
+def _all_buckets_col(vec):
+    if os.environ.get("SPARK_GRAFT_BUCKETS", "pandas") == "hof":
+        return _all_buckets_hof(vec)
+    global _buckets_pandas_udf
+    if _buckets_pandas_udf is None:
+        _buckets_pandas_udf = _make_buckets_pandas()
+    return _buckets_pandas_udf(vec)
+
+
 def _sql_signs_bucket(vec_expr: str, signs) -> str:
     parts = []
     for row in signs:
@@ -203,23 +269,14 @@ def knn_lsh(spark, sf_dir):
     Single-table LSH recalls ~2% of top-5 on unclustered vectors; the table
     union is the standard recall lever (table count trades compute for
     recall, bits-per-table trades candidate size for selectivity)."""
-    e = _emb(spark, sf_dir)
-    for t in range(N_TABLES):
-        e = e.withColumn(
-            f"b{t}",
-            F.concat(F.lit(f"{t}|"), _signs_bucket_col(F.col("embedding"), _TABLE_SIGNS[t])),
-        )
-    e = e.cache()
+    e = _emb(spark, sf_dir).withColumn("bs", _all_buckets_col(F.col("embedding"))).cache()
     # Late materialization: the bucket join, dedupe, and shuffle all run on
     # SCALAR ids only — carrying the 64-dim embeddings through the bucket
     # join would ship two arrays per candidate pair and (worse) key the
     # distinct() on them. Vectors are re-attached afterwards by key joins,
     # which ship each vector once per partition, not once per pair, and the
     # exact cosine runs exactly once per unique candidate pair.
-    banded = e.select(
-        "vec_id",
-        F.explode(F.array(*[F.col(f"b{t}") for t in range(N_TABLES)])).alias("bucket"),
-    )
+    banded = e.select("vec_id", F.explode("bs").alias("bucket"))
     q = banded.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "bucket"
     )
@@ -437,19 +494,10 @@ def _flip_bit(bucket, j: int):
 def knn_lsh_multiprobe(spark, sf_dir):
     """ANN with hamming-1 multiprobe: same output contract as knn_lsh, higher
     recall at ~7x the probed-bucket count (still ≪ brute force)."""
-    e = _emb(spark, sf_dir)
-    for t in range(N_TABLES):
-        e = e.withColumn(
-            f"b{t}",
-            F.concat(F.lit(f"{t}|"), _signs_bucket_col(F.col("embedding"), _TABLE_SIGNS[t])),
-        )
-    e = e.cache()
+    e = _emb(spark, sf_dir).withColumn("bs", _all_buckets_col(F.col("embedding"))).cache()
     # same late-materialization shape as knn_lsh: ids-only bucket/probe join
     # and distinct, vectors re-attached by key, cosine once per unique pair
-    banded = e.select(
-        "vec_id",
-        F.explode(F.array(*[F.col(f"b{t}") for t in range(N_TABLES)])).alias("bucket"),
-    )
+    banded = e.select("vec_id", F.explode("bs").alias("bucket"))
     probes = (
         banded.filter(F.col("vec_id") % QUERY_MOD == 0)
         .select(
