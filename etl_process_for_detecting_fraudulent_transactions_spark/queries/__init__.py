@@ -72,11 +72,13 @@ _PRIORITY_KEYS = (
     "multimodal_frame_sample",
     "multimodal_audio_features",
     "multimodal_resize",
+    # new in r3: prefix-filtering exact similarity self-join
+    "dedup_prefix_jaccard",
 )
 
 # Family order after the priority keys.
-# First-50 budget: 12 priority + tpch_rest remainder (3) + similarity (7)
-# + relational (21) + tpch_more (first 7) = 50; tpch_more's last two
+# First-50 budget: 13 priority + tpch_rest remainder (3) + similarity (7)
+# + relational (21) + tpch_more (first 6) = 50; tpch_more's last three
 # (r1-green, locally parity-tested) rotate just outside.
 _FAMILY_ORDER = (
     tpch_rest,

@@ -475,6 +475,84 @@ QUERIES["dedup_minhash_mllib"] = dedup_minhash_mllib
 ORACLES["dedup_minhash_mllib"] = ORACLE_NGRAM
 
 
+def dedup_prefix_jaccard(spark, sf_dir):
+    """EXACT Jaccard ≥ 0.4 self-join via prefix filtering (AllPairs/PPJoin
+    family, Bayardo et al. WWW'07) — the principled exact-at-scale
+    alternative to dedup_ngram_jaccard's quadratic shingle self-join.
+
+    Shingles are ordered by (document frequency, shingle) — a global total
+    order that puts RARE shingles first. For a doc with n shingles, only its
+    first n - ceil(t*n) + 1 shingles (its "prefix") join: if J(a,b) ≥ t then
+    |a∩b| ≥ ceil(t*max(na,nb)), and the smallest common shingle under the
+    global order must sit inside BOTH prefixes (after it, each doc still
+    holds ≥ |a∩b|-1 ≥ ceil(t*n)-1 common shingles, which is more than a
+    suffix of length ceil(t*n)-1 can hold). So the prefix join is COMPLETE —
+    the output equals the exact pair set and shares ORACLE_NGRAM.
+
+    ceil(0.4*n) is computed in integer arithmetic ((2n+4) div 5): a float
+    0.4*n overshoots the exact product by one ulp at multiples of 5, and a
+    too-large ceil would SHORTEN the prefix below the completeness bound.
+
+    PPJoin's POSITIONAL filter prunes further at pair-generation time (no
+    extra shuffle): a match at prefix positions (rn_a, rn_b) caps the
+    overlap at 1 + min(na-rn_a, nb-rn_b), which must reach the Jaccard
+    overlap bound ceil(t/(1+t)*(na+nb)) = (2(na+nb)+6) div 7; the size-ratio
+    bound (2na ≤ 5nb ∧ 2nb ≤ 5na) rides along. Both are integer-exact and
+    provably output-preserving, so the oracle needs no counterpart.
+
+    Scale: candidate volume tracks how selective rare-first prefixes are —
+    on real text (vocabulary grows with corpus; most shingles df=1) the
+    prefix join is near-linear while the plain shingle self-join dies. The
+    synthetic testdata is the UNFAVORABLE case (dense small vocabulary):
+    sf0.1 candidates 1.13M (quadratic) → 522k (prefix) → 206k (+positional/
+    ratio), yet the quadratic gate is still faster locally (1.8s vs 4.8s)
+    because its candidates collapse in one groupBy while this path pays 3
+    extra small shuffles (df, rank window, prefix join). The crossover is a
+    vocabulary property, not a data-size property — kept as the exact scale
+    path, measured honestly.
+    """
+    sh = _shingles(spark, sf_dir)
+    from pyspark.sql import Window
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(freq, "s")
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
+        )
+        .join(sizes, "doc_id")
+    )
+    # prefix length n - ceil(t*n) + 1 with ceil(0.4*n) = (2n+4) div 5
+    prefix = ranked.filter(
+        F.col("rn") <= F.expr("n - (2*n + 4) DIV 5 + 1")
+    ).select("doc_id", "s", "rn", "n")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # positional filter: max possible overlap from here on
+            & (
+                F.lit(1)
+                + F.least(F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn"))
+                >= F.expr("(2*(a.n + b.n) + 6) DIV 7")
+            )
+            # size-ratio filter (t=2/5): min/max >= t in integer form
+            & (F.lit(2) * F.col("a.n") <= F.lit(5) * F.col("b.n"))
+            & (F.lit(2) * F.col("b.n") <= F.lit(5) * F.col("a.n")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_exact_jaccard(sh, cand)
+
+
+QUERIES["dedup_prefix_jaccard"] = dedup_prefix_jaccard
+ORACLES["dedup_prefix_jaccard"] = ORACLE_NGRAM
+
+
 # -- edit-distance fuzzy matching ---------------------------------------------
 
 def fuzzy_name_pairs(spark, sf_dir):
