@@ -207,3 +207,45 @@ def test_scd2_classify_broadcasts_under_aqe(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FullOuter" not in plan
     assert plan.count("BroadcastHashJoin") > plan.count("SortMergeJoin")
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
+    """Row-level runtime filtering (the 100-TB shuffle-join shield): when a
+    dim carries a selective non-key filter, Catalyst injects a bloom filter
+    built from the dim's join keys as a FACT-side scan predicate, so the
+    fact shuffle ships only rows that can possibly match.
+
+    Production thresholds (10MB creation side) never trigger at test scale,
+    so they're lowered here — the assertion is the INJECTION MECHANISM
+    (BloomFilterMightContain / bloom_filter_agg in the optimized plan), the
+    sizing policy stays Spark's own.
+    """
+    fact_path = f"{tmp_path}/fact.parquet"
+    dim_path = f"{tmp_path}/dim.parquet"
+    spark.range(0, 100_000).selectExpr("id % 1000 AS k", "id AS v").write.parquet(fact_path)
+    spark.range(0, 1000).selectExpr("id AS k", "id % 7 AS attr").write.parquet(dim_path)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # force the join to shuffle: broadcast joins need no runtime filter
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path).filter("attr = 3")  # selective, non-key
+        joined = fact.join(dim, "k")
+        optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized or "BloomFilterMightContain" in optimized, optimized
+        # and the filtered join still returns exactly the expected rows:
+        # 143 dim keys with attr=3, each matching 100 fact rows
+        assert joined.count() == sum(1 for i in range(1000) if i % 7 == 3) * 100
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
