@@ -72,13 +72,15 @@ _PRIORITY_KEYS = (
     "multimodal_frame_sample",
     "multimodal_audio_features",
     "multimodal_resize",
-    # new in r3: prefix-filtering exact similarity self-join
+    # new in r3: prefix-filtering exact similarity self-join + bucketed
+    # range join
     "dedup_prefix_jaccard",
+    "range_join_events",
 )
 
 # Family order after the priority keys.
-# First-50 budget: 13 priority + tpch_rest remainder (3) + similarity (7)
-# + relational (21) + tpch_more (first 6) = 50; tpch_more's last three
+# First-50 budget: 14 priority + tpch_rest remainder (3) + similarity (7)
+# + relational (21) + tpch_more (first 5) = 50; tpch_more's last four
 # (r1-green, locally parity-tested) rotate just outside.
 _FAMILY_ORDER = (
     tpch_rest,

@@ -518,3 +518,72 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 
 QUERIES["window_distribution_funcs"] = window_distribution_funcs
 ORACLES["window_distribution_funcs"] = ORACLE_WINDOW_DIST
+
+
+# -- range (interval) join: bucketed equi-join scale path ---------------------
+# The custom-operator family Spark lacks natively (SURVEY §2 extension; the
+# task's canonical example list: "as-of join, range join, ..."). A naive
+# interval join is a theta join — Spark can only Cartesian/BNL it, O(N·M)
+# at scale. The standard fix (Databricks range-join optimization, here
+# hand-built from DataFrame ops): quantize time into coarse BUCKETS, explode
+# each interval over the buckets it spans, tag each point with its single
+# bucket, equi-join on (user_id, bucket) — shuffle-partitionable, AQE-skew-
+# splittable — then refine with the exact bounds. A point's bucket is
+# covered by exactly one of an interval's exploded bucket rows, so the
+# refined output needs no dedup. Bucket width tunes candidate volume
+# (wider = fewer interval rows, more false candidates); it does not affect
+# the result.
+
+RANGE_MOD = 31               # every 31st event anchors an interval
+RANGE_HALF_H = 6             # interval = anchor ts ± 6 hours
+RANGE_BUCKET_US = 2 * 3600 * 1_000_000  # 2-hour buckets
+
+
+def range_join_events(spark, sf_dir):
+    """Per-user interval join: events within ±6h of an anchor event."""
+    e = _t(spark, sf_dir, "events")
+    iv = e.filter(F.col("event_id") % RANGE_MOD == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("user_id"),
+        (F.col("ts") - F.expr(f"INTERVAL {RANGE_HALF_H} HOUR")).alias("lo"),
+        (F.col("ts") + F.expr(f"INTERVAL {RANGE_HALF_H} HOUR")).alias("hi"),
+    )
+    ivb = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros(lo) DIV {RANGE_BUCKET_US}"),
+                F.expr(f"unix_micros(hi) DIV {RANGE_BUCKET_US}"),
+            )
+        ),
+    )
+    pts = e.select("event_id", "user_id", "ts").withColumn(
+        "bucket", F.expr(f"unix_micros(ts) DIV {RANGE_BUCKET_US}")
+    )
+    return (
+        pts.join(ivb, ["user_id", "bucket"])
+        .filter(
+            (F.col("ts") >= F.col("lo"))
+            & (F.col("ts") <= F.col("hi"))
+            & (F.col("event_id") != F.col("interval_id"))
+        )
+        .select("interval_id", "event_id")
+    )
+
+
+ORACLE_RANGE_JOIN = f"""
+WITH iv AS (
+  SELECT event_id AS interval_id, user_id,
+         ts - INTERVAL {RANGE_HALF_H} HOUR AS lo,
+         ts + INTERVAL {RANGE_HALF_H} HOUR AS hi
+  FROM events WHERE event_id % {RANGE_MOD} = 0
+)
+SELECT iv.interval_id, e.event_id
+FROM iv JOIN events e
+  ON e.user_id = iv.user_id
+ AND e.ts >= iv.lo AND e.ts <= iv.hi
+ AND e.event_id <> iv.interval_id
+"""
+
+QUERIES["range_join_events"] = range_join_events
+ORACLES["range_join_events"] = ORACLE_RANGE_JOIN
