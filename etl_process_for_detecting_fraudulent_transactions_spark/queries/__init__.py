@@ -72,15 +72,16 @@ _PRIORITY_KEYS = (
     "multimodal_frame_sample",
     "multimodal_audio_features",
     "multimodal_resize",
-    # new in r3: prefix-filtering exact similarity self-join + bucketed
-    # range join
+    # new in r3: prefix-filtering exact similarity self-join, bucketed
+    # range join, oracle-exact count-min sketch
     "dedup_prefix_jaccard",
     "range_join_events",
+    "countmin_heavy_hitters",
 )
 
 # Family order after the priority keys.
-# First-50 budget: 14 priority + tpch_rest remainder (3) + similarity (7)
-# + relational (21) + tpch_more (first 5) = 50; tpch_more's last four
+# First-50 budget: 15 priority + tpch_rest remainder (3) + similarity (7)
+# + relational (21) + tpch_more (first 4) = 50; tpch_more's last five
 # (r1-green, locally parity-tested) rotate just outside.
 _FAMILY_ORDER = (
     tpch_rest,

@@ -278,3 +278,91 @@ ORACLES = {
     "grouping_sets_revenue": ORACLE_GROUPING_SETS,
     "incremental_monthly_rollup": ORACLE_INCR_ROLLUP,
 }
+
+
+# -- count-min sketch: oracle-exact approximate heavy-hitter counts ----------
+# Unlike HLL (engine-specific hash family -> rows-only check), a count-min
+# sketch built from md5-derived hashes is REPLAYABLE by any engine, so the
+# whole sketch pipeline gets a hash-exact DuckDB oracle. Build = one
+# map-side-combinable groupBy over (depth_row, bucket): posexplode of the D
+# per-row bucket ids, count per cell — D*W cells total (4x256 here), merged
+# for free by partial aggregation; this is THE mergeable-sketch shape at
+# 100 TB (no raw-key shuffle, sketch size independent of N). Probe =
+# min over the D cells addressed by the key's hashes; CMS guarantees
+# est >= true count (overestimate-only), pinned in tests/test_sketches.py.
+
+CMS_W = 256   # buckets per row
+CMS_D = 4     # independent hash rows
+CMS_PROBE_MOD = 10  # probe keys: user_id % 10 == 0
+
+
+def _cms_bucket(row: int, key_col):
+    """Bucket of md5('row:key') interpreted via first 8 hex chars mod W."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{row}:"), key_col)), 1, 8), 16, 10).cast(
+        "long"
+    ) % CMS_W
+
+
+def countmin_heavy_hitters(spark, sf_dir):
+    """CMS over events.user_id; estimates for the user_id%10==0 probe set."""
+    e = _t(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("k"))
+    cells = (
+        e.select(
+            F.posexplode(F.array(*[_cms_bucket(r, F.col("k")) for r in range(CMS_D)])).alias(
+                "row", "bucket"
+            )
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .filter(F.col("user_id") % CMS_PROBE_MOD == 0)
+        .distinct()
+        .withColumn("k", F.col("user_id").cast("string"))
+    )
+    probe_cells = probes.select(
+        "user_id",
+        F.posexplode(F.array(*[_cms_bucket(r, F.col("k")) for r in range(CMS_D)])).alias(
+            "row", "bucket"
+        ),
+    )
+    return (
+        probe_cells.join(F.broadcast(cells), ["row", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+def _sql_cms_bucket(row: int, key_expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{row}:' || {key_expr}), 1, 8))::BIGINT % {CMS_W} AS BIGINT)"
+    )
+
+
+_CMS_CELL_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT {r} AS row, {_sql_cms_bucket(r, 'k')} AS bucket FROM keys"
+    for r in range(CMS_D)
+)
+_CMS_PROBE_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT user_id, {r} AS row, {_sql_cms_bucket(r, 'k')} AS bucket FROM probes"
+    for r in range(CMS_D)
+)
+
+ORACLE_COUNTMIN = f"""
+WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+cells_raw AS ({_CMS_CELL_SELECTS}),
+cells AS (SELECT row, bucket, COUNT(*) AS cnt FROM cells_raw GROUP BY row, bucket),
+probes AS (
+  SELECT DISTINCT user_id, CAST(user_id AS VARCHAR) AS k
+  FROM events WHERE user_id % {CMS_PROBE_MOD} = 0
+),
+probe_cells AS ({_CMS_PROBE_SELECTS})
+SELECT p.user_id, MIN(c.cnt) AS est_count
+FROM probe_cells p JOIN cells c USING (row, bucket)
+GROUP BY p.user_id
+"""
+
+QUERIES["countmin_heavy_hitters"] = countmin_heavy_hitters
+ORACLES["countmin_heavy_hitters"] = ORACLE_COUNTMIN
