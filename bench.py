@@ -46,6 +46,8 @@ SCALE_KEYS = (
     "text_quality",
     "doc_fingerprint",
     "sessionize",
+    "range_join_events",
+    "countmin_heavy_hitters",
 )
 # input table each scale query is throughput-bounded by (for the rows/s numerator)
 SCALE_INPUT = {
@@ -57,6 +59,8 @@ SCALE_INPUT = {
     "text_quality": "documents",
     "doc_fingerprint": "documents",
     "sessionize": "events",
+    "range_join_events": "events",
+    "countmin_heavy_hitters": "events",
 }
 
 
