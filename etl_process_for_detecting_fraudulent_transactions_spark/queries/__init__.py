@@ -77,11 +77,12 @@ _PRIORITY_KEYS = (
     "dedup_prefix_jaccard",
     "range_join_events",
     "countmin_heavy_hitters",
+    "domain_mix_sample",
 )
 
 # Family order after the priority keys.
-# First-50 budget: 15 priority + tpch_rest remainder (3) + similarity (7)
-# + relational (21) + tpch_more (first 4) = 50; tpch_more's last five
+# First-50 budget: 16 priority + tpch_rest remainder (3) + similarity (7)
+# + relational (21) + tpch_more (first 3) = 50; tpch_more's last six
 # (r1-green, locally parity-tested) rotate just outside.
 _FAMILY_ORDER = (
     tpch_rest,

@@ -180,3 +180,61 @@ ORACLES = {
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "merge_upsert": ORACLE_MERGE_UPSERT,
 }
+
+
+# -- domain mixing: sample each language to a target corpus mixture -----------
+# The LLaMA/Pile-style data-mixing stage: given target proportions per
+# domain (here: lang) and an output budget, compute per-domain keep-rates
+# FROM THE DATA (rate_l = target_l * budget / count_l, capped at 1) and
+# select deterministically. Unlike stratified_sample's fixed rates, the
+# rates here are data-dependent — yet selection stays exact across engines
+# because the rate comparison is INTEGER arithmetic end-to-end:
+#   keep  ⟺  u < rate_l * 2^32
+#         ⟺  u * 100 * count_l < pct_l * budget * 2^32
+# with u = first-8-hex md5 of doc_id (32-bit). Products run in decimal(38,0)
+# on Spark / HUGEINT in DuckDB (~21 digits worst case at petabyte counts —
+# no overflow, no float rounding anywhere).
+# Scale: one tiny aggregate (per-lang counts + total, broadcast back), then
+# a pure scan-side filter — the corpus itself never shuffles.
+
+MIX_TARGET_PCT = {"en": 50, "de": 20, "fr": 15, "es": 10, "zh": 5}
+
+
+def domain_mix_sample(spark, sf_dir):
+    """Select ~budget (=N/2) docs matching the MIX_TARGET_PCT language mix."""
+    d = _t(spark, sf_dir, "documents")
+    budget = d.groupBy().agg(F.expr("count(1) DIV 2").alias("budget"))
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    pct = F.create_map(
+        *[F.lit(x) for kv in MIX_TARGET_PCT.items() for x in kv]
+    )
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    dec = "decimal(38,0)"
+    return (
+        d.join(F.broadcast(cnt), "lang")
+        .crossJoin(F.broadcast(budget))
+        .withColumn("pct", pct[F.col("lang")])
+        .filter(F.col("pct").isNotNull())
+        .filter(
+            u.cast(dec) * F.lit(100).cast(dec) * F.col("c").cast(dec)
+            < F.col("pct").cast(dec) * F.col("budget").cast(dec) * F.lit(4294967296).cast(dec)
+        )
+        .select("doc_id", "lang")
+    )
+
+
+_MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in MIX_TARGET_PCT.items())
+
+ORACLE_DOMAIN_MIX = f"""
+WITH tot AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS budget FROM documents),
+cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+tgt(lang, pct) AS (VALUES {_MIX_VALUES})
+SELECT d.doc_id, d.lang
+FROM documents d JOIN cnt USING (lang) JOIN tgt USING (lang) CROSS JOIN tot
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT::HUGEINT
+      * 100 * cnt.c
+      < tgt.pct::HUGEINT * tot.budget * 4294967296
+"""
+
+QUERIES["domain_mix_sample"] = domain_mix_sample
+ORACLES["domain_mix_sample"] = ORACLE_DOMAIN_MIX
