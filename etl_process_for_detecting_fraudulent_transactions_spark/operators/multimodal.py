@@ -152,6 +152,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
         raise MediaDecodeError(f"unsupported WAV encoding fmt={audio_format} bits={bits}")
     if n_channels < 1 or len(data) % (2 * n_channels):
         raise MediaDecodeError("data chunk not a whole number of frames")
+    if len(data) == 0:
+        # structurally valid but empty recording: RMS is undefined, and the
+        # division below would raise ZeroDivisionError instead of honoring
+        # the documented MediaDecodeError contract
+        raise MediaDecodeError("empty data chunk: no samples to decode")
     n_total = len(data) // 2
     sq = 0
     for i in range(n_total):

@@ -171,6 +171,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     ~O(dups), not O(N²). Same output contract as dedup_ngram_jaccard.
     """
     sh = _shingles(spark, sf_dir)
+    return _verify_exact_jaccard(sh, _minhash_band_candidates(sh))
+
+
+def _minhash_band_candidates(sh: DataFrame) -> DataFrame:
+    """Deterministic banded-minhash candidate pairs (doc_a < doc_b) over the
+    shingle set — replayable by any engine (string-min over seeded md5)."""
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"mh{k}")
@@ -190,12 +196,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     ]
     banded = sig.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _verify_exact_jaccard(sh, cand)
 
 
 _mh_cols = ", ".join(
@@ -451,23 +456,33 @@ ORACLES["dedup_clusters"] = ORACLE_CLUSTERS
 # -- MLlib-native variant (candidate generator: MinHashLSH) ------------------
 
 def dedup_minhash_mllib(spark, sf_dir):
-    """MLlib MinHashLSH as the CANDIDATE GENERATOR, exact-Jaccard verified.
+    """MLlib MinHashLSH as a CANDIDATE GENERATOR, exact-Jaccard verified.
 
     ``approxSimilarityJoin`` (ml/lsh_dedup.py) proposes pairs from its
     internal seeded hash family — non-SQL-expressible, which kept this gate
     rows-only in rounds 1-2. Round 3 closes that: candidates are re-verified
-    with the same exact shingle-Jaccard join the hand-rolled LSH uses, so the
-    OUTPUT is the exact ≥0.4 pair set and the DuckDB exact-pairs oracle
-    applies. The hash-match then doubles as a RECALL assertion: a missed true
-    pair would show up as a row-count/hash mismatch (recall is additionally
-    pinned in tests/test_ml.py; at the planted dups' >0.9 Jaccard, T=5 tables
-    recall 1-(1-j)^5 > 99.99%).
+    with the same exact shingle-Jaccard join the hand-rolled LSH uses, so
+    the OUTPUT is the exact ≥0.4 pair set and the DuckDB exact-pairs oracle
+    applies — PROVIDED the candidate set recalls every true pair. Because
+    the MLlib generator alone is probabilistic (T=3 OR-amplified tables
+    miss a Jaccard-j pair with prob (1-j)^3 — 0.8% at j=0.8 — and HashingTF
+    collisions can nudge a boundary pair under the cut), its candidates are
+    UNIONED with the deterministic banded-minhash generator shared with
+    ``dedup_minhash_lsh``: the miss probabilities multiply, making the
+    oracle-equality robust on unseen data rather than verified-by-luck.
+    Recall is additionally pinned in tests/test_ml.py.
     """
     from ..ml.lsh_dedup import minhash_dedup_pairs
 
     docs = _docs(spark, sf_dir)
-    cand = minhash_dedup_pairs(docs, jaccard_threshold=JACCARD_T).select("doc_a", "doc_b")
-    return _verify_exact_jaccard(_shingles(spark, sf_dir), cand)
+    sh = _shingles(spark, sf_dir)
+    cand = (
+        minhash_dedup_pairs(docs, jaccard_threshold=JACCARD_T)
+        .select("doc_a", "doc_b")
+        .unionByName(_minhash_band_candidates(sh))
+        .distinct()
+    )
+    return _verify_exact_jaccard(sh, cand)
 
 
 QUERIES["dedup_minhash_mllib"] = dedup_minhash_mllib

@@ -148,3 +148,26 @@ def test_synthesized_payloads_decode_end_to_end(spark, sf_dir):
         assert r["content_md5"] == hashlib.md5(payload).hexdigest()
         assert r["mean_intensity"] == sum(raster) / (len(raster) * 255)
         assert r["media_type"] == "image"
+
+
+def test_decode_wav_empty_data_chunk_raises_decode_error():
+    """A structurally valid WAV whose data chunk is empty (legal: a fresh
+    recording) must honor the MediaDecodeError contract, not divide by
+    zero computing RMS."""
+    import struct
+
+    import pytest as _pytest
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        MediaDecodeError,
+        decode_wav,
+    )
+
+    fmt_body = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", 0)
+    )
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with _pytest.raises(MediaDecodeError, match="empty data chunk"):
+        decode_wav(payload)

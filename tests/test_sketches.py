@@ -39,7 +39,9 @@ def test_countmin_overestimates_within_epsilon(spark):
         countmin_heavy_hitters,
     )
 
-    sf_dir = "/root/testdata/sf0.01"
+    import os
+
+    sf_dir = os.path.join(os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.01")
     est = {
         r["user_id"]: r["est_count"] for r in countmin_heavy_hitters(spark, sf_dir).collect()
     }

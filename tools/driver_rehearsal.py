@@ -44,7 +44,9 @@ def _norm(v):
 
 
 def _canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    """Order-insensitive canonical form: columns sorted case-insensitively
+    (Spark and DuckDB may differ in identifier case), values normalized."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
@@ -73,22 +75,19 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            scols = sorted(sdf.columns)
-            srows = [tuple(row[c] for c in scols) for row in sdf.collect()]
             if k not in oracles:
-                print(f"[{i:3}] {k}: rows-only ({len(srows)} rows)")
+                n = sdf.count()
+                print(f"[{i:3}] {k}: rows-only ({n} rows)")
                 continue
+            srows_raw = [tuple(row) for row in sdf.collect()]
             ores = con.sql(oracles[k])
-            ocols = sorted(ores.columns)
-            orows = ores.fetchall()
-            oorder = [ores.columns.index(c) for c in ocols]
-            orows = [tuple(r[j] for j in oorder) for r in orows]
-            if [c.lower() for c in scols] != [c.lower() for c in ocols]:
+            scols, ocols = list(sdf.columns), list(ores.columns)
+            if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
                 bad.append((k, f"columns {scols} vs {ocols}"))
                 print(f"[{i:3}] {k}: COLUMN MISMATCH {scols} vs {ocols}")
                 continue
-            sc = sorted(tuple(_norm(v) for v in r) for r in srows)
-            oc = sorted(tuple(_norm(v) for v in r) for r in orows)
+            sc = _canon(srows_raw, scols)
+            oc = _canon(ores.fetchall(), ocols)
             if len(sc) != len(oc):
                 bad.append((k, f"rowcount {len(sc)} vs {len(oc)}"))
                 print(f"[{i:3}] {k}: ROWCOUNT {len(sc)} vs {len(oc)}")
@@ -103,6 +102,11 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — rehearsal must not die mid-sweep
             bad.append((k, f"error: {exc}"))
             print(f"[{i:3}] {k}: ERROR {str(exc)[:200]}")
+        finally:
+            # gates cache frames internally (shingles, signatures, hashed
+            # vectors); without this, a full sweep accumulates dozens of
+            # pinned frames that squeeze execution memory by the tail
+            spark.catalog.clearCache()
     print(f"\n{len(bad)} failures / {len(queries)} queries at {sf}")
     for k, why in bad:
         print(f"  FAIL {k}: {why[:300]}")
