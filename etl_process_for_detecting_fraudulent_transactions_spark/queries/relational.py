@@ -44,11 +44,16 @@ def pricing_summary(spark, sf_dir):
     )
 
 
+# sum_disc_price's DECIMAL->DOUBLE goes through VARCHAR: DuckDB's direct
+# decimal->double cast double-rounds (int128 * 10^-scale) and lands one ulp
+# off Spark/Python's correctly-rounded conversion once the scaled integer
+# exceeds 2^53 (first observed at sf0.1: ...3560996 vs ...3561); a string
+# round-trip parses correctly rounded in both engines.
 ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem
