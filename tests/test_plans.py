@@ -249,3 +249,29 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The bucketed range join must compile to a hash/broadcast EQUI join on
+    (user_id, bucket) — never BroadcastNestedLoopJoin/CartesianProduct,
+    which is what the raw interval theta join would force."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.extra import (
+        range_join_events,
+    )
+
+    plan = _plan(range_join_events(spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_domain_mix_is_scan_side_filter(spark, sf_dir):
+    """domain_mix_sample's corpus side must not shuffle: the per-lang counts
+    and 1-row budget broadcast back onto a scan-side filter."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.sampling import (
+        domain_mix_sample,
+    )
+
+    plan = _plan(domain_mix_sample(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    # the only exchanges allowed are for the tiny broadcast inputs
+    assert "SortMergeJoin" not in plan
