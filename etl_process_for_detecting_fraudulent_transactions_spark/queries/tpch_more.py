@@ -165,14 +165,14 @@ def tpch_q14_promo_share(spark, sf_dir):
 ORACLE_TPCH_Q14 = """
 WITH agg AS (
   SELECT
-    CAST(SUM(CASE WHEN p_type = 'PROMO'
+    CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
         THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
              (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
              AS DECIMAL(28,8))
-        ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE) AS promo_revenue,
-    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        ELSE CAST(0 AS DECIMAL(28,8)) END) AS VARCHAR) AS DOUBLE) AS promo_revenue,
+    CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-         AS DECIMAL(28,8))) AS DOUBLE) AS total_revenue
+         AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS total_revenue
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
 )

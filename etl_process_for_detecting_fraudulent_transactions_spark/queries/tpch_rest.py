@@ -255,14 +255,14 @@ def tpch_q8_market_share(spark, sf_dir):
 ORACLE_TPCH_Q8 = """
 WITH agg AS (
   SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-    CAST(SUM(CASE WHEN s_nationkey = 5
+    CAST(CAST(SUM(CASE WHEN s_nationkey = 5
         THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
              (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
              AS DECIMAL(28,8))
-        ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE) AS nation_revenue,
-    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        ELSE CAST(0 AS DECIMAL(28,8)) END) AS VARCHAR) AS DOUBLE) AS nation_revenue,
+    CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-         AS DECIMAL(28,8))) AS DOUBLE) AS total_revenue
+         AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS total_revenue
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
   JOIN orders ON l_orderkey = o_orderkey
