@@ -78,12 +78,17 @@ _PRIORITY_KEYS = (
     "range_join_events",
     "countmin_heavy_hitters",
     "domain_mix_sample",
+    # new in r3 session 3: exact substring dedup (Lee et al.), Gopher
+    # quality rules, TF-IDF keyword extraction
+    "substring_dedup",
+    "gopher_quality_filter",
+    "tfidf_keywords",
 )
 
 # Family order after the priority keys.
-# First-50 budget: 16 priority + tpch_rest remainder (3) + similarity (7)
-# + relational (21) + tpch_more (first 3) = 50; tpch_more's last six
-# (r1-green, locally parity-tested) rotate just outside.
+# First-50 budget: 19 priority + tpch_rest remainder (3) + similarity (7)
+# + relational (first 21) = 50; tpch_more (r1-green, locally
+# parity-tested) rotates just outside.
 _FAMILY_ORDER = (
     tpch_rest,
     similarity,

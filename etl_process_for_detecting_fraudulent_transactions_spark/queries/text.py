@@ -570,3 +570,223 @@ GROUP BY e.doc_id
 
 QUERIES["eval_contamination"] = eval_contamination
 ORACLES["eval_contamination"] = ORACLE_CONTAMINATION
+
+
+# -- Exact substring (token-window) dedup ------------------------------------
+# Lee et al., "Deduplicating Training Data Makes Language Models Better"
+# (arXiv:2107.06499): mark verbatim token spans that recur across documents,
+# so downstream curation can drop or down-weight the duplicated spans rather
+# than whole documents. Real pipelines use ~50-token windows over BPE ids;
+# the synthetic ~30-word vocabulary only yields verbatim cross-doc
+# collisions up to 4 tokens, so the gate pins W=4 (same reasoning as
+# CONTAM_N above).
+
+SUBSTR_W = 4
+
+
+def substring_dedup(spark, sf_dir):
+    """Per doc: distinct W-token windows, how many of them occur in >= 2
+    distinct docs corpus-wide, and the duplicated-window ratio.
+
+    Scale shape: single lineage — the corpus is scanned ONCE and the grams
+    shuffle ONCE (on the gram key). Per-gram doc counts come from an
+    unbounded-frame window count (grams are per-doc distinct, so rows per
+    gram partition == distinct docs containing the gram); the per-doc
+    rollup is one more map-side-combined groupBy. A naive
+    groupBy-then-join-back shape costs 3 corpus scans / 6 exchanges here
+    (column pruning makes the branches' exchanges non-identical, so
+    ReusedExchange never fires) — measured before this rewrite."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).filter(F.size(_tokens()) >= SUBSTR_W)
+    grams = d.select("doc_id", F.explode(_word_grams(SUBSTR_W)).alias("g"))
+    flagged = grams.withColumn("ndocs", F.count("*").over(Window.partitionBy("g")))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.count(F.when(F.col("ndocs") >= 2, F.lit(1))).alias("n_dup_windows"),
+        (
+            F.count(F.when(F.col("ndocs") >= 2, F.lit(1))).cast("double") / F.count("*")
+        ).alias("dup_ratio"),
+    )
+
+
+ORACLE_SUBSTRING_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i:i+{SUBSTR_W - 1}], ' ') AS g
+  FROM t, unnest(range(1, len(toks) - {SUBSTR_W - 2})) AS u(i)
+  WHERE len(toks) >= {SUBSTR_W}
+),
+dup AS (
+  SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_windows FROM g GROUP BY doc_id
+),
+dupc AS (
+  SELECT doc_id, COUNT(*) AS n_dup_windows FROM g JOIN dup USING (g) GROUP BY doc_id
+)
+SELECT p.doc_id,
+       p.n_windows,
+       COALESCE(d.n_dup_windows, 0) AS n_dup_windows,
+       CAST(COALESCE(d.n_dup_windows, 0) AS DOUBLE) / p.n_windows AS dup_ratio
+FROM per p LEFT JOIN dupc d USING (doc_id)
+"""
+
+QUERIES["substring_dedup"] = substring_dedup
+ORACLES["substring_dedup"] = ORACLE_SUBSTRING_DEDUP
+
+
+# -- Gopher quality rules ----------------------------------------------------
+# Rae et al., "Scaling Language Models: Methods, Analysis & Insights from
+# Training Gopher" (arXiv:2112.11446), Table A1: heuristic document-quality
+# rules (word-count band, mean-word-length band, stopword presence,
+# alphabetic-word fraction). Bands below are tuned so the synthetic corpus
+# actually splits (docs are 10-110 words of 1-8 char vocabulary); the rule
+# STRUCTURE is Gopher's. All signals are exact int arithmetic + one IEEE
+# division, so both engines agree bit-for-bit.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_LO = 3.0
+GOPHER_MWL_HI = 10.0
+GOPHER_MIN_STOP = 2
+GOPHER_MIN_ALPHA_FRAC = 0.8
+
+
+def gopher_quality_filter(spark, sf_dir):
+    """Gopher-style quality signals + the combined keep/drop verdict.
+
+    Scale shape: pure per-row Catalyst expressions over one scan — no
+    shuffle, no UDF; the filter runs at full scan throughput and pushes
+    nothing to Python."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    n = F.size(toks)
+    mean_wl = (
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / n
+    )
+    n_stop = F.size(F.array_distinct(F.filter(toks, lambda x: x.isin(*STOPWORDS))))
+    frac_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("double") / n
+    out = d.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        n_stop.alias("n_stop_distinct"),
+        frac_alpha.alias("frac_alpha_words"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MWL_LO)
+        & (F.col("mean_word_len") <= GOPHER_MWL_HI)
+        & (F.col("n_stop_distinct") >= GOPHER_MIN_STOP)
+        & (F.col("frac_alpha_words") >= GOPHER_MIN_ALPHA_FRAC),
+    )
+
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+ORACLE_GOPHER = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_word_len,
+         len(list_distinct(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x)))) AS n_stop_distinct,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(toks) AS frac_alpha_words
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, n_stop_distinct, frac_alpha_words,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_word_len >= {GOPHER_MWL_LO} AND mean_word_len <= {GOPHER_MWL_HI}
+        AND n_stop_distinct >= {GOPHER_MIN_STOP}
+        AND frac_alpha_words >= {GOPHER_MIN_ALPHA_FRAC}) AS gopher_pass
+FROM s
+"""
+
+QUERIES["gopher_quality_filter"] = gopher_quality_filter
+ORACLES["gopher_quality_filter"] = ORACLE_GOPHER
+
+
+# -- TF-IDF keyword extraction -----------------------------------------------
+# Per-doc top-K salient terms: tf x idf ranking with the corpus DF table.
+# idf is the LINEAR form N/df, not ln(N/df): the ranking it induces is
+# identical (ln is monotone) and tf*N/df is ONE correctly-rounded IEEE
+# division of exact integers, so Spark and DuckDB agree bit-for-bit —
+# libm ln() carries no such cross-engine guarantee.
+
+TFIDF_K = 3
+
+
+def tfidf_keywords(spark, sf_dir):
+    """Top-K terms per doc by tf*N/df, ties broken by term.
+
+    Scale shape: single lineage — one corpus scan; tf is one
+    map-side-combined shuffle to (doc_id, term); df comes from an
+    unbounded-frame window count over term (tf rows are one per
+    (doc, term), so rows per term partition == docs containing the term);
+    top-k is a row_number window partitioned by doc_id. N is a 1-row
+    aggregate over a column-pruned second scan, broadcast via nested-loop.
+    The groupBy-df + broadcast-join alternative assumes the vocabulary
+    table fits in driver memory (false for web-scale corpora) and costs a
+    second full corpus scan+shuffle (no ReusedExchange across
+    differently-pruned branches); the window form holds per-term groups of
+    3 narrow columns, which WindowExec spills if a term is ubiquitous."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = tf.crossJoin(F.broadcast(n_docs)).withColumn(
+        "score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
+ORACLE_TFIDF = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM t
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+),
+dfx AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / dfx.df AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfx.df DESC, tf.term
+         ) AS rk
+  FROM tf JOIN dfx USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score, rk FROM s WHERE rk <= {TFIDF_K}
+"""
+
+QUERIES["tfidf_keywords"] = tfidf_keywords
+ORACLES["tfidf_keywords"] = ORACLE_TFIDF

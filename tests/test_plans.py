@@ -275,3 +275,45 @@ def test_domain_mix_is_scan_side_filter(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
     # the only exchanges allowed are for the tiny broadcast inputs
     assert "SortMergeJoin" not in plan
+
+
+def test_gopher_filter_is_zero_shuffle(spark, sf_dir):
+    """gopher_quality_filter is pure per-row Catalyst expressions: no
+    exchange, no join, no Python."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.text import (
+        gopher_quality_filter,
+    )
+
+    plan = _plan(gopher_quality_filter(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_substring_dedup_single_scan_two_exchanges(spark, sf_dir):
+    """substring_dedup's single-lineage window form: ONE corpus scan, ONE
+    gram-key exchange + ONE doc-key exchange — not the 3-scan/6-exchange
+    groupBy-join-back shape it replaced."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.text import (
+        substring_dedup,
+    )
+
+    plan = _plan(substring_dedup(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_tfidf_topk_is_window_group_limit(spark, sf_dir):
+    """tfidf_keywords: df via window count (no vocab broadcast-join
+    assumption), and the per-doc top-k must push a PARTIAL WindowGroupLimit
+    below the doc exchange (rank-limit pushdown) so only ~K rows per doc
+    shuffle."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.text import (
+        tfidf_keywords,
+    )
+
+    plan = _plan(tfidf_keywords(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 3  # (doc,term), term, doc
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "SortMergeJoin" not in plan
