@@ -79,16 +79,19 @@ _PRIORITY_KEYS = (
     "countmin_heavy_hitters",
     "domain_mix_sample",
     # new in r3 session 3: exact substring dedup (Lee et al.), Gopher
-    # quality rules, TF-IDF keyword extraction
+    # quality rules, TF-IDF keyword extraction, incremental minhash dedup,
+    # per-source (domain) cap sampling
     "substring_dedup",
     "gopher_quality_filter",
     "tfidf_keywords",
+    "dedup_incremental",
+    "per_source_cap",
 )
 
 # Family order after the priority keys.
-# First-50 budget: 19 priority + tpch_rest remainder (3) + similarity (7)
-# + relational (first 21) = 50; tpch_more (r1-green, locally
-# parity-tested) rotates just outside.
+# First-50 budget: 21 priority + tpch_rest remainder (3) + similarity (7)
+# + relational (first 19) = 50; relational's last two and tpch_more
+# (r1-green, locally parity-tested) rotate just outside.
 _FAMILY_ORDER = (
     tpch_rest,
     similarity,

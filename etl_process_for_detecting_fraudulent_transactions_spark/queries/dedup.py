@@ -174,9 +174,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     return _verify_exact_jaccard(sh, _minhash_band_candidates(sh))
 
 
-def _minhash_band_candidates(sh: DataFrame) -> DataFrame:
-    """Deterministic banded-minhash candidate pairs (doc_a < doc_b) over the
-    shingle set — replayable by any engine (string-min over seeded md5)."""
+def _minhash_banded(sh: DataFrame) -> DataFrame:
+    """Deterministic banded-minhash (doc_id, band_key) rows — replayable by
+    any engine (string-min over seeded md5)."""
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"mh{k}")
@@ -194,7 +194,12 @@ def _minhash_band_candidates(sh: DataFrame) -> DataFrame:
         )
         for bidx in range(N_BANDS)
     ]
-    banded = sig.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
+    return sig.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
+
+
+def _minhash_band_candidates(sh: DataFrame) -> DataFrame:
+    """Banded-minhash candidate pairs (doc_a < doc_b) over the shingle set."""
+    banded = _minhash_banded(sh)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -620,3 +625,69 @@ WHERE levenshtein(a.c_name, b.c_name) <= 2
 
 QUERIES["fuzzy_name_pairs"] = fuzzy_name_pairs
 ORACLES["fuzzy_name_pairs"] = ORACLE_FUZZY
+
+
+# -- incremental (daily-batch) dedup -----------------------------------------
+# The production dedup loop never re-compares the historical corpus against
+# itself: each day only (new x old) and (new x new) pairs are candidates.
+
+INC_NEW_MOD = 5  # doc_id % 5 == 4 → the "new batch" (~20% of the corpus)
+
+
+def dedup_incremental(spark, sf_dir):
+    """Incremental near-dup detection: banded-minhash candidate pairs where
+    AT LEAST ONE side is in the new batch (doc_id % 5 == 4), exact-Jaccard
+    verified — old-vs-old pairs are never regenerated or reverified.
+
+    Scale shape: the old corpus's banded signatures are a build-once
+    artifact (the same persisted-index layout operators/ann_index.py uses
+    for embeddings: bucket-partitioned parquet, probed only at the new
+    batch's band keys with partition pruning). A day's cost is then
+    O(new batch + band collisions), not O(corpus). Here both sides derive
+    from one banded frame and the (new_a OR new_b) predicate is pushed into
+    the band join, so no old-old pair is ever materialized."""
+    sh = _shingles(spark, sf_dir)
+    banded = _minhash_banded(sh).withColumn(
+        "is_new", (F.col("doc_id") % INC_NEW_MOD) == INC_NEW_MOD - 1
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.is_new") | F.col("b.is_new")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_exact_jaccard(sh, cand)
+
+
+ORACLE_INCREMENTAL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sig AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
+banded AS ({_band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.doc_id % {INC_NEW_MOD} = {INC_NEW_MOD - 1}
+     OR b.doc_id % {INC_NEW_MOD} = {INC_NEW_MOD - 1}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT doc_a, doc_b, COUNT(*) AS i
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE i / (sa.n + sb.n - i) >= {JACCARD_T}
+"""
+
+QUERIES["dedup_incremental"] = dedup_incremental
+ORACLES["dedup_incremental"] = ORACLE_INCREMENTAL

@@ -238,3 +238,49 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT::HUGEINT
 
 QUERIES["domain_mix_sample"] = domain_mix_sample
 ORACLES["domain_mix_sample"] = ORACLE_DOMAIN_MIX
+
+
+# -- per-source document cap --------------------------------------------------
+# Web-corpus curation caps documents per domain (C4 and derivatives cap
+# pages per host) so no single source dominates the training mix. The kept
+# subset must be an unbiased, order-independent sample of each source —
+# hence ranking by a hash of the doc id, not by ingestion order.
+
+SOURCE_CAP = 20
+
+
+def per_source_cap(spark, sf_dir):
+    """Keep at most SOURCE_CAP docs per source, chosen by md5(doc_id) rank
+    (deterministic, partitioning-invariant, unbiased w.r.t. content).
+
+    Scale shape: one hash-partition shuffle on source; Spark's rank-limit
+    pushdown (WindowGroupLimit, pinned for tfidf_keywords in
+    tests/test_plans.py) keeps only ~CAP rows per source on the map side
+    before the exchange, so the shuffle moves O(sources x cap) rows no
+    matter how hot a source is."""
+    from pyspark.sql.window import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SOURCE_CAP)
+        .select("doc_id", "source", "rk")
+    )
+
+
+ORACLE_SOURCE_CAP = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source, rk FROM r WHERE rk <= {SOURCE_CAP}
+"""
+
+QUERIES["per_source_cap"] = per_source_cap
+ORACLES["per_source_cap"] = ORACLE_SOURCE_CAP
