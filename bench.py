@@ -48,6 +48,9 @@ SCALE_KEYS = (
     "sessionize",
     "range_join_events",
     "countmin_heavy_hitters",
+    "substring_dedup",
+    "gopher_quality_filter",
+    "tfidf_keywords",
 )
 # input table each scale query is throughput-bounded by (for the rows/s numerator)
 SCALE_INPUT = {
@@ -61,6 +64,9 @@ SCALE_INPUT = {
     "sessionize": "events",
     "range_join_events": "events",
     "countmin_heavy_hitters": "events",
+    "substring_dedup": "documents",
+    "gopher_quality_filter": "documents",
+    "tfidf_keywords": "documents",
 }
 
 
