@@ -53,12 +53,21 @@ def _normalize_u16(col: Column, lo: Column, hi: Column) -> Column:
     unit = F.when(span > 0, (col.cast("double") - lo.cast("double")) / span).otherwise(
         F.lit(0.0)
     )
-    return F.least(F.floor(unit * 65536).cast("bigint"), F.lit(65535))
+    # NULL dims sort to bucket 0 explicitly — without the coalesce,
+    # F.least() SKIPS null operands and a null row would silently land in
+    # the max corner (65535), fattening that row group's envelope
+    return F.coalesce(
+        F.least(F.floor(unit * 65536).cast("bigint"), F.lit(65535)), F.lit(0)
+    )
 
 
 def z_value(cols: list[Column]) -> Column:
     """Interleave the low 16 bits of each (already-normalized) column into
-    one Morton code. Column i contributes bit j to output bit j*ndims + i."""
+    one Morton code — exactly 2 columns (the stride-2 spread masks place
+    bits at even positions; a third column shifted by 2 would OR-collide
+    with the first, corrupting the code silently)."""
+    if len(cols) != 2:
+        raise ValueError("z_value supports exactly 2 columns")
     parts = [F.shiftleft(_spread_bits(c), i) for i, c in enumerate(cols)]
     out = parts[0]
     for p in parts[1:]:
@@ -120,17 +129,25 @@ def rowgroup_envelopes(path: str, cols: list[str]):
             env = {}
             for c in cols:
                 st = md.row_group(rg).column(idx[c]).statistics
-                env[c] = (st.min, st.max)
+                # stats absent (writer disabled them / all-null chunk) →
+                # None: the reader cannot prune on this column
+                env[c] = (
+                    (st.min, st.max) if st is not None and st.has_min_max else None
+                )
             out.append(env)
     return out
 
 
 def pruned_fraction(envelopes, box: dict) -> float:
     """Fraction of row groups a min/max-pruning reader SKIPS for a
-    conjunctive box predicate {col: (lo, hi)}."""
+    conjunctive box predicate {col: (lo, hi)}. A column without stats
+    (envelope None) never prunes — the group counts as read."""
     hit = sum(
         1
         for env in envelopes
-        if all(env[c][0] <= hi and env[c][1] >= lo for c, (lo, hi) in box.items())
+        if all(
+            env[c] is None or (env[c][0] <= hi and env[c][1] >= lo)
+            for c, (lo, hi) in box.items()
+        )
     )
     return 1.0 - hit / len(envelopes)

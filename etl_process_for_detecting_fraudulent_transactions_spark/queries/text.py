@@ -604,9 +604,8 @@ def substring_dedup(spark, sf_dir):
     return flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_windows"),
         F.count(F.when(F.col("ndocs") >= 2, F.lit(1))).alias("n_dup_windows"),
-        (
-            F.count(F.when(F.col("ndocs") >= 2, F.lit(1))).cast("double") / F.count("*")
-        ).alias("dup_ratio"),
+    ).withColumn(
+        "dup_ratio", F.col("n_dup_windows").cast("double") / F.col("n_windows")
     )
 
 
@@ -690,7 +689,7 @@ def gopher_quality_filter(spark, sf_dir):
     )
 
 
-_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+_STOPLIST_SQL = f"[{_SW}]"
 
 ORACLE_GOPHER = f"""
 WITH t AS (
