@@ -20,8 +20,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-N_MINHASH = 9          # minhash permutations
-N_BANDS = 3            # LSH bands (rows per band = 3)
+N_MINHASH = 12         # minhash permutations
+N_BANDS = 6            # LSH bands (rows per band = 2): the (b, r) tuning
+#   matters — the LSH collision threshold is (1/b)^(1/r); r=2, b=6 puts it
+#   at 0.41, matched to JACCARD_T=0.4, while the old r=3, b=3 sat at 0.69
+#   and missed a planted J=0.9 pair with p≈2% per pair (observed at sf0.01)
+MINHASH_P = 2147483647  # 2^31-1, modulus of the affine permutation family
+# fixed (a, b) per permutation: h_k(x) = (a_k*x + b_k) mod p, a_k ∈ [1, p)
+MINHASH_AB = (
+    (1103515245, 12345),
+    (1588635695, 462867),
+    (784588716, 891189),
+    (367003629, 951233),
+    (1203248318, 304447),
+    (955447, 845921),
+    (526454323, 662553),
+    (48271, 44488),
+    (69621, 23902),
+    (1583458089, 784551),
+    (159377, 616819),
+    (1203258131, 119489),
+)
 JACCARD_T = 0.4        # near-dup verify threshold (planted dups are >0.9)
 SIMHASH_BITS = 32      # simhash width (8 hex chars of md5)
 HAMMING_T = 3          # near-dup hamming threshold
@@ -164,8 +183,8 @@ def _verify_exact_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup: shingle → K=9 minhashes (string-min over seeded
-    md5 digests) → 3 bands of 3 → band-bucket join → verify true Jaccard.
+    """MinHash+LSH near-dup: shingle → K=12 affine minhashes over one md5
+    prefix → 6 bands of 2 → band-bucket join → verify true Jaccard.
 
     At scale the band join touches only colliding buckets — candidate count
     ~O(dups), not O(N²). Same output contract as dedup_ngram_jaccard.
@@ -176,11 +195,26 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 def _minhash_banded(sh: DataFrame) -> DataFrame:
     """Deterministic banded-minhash (doc_id, band_key) rows — replayable by
-    any engine (string-min over seeded md5)."""
-    sig = sh.groupBy("doc_id").agg(
+    any engine.
+
+    ONE md5 per shingle, not one per (shingle, permutation): the shingle's
+    32-bit md5 prefix (reduced mod p) feeds K affine permutations
+    h_k = (a_k*hp + b_k) mod p over the prime p = 2^31-1 — the classic
+    universal family, exact in 64-bit integer arithmetic on both engines
+    (a_k < 2^31 and hp < 2^31 keep the product under 2^62). vs the old
+    string-min over K seeded digests: K-1 fewer md5 per shingle map-side
+    and numeric-min instead of 32-char-string-min (the at-scale CPU term),
+    A/B-neutral locally at sf0.1 and the 10x tier (9.8 vs 9.5 s — the band
+    join dominates there, and r=2 doubles its rows); adopted for the
+    RECALL retune it enables (see N_BANDS note), measured exhaustive at
+    all three sfs."""
+    hp = (
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint") % MINHASH_P
+    )
+    sig = sh.withColumn("hp", hp).groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"mh{k}")
-            for k in range(N_MINHASH)
+            F.min((F.col("hp") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"mh{k}")
+            for k, (a, b) in enumerate(MINHASH_AB)
         ]
     )
     rows_per_band = N_MINHASH // N_BANDS
@@ -208,18 +242,28 @@ def _minhash_band_candidates(sh: DataFrame) -> DataFrame:
     )
 
 
+# one md5 per shingle reduced mod p, then the affine permutations — the
+# exact SQL mirror of _minhash_banded
+_HP_SQL = f"(('0x' || substr(md5(s), 1, 8))::UBIGINT::BIGINT % {MINHASH_P})"
 _mh_cols = ", ".join(
-    f"MIN(md5('{k}:' || s)) AS mh{k}" for k in range(N_MINHASH)
+    f"MIN((hp * {a} + {b}) % {MINHASH_P}) AS mh{k}"
+    for k, (a, b) in enumerate(MINHASH_AB)
 )
+_SIG_SQL = f"""SELECT doc_id, {_mh_cols}
+  FROM (SELECT doc_id, {_HP_SQL} AS hp FROM sh) shh GROUP BY doc_id"""
 _band_selects = "\nUNION ALL\n".join(
     "SELECT doc_id, '{b}' || '|' || {cols} AS band_key FROM sig".format(
-        b=b, cols=" || '|' || ".join(f"mh{k}" for k in range(b * 3, b * 3 + 3))
+        b=b,
+        cols=" || '|' || ".join(
+            f"CAST(mh{k} AS VARCHAR)"
+            for k in range(b * (N_MINHASH // N_BANDS), (b + 1) * (N_MINHASH // N_BANDS))
+        ),
     )
     for b in range(N_BANDS)
 )
 ORACLE_MINHASH = f"""
 WITH sh AS ({_SQL_SHINGLES}),
-sig AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
+sig AS ({_SIG_SQL}),
 banded AS ({_band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -666,7 +710,7 @@ def dedup_incremental(spark, sf_dir):
 
 ORACLE_INCREMENTAL = f"""
 WITH sh AS ({_SQL_SHINGLES}),
-sig AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
+sig AS ({_SIG_SQL}),
 banded AS ({_band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
