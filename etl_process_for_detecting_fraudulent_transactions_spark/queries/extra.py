@@ -587,3 +587,95 @@ FROM iv JOIN events e
 
 QUERIES["range_join_events"] = range_join_events
 ORACLES["range_join_events"] = ORACLE_RANGE_JOIN
+
+
+# -- funnel analysis ----------------------------------------------------------
+# Classic product-analytics funnel: per user, the earliest view, the earliest
+# click within 24h AFTER that view, the earliest purchase within 24h after
+# THAT click (24h splits the synthetic corpus into all three stages:
+# 90/35/25 users at sf0.01). Sequential step dependency (t2 depends on t1) is the part a
+# naive groupBy can't express; self-joins per step shuffle the fact table
+# once per funnel stage.
+
+FUNNEL_WINDOW = "INTERVAL 24 HOURS"
+
+
+def funnel_steps(spark, sf_dir):
+    """Per-user 3-step funnel (view -> click -> purchase, 24h per step) and
+    the stage reached.
+
+    Scale shape: ONE shuffle total. All three step columns are unbounded
+    min-over-user windows over the SAME partitioning (a cascade of Window
+    nodes, no exchange between them), and the final per-user collapse
+    groups on the partition key the windows just established — Catalyst
+    plans zero additional exchanges for it. Per-user state is three
+    timestamps; no step self-joins, no fact re-shuffle per stage."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    step1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    ev = ev.withColumn("t_view", step1)
+    step2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr(FUNNEL_WINDOW)),
+            F.col("ts"),
+        )
+    ).over(w)
+    ev = ev.withColumn("t_click", step2)
+    step3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr(FUNNEL_WINDOW)),
+            F.col("ts"),
+        )
+    ).over(w)
+    ev = ev.withColumn("t_purchase", step3)
+    per_user = ev.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.withColumn(
+        "stage",
+        F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+        .when(F.col("t_click").isNotNull(), F.lit(2))
+        .when(F.col("t_view").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM events
+),
+s2 AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'click' AND ts >= t_view
+                   AND ts <= t_view + INTERVAL 24 HOUR THEN ts END)
+           OVER (PARTITION BY user_id) AS t_click
+  FROM s1
+),
+s3 AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'purchase' AND ts >= t_click
+                   AND ts <= t_click + INTERVAL 24 HOUR THEN ts END)
+           OVER (PARTITION BY user_id) AS t_purchase
+  FROM s2
+)
+SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+       MAX(t_purchase) AS t_purchase,
+       CASE WHEN MAX(t_purchase) IS NOT NULL THEN 3
+            WHEN MAX(t_click) IS NOT NULL THEN 2
+            WHEN MAX(t_view) IS NOT NULL THEN 1
+            ELSE 0 END AS stage
+FROM s3
+GROUP BY user_id
+"""
+
+QUERIES["funnel_steps"] = funnel_steps
+ORACLES["funnel_steps"] = ORACLE_FUNNEL

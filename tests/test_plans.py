@@ -317,3 +317,15 @@ def test_tfidf_topk_is_window_group_limit(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 3  # (doc,term), term, doc
     assert "WindowGroupLimit" in plan and "Partial" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_funnel_is_single_exchange(spark, sf_dir):
+    """funnel_steps: the three step windows and the per-user collapse all
+    share ONE user_id exchange — no per-stage self-join or re-shuffle."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.extra import (
+        funnel_steps,
+    )
+
+    plan = _plan(funnel_steps(spark, sf_dir))
+    assert plan.count("Exchange ") == 1
+    assert "Join" not in plan
