@@ -87,11 +87,12 @@ _PRIORITY_KEYS = (
     "dedup_incremental",
     "per_source_cap",
     "funnel_steps",
+    "retention_cohorts",
 )
 
 # Family order after the priority keys.
-# First-50 budget: 22 priority + tpch_rest remainder (3) + similarity (7)
-# + relational (first 18) = 50; relational's last three and tpch_more
+# First-50 budget: 23 priority + tpch_rest remainder (3) + similarity (7)
+# + relational (first 17) = 50; relational's last four and tpch_more
 # (r1-green, locally parity-tested) rotate just outside.
 _FAMILY_ORDER = (
     tpch_rest,

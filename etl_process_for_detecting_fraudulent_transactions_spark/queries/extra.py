@@ -679,3 +679,57 @@ GROUP BY user_id
 
 QUERIES["funnel_steps"] = funnel_steps
 ORACLES["funnel_steps"] = ORACLE_FUNNEL
+
+
+# -- cohort retention ---------------------------------------------------------
+
+def retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention: users grouped by the week of their first
+    event; for each later week, how many of that cohort were active
+    (cohort_week, week_offset, n_users). All-integer counts — exact on
+    both engines; date_trunc('week') starts Monday in Spark and DuckDB.
+    datediff/7 is always an EXACT integer (difference of two Mondays), so
+    the int cast never sees a fraction — important because DuckDB's
+    float->INT cast rounds-to-nearest while Spark's truncates; a
+    non-multiple-of-7 diff here would diverge at .5 boundaries.
+
+    Scale shape: first-activity week is a min-over-user window (one user
+    exchange); per-(user, week) activity collapses with distinct, and the
+    cohort matrix is one more map-side-combined groupBy on
+    (cohort_week, offset) — no self-join of the fact table against the
+    first-activity table."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    w = Window.partitionBy("user_id")
+    ev = ev.withColumn("cohort_week", F.min("wk").over(w))
+    active = ev.select(
+        "user_id",
+        "cohort_week",
+        (F.datediff("wk", "cohort_week") / 7).cast("int").alias("week_offset"),
+    ).distinct()
+    return active.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+ORACLE_RETENTION = """
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+),
+c AS (
+  SELECT user_id, wk,
+         MIN(wk) OVER (PARTITION BY user_id) AS cohort_week
+  FROM ev
+),
+active AS (
+  SELECT DISTINCT user_id, cohort_week,
+         CAST(datediff('day', cohort_week, wk) / 7 AS INT) AS week_offset
+  FROM c
+)
+SELECT cohort_week, week_offset, COUNT(*) AS n_users
+FROM active GROUP BY cohort_week, week_offset
+"""
+
+QUERIES["retention_cohorts"] = retention_cohorts
+ORACLES["retention_cohorts"] = ORACLE_RETENTION
