@@ -88,11 +88,13 @@ _PRIORITY_KEYS = (
     "per_source_cap",
     "funnel_steps",
     "retention_cohorts",
+    "bigram_lm_counts",
+    "data_skew_profile",
 )
 
 # Family order after the priority keys.
-# First-50 budget: 23 priority + tpch_rest remainder (3) + similarity (7)
-# + relational (first 17) = 50; relational's last four and tpch_more
+# First-50 budget: 25 priority + tpch_rest remainder (3) + similarity (7)
+# + relational (first 15) = 50; relational's last six and tpch_more
 # (r1-green, locally parity-tested) rotate just outside.
 _FAMILY_ORDER = (
     tpch_rest,

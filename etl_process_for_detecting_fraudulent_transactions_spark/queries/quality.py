@@ -124,3 +124,72 @@ SELECT 'domain_discount_out_of_range',
 
 QUERIES = {"integrity_checks": integrity_checks}
 ORACLES = {"integrity_checks": ORACLE_INTEGRITY}
+
+
+# -- join-key skew profiling --------------------------------------------------
+# The measurement that DECIDES the skew strategy (operators/skew.py
+# salted_join, AQE skew splitting): per join column — row count, distinct
+# keys, the hottest key's row count and share. Run it before sizing salts.
+
+_SKEW_COLS = (
+    ("orders", "o_custkey"),
+    ("lineitem", "l_partkey"),
+    ("events", "user_id"),
+)
+
+
+def data_skew_profile(spark, sf_dir):
+    """Per join column: n_rows, n_distinct keys, top key count + share.
+
+    Only the max group COUNT is emitted, never the arg-max key — ties on
+    the count would make the key engine/partitioning-dependent. Each
+    column costs one map-side-combined groupBy collapsed to a 1-row
+    aggregate; the union of the tiny per-column rows is driver-free."""
+    outs = []
+    for table, col in _SKEW_COLS:
+        per_key = (
+            _t(spark, sf_dir, table)
+            .groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        outs.append(
+            per_key.agg(
+                F.lit(f"{table}.{col}").alias("table_col"),
+                F.sum("c").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.max("c").alias("top_count"),
+                (F.max("c").cast("double") / F.sum("c")).alias("top_share"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+ORACLE_SKEW_PROFILE = """
+WITH p AS (
+  SELECT 'orders.o_custkey' AS table_col, COUNT(*) AS c
+  FROM orders GROUP BY o_custkey
+),
+q AS (
+  SELECT 'lineitem.l_partkey' AS table_col, COUNT(*) AS c
+  FROM lineitem GROUP BY l_partkey
+),
+r AS (
+  SELECT 'events.user_id' AS table_col, COUNT(*) AS c
+  FROM events GROUP BY user_id
+),
+u AS (
+  SELECT * FROM p UNION ALL SELECT * FROM q UNION ALL SELECT * FROM r
+)
+SELECT table_col,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_distinct,
+       CAST(MAX(c) AS BIGINT) AS top_count,
+       CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_share
+FROM u GROUP BY table_col
+"""
+
+QUERIES["data_skew_profile"] = data_skew_profile
+ORACLES["data_skew_profile"] = ORACLE_SKEW_PROFILE

@@ -789,3 +789,64 @@ SELECT doc_id, term, tf, df, score, rk FROM s WHERE rk <= {TFIDF_K}
 
 QUERIES["tfidf_keywords"] = tfidf_keywords
 ORACLES["tfidf_keywords"] = ORACLE_TFIDF
+
+
+# -- bigram language-model statistics ----------------------------------------
+# The "train" artifact of a KenLM-style count LM: corpus bigram counts and
+# conditional numerator/denominator — the stats perplexity-based quality
+# filtering is built on. All integer counts; p(w2|w1) is one IEEE division.
+
+BIGRAM_MIN_C = 5
+
+
+def bigram_lm_counts(spark, sf_dir):
+    """Corpus bigram LM stats: (w1, w2) count c2, prefix count c1 (sum of
+    c2 over w1 — NON-distinct, order-preserving adjacency), conditional
+    probability p = c2/c1, for bigrams seen >= BIGRAM_MIN_C times.
+
+    Scale shape: single lineage — one corpus scan, one map-side-combined
+    shuffle to (w1, w2); c1 comes from a sum-over-window on w1 (rows per
+    w1 partition = vocabulary fan-out of w1, bounded by |V|), so the
+    denominator costs no second scan or join."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    bigrams = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(filter(split(text, ' '), x -> x != '')) - 1), "
+                "i -> struct(element_at(filter(split(text, ' '), x -> x != ''), i) as w1, "
+                "element_at(filter(split(text, ' '), x -> x != ''), i + 1) as w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c2 = c2.withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
+    return c2.filter(F.col("c2") >= BIGRAM_MIN_C).select(
+        "w1", "w2", "c2", "c1", (F.col("c2").cast("double") / F.col("c1")).alias("p")
+    )
+
+
+ORACLE_BIGRAM_LM = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+b AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+),
+c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY w1, w2
+),
+c AS (
+  SELECT w1, w2, c2, SUM(c2) OVER (PARTITION BY w1) AS c1 FROM c2
+)
+SELECT w1, w2, c2, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS DOUBLE) / c1 AS p
+FROM c WHERE c2 >= {BIGRAM_MIN_C}
+"""
+
+QUERIES["bigram_lm_counts"] = bigram_lm_counts
+ORACLES["bigram_lm_counts"] = ORACLE_BIGRAM_LM
