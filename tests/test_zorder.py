@@ -80,3 +80,40 @@ def test_zorder_layout_prunes_2d_box_better_than_linear_sort(spark, sf_dir, tmp_
     # hits every surviving group; z-order prunes on BOTH dimensions.
     assert z_skip > lin_skip, (z_skip, lin_skip)
     assert z_skip >= 0.9, z_skip
+
+
+def test_z_value_random_against_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", z_value([F.col("x"), F.col("y")])).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _py_interleave(x, y), (x, y)
+
+
+def test_z_value_rejects_non_2d():
+    with pytest.raises(ValueError):
+        z_value([F.col("a")])
+    with pytest.raises(ValueError):
+        z_value([F.col("a"), F.col("b"), F.col("c")])
+
+
+def test_zorder_null_dims_go_to_bucket_zero(spark, tmp_path):
+    """Null z-dimension rows must land in the LOW corner (bucket 0), not
+    silently in the max corner via F.least's null-skipping."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.zorder import (
+        zorder_by,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, 100), (2, None, 200), (3, 99, None), (4, 50, 150)],
+        "id int, a int, b int",
+    )
+    out = zorder_by(df, ["a", "b"], n_files=2)
+    # all rows survive, none dropped or duplicated
+    assert sorted(r.id for r in out.collect()) == [1, 2, 3, 4]
