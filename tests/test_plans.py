@@ -329,3 +329,16 @@ def test_funnel_is_single_exchange(spark, sf_dir):
     plan = _plan(funnel_steps(spark, sf_dir))
     assert plan.count("Exchange ") == 1
     assert "Join" not in plan
+
+
+def test_bigram_lm_is_single_scan_two_exchanges(spark, sf_dir):
+    """bigram_lm_counts: one corpus scan; one (w1, w2) exchange + one w1
+    window exchange — the denominator never re-scans or joins."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.text import (
+        bigram_lm_counts,
+    )
+
+    plan = _plan(bigram_lm_counts(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
