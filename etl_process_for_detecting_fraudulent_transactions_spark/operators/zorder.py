@@ -53,11 +53,12 @@ def _normalize_u16(col: Column, lo: Column, hi: Column) -> Column:
     unit = F.when(span > 0, (col.cast("double") - lo.cast("double")) / span).otherwise(
         F.lit(0.0)
     )
-    # NULL dims sort to bucket 0 explicitly — without the coalesce,
-    # F.least() SKIPS null operands and a null row would silently land in
-    # the max corner (65535), fattening that row group's envelope
-    return F.coalesce(
-        F.least(F.floor(unit * 65536).cast("bigint"), F.lit(65535)), F.lit(0)
+    # NULL dims sort to bucket 0 explicitly — and the coalesce must wrap
+    # the null BEFORE it meets least(): F.least() SKIPS null operands, so
+    # least(null, 65535) would return 65535 and a null row would silently
+    # land in the max corner, fattening that row group's envelope
+    return F.least(
+        F.coalesce(F.floor(unit * 65536).cast("bigint"), F.lit(0)), F.lit(65535)
     )
 
 

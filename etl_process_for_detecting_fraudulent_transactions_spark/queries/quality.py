@@ -164,7 +164,9 @@ def data_skew_profile(spark, sf_dir):
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)
-    return res
+    # an EMPTY table yields one all-null global-agg row on the Spark side
+    # but zero rows from the oracle's GROUP BY — drop it so both agree
+    return res.filter(F.col("n_rows").isNotNull())
 
 
 ORACLE_SKEW_PROFILE = """

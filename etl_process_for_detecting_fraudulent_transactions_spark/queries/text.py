@@ -810,14 +810,22 @@ def bigram_lm_counts(spark, sf_dir):
     denominator costs no second scan or join."""
     from pyspark.sql.window import Window
 
-    d = _docs(spark, sf_dir)
-    toks = _tokens()
+    # size >= 2 guard: F.sequence(1, n-1) runs DESCENDING for n <= 1 and
+    # element_at then throws INVALID_ARRAY_INDEX (same hazard _shingles in
+    # dedup.py guards); the oracle's WHERE len(toks) >= 2 is the mirror
+    d = (
+        _docs(spark, sf_dir)
+        .select(_tokens().alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
     bigrams = d.select(
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(filter(split(text, ' '), x -> x != '')) - 1), "
-                "i -> struct(element_at(filter(split(text, ' '), x -> x != ''), i) as w1, "
-                "element_at(filter(split(text, ' '), x -> x != ''), i + 1) as w2))"
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
             )
         ).alias("b")
     ).select("b.w1", "b.w2")

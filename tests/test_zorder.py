@@ -105,8 +105,10 @@ def test_z_value_rejects_non_2d():
 
 def test_zorder_null_dims_go_to_bucket_zero(spark, tmp_path):
     """Null z-dimension rows must land in the LOW corner (bucket 0), not
-    silently in the max corner via F.least's null-skipping."""
+    silently in the max corner via F.least's null-skipping — asserted on
+    the actual normalized bucket, not just row survival."""
     from etl_process_for_detecting_fraudulent_transactions_spark.operators.zorder import (
+        _normalize_u16,
         zorder_by,
     )
 
@@ -114,6 +116,15 @@ def test_zorder_null_dims_go_to_bucket_zero(spark, tmp_path):
         [(1, 10, 100), (2, None, 200), (3, 99, None), (4, 50, 150)],
         "id int, a int, b int",
     )
+    buckets = {
+        r.id: r.n
+        for r in df.select(
+            "id", _normalize_u16(F.col("a"), F.lit(10), F.lit(99)).alias("n")
+        ).collect()
+    }
+    assert buckets[2] == 0, buckets  # null dim -> bucket 0, NOT 65535
+    assert buckets[1] == 0 and buckets[4] < 65535 and buckets[3] == 65535
+
     out = zorder_by(df, ["a", "b"], n_files=2)
     # all rows survive, none dropped or duplicated
     assert sorted(r.id for r in out.collect()) == [1, 2, 3, 4]
