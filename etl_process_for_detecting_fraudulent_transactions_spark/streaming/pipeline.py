@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -468,4 +470,95 @@ def guessing_amount_stream_tws(tx: DataFrame, watermark: str = "1 hour") -> Data
         outputStructType=EVENT_SCHEMA,
         outputMode="append",
         timeMode="None",
+    )
+
+
+# -- streaming funnel ---------------------------------------------------------
+
+FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", IntegerType()),
+        StructField("t_view_us", LongType()),
+        StructField("t_click_us", LongType()),
+        StructField("t_purchase_us", LongType()),
+    ]
+)
+
+# 0 = unset; stage advances monotonically so three longs are the whole state
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("t_view_us", LongType()),
+        StructField("t_click_us", LongType()),
+        StructField("t_purchase_us", LongType()),
+    ]
+)
+
+
+def funnel_stream(
+    ev: DataFrame, window_hours: int = 24, watermark: str = "48 hours"
+) -> DataFrame:
+    """The batch ``funnel_steps`` cascade (queries/extra.py) as a per-user
+    stateful streaming operator: state = the three step timestamps, O(1)
+    per user; an output row is emitted each time a user's stage ADVANCES.
+
+    Same ordering contract as the other stateful streams here (each batch
+    is sorted by event time; cross-batch order comes from the replayed
+    file cadence): the first view seen IS the min view. Equivalence with
+    the batch funnel on an ordered replay is pinned in
+    tests/test_streaming.py."""
+    w_us = window_hours * 3600 * 1_000_000
+    filtered = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .withWatermark("ts", watermark)
+        .select("user_id", "event_type", "ts", F.unix_micros("ts").alias("ts_us"))
+    )
+
+    def matcher(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        t_view, t_click, t_purchase = state.get if state.exists else (0, 0, 0)
+        out = []
+
+        def stage() -> int:
+            return 3 if t_purchase else 2 if t_click else 1 if t_view else 0
+
+        before = stage()
+        batch = [pdf for pdf in pdfs]
+        if batch:
+            for r in pd.concat(batch).sort_values("ts_us").itertuples():
+                ts = int(r.ts_us)
+                if r.event_type == "view" and not t_view:
+                    t_view = ts
+                elif (
+                    r.event_type == "click"
+                    and t_view
+                    and not t_click
+                    and t_view <= ts <= t_view + w_us
+                ):
+                    t_click = ts
+                elif (
+                    r.event_type == "purchase"
+                    and t_click
+                    and not t_purchase
+                    and t_click <= ts <= t_click + w_us
+                ):
+                    t_purchase = ts
+                if stage() > before:
+                    out.append((key[0], stage(), t_view, t_click, t_purchase))
+                    before = stage()
+        state.update((t_view, t_click, t_purchase))
+        state.setTimeoutDuration(6 * 60 * 60 * 1000)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "stage", "t_view_us", "t_click_us", "t_purchase_us"],
+            )
+
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        matcher,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

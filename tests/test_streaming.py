@@ -458,3 +458,53 @@ def test_dedup_stream_drops_redelivered_file(spark, tmp_path):
         .collect()
     }
     assert set(streamed_ids) == batch_ids
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """The streaming funnel (per-user stateful cascade) on an ordered
+    replay reaches EXACTLY the batch funnel's stage per user — first
+    qualifying event in time order == min qualifying event."""
+    from tests.conftest import TESTDATA
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries._io import (
+        load_table,
+    )
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.extra import (
+        funnel_steps,
+    )
+    from etl_process_for_detecting_fraudulent_transactions_spark.streaming.pipeline import (
+        funnel_stream,
+    )
+
+    sf_dir = os.path.join(TESTDATA, "sf0.001")
+    landing = str(tmp_path / "landing")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    ev.orderBy("ts").coalesce(1).write.parquet(landing)
+
+    stream = spark.readStream.schema(spark.read.parquet(landing).schema).parquet(
+        landing
+    )
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.user_id: r.stage
+        for r in spark.sql(
+            "SELECT user_id, MAX(stage) AS stage FROM funnel_stream_out GROUP BY user_id"
+        ).collect()
+    }
+    assert got, "stream emitted nothing"
+
+    batch = {r.user_id: r.stage for r in funnel_steps(spark, sf_dir).collect()}
+    assert batch, "batch funnel empty"
+    # streaming emits only on ADVANCE: stage-0 users are absent by design
+    for uid, st in batch.items():
+        assert got.get(uid, 0) == st, (uid, st, got.get(uid, 0))
+    assert set(got) <= set(batch)
