@@ -569,23 +569,26 @@ def dedup_prefix_jaccard(spark, sf_dir):
     prefix join is near-linear while the plain shingle self-join dies. The
     synthetic testdata is the UNFAVORABLE case (dense small vocabulary):
     sf0.1 candidates 1.13M (quadratic) → 522k (prefix) → 206k (+positional/
-    ratio), yet the quadratic gate is still faster locally (1.8s vs 4.8s)
-    because its candidates collapse in one groupBy while this path pays 3
-    extra small shuffles (df, rank window, prefix join). The crossover is a
+    ratio), yet the quadratic gate is still faster locally (~2.6s vs ~4.7s
+    warm) because its candidates collapse in one groupBy while this path
+    pays the df/rank window exchanges + prefix join. The crossover is a
     vocabulary property, not a data-size property — kept as the exact scale
     path, measured honestly.
     """
     sh = _shingles(spark, sf_dir)
     from pyspark.sql import Window
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # df / n / rn as a window chain over the SAME frame — one s exchange +
+    # one doc_id exchange (rn and n share the doc partitioning), replacing
+    # the freq/sizes groupBy+join-back shape (A/B at sf0.1: 5.5 -> 4.7 s
+    # warm, identical output; sh is per-doc distinct so count-over-s IS
+    # the document frequency)
     ranked = (
-        sh.join(freq, "s")
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("s")))
         .withColumn(
             "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
         )
-        .join(sizes, "doc_id")
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
     )
     # prefix length n - ceil(t*n) + 1 with ceil(0.4*n) = (2n+4) div 5
     prefix = ranked.filter(
