@@ -90,11 +90,12 @@ _PRIORITY_KEYS = (
     "retention_cohorts",
     "bigram_lm_counts",
     "data_skew_profile",
+    "dedup_canonical_pick",
 )
 
 # Family order after the priority keys.
-# First-50 budget: 25 priority + tpch_rest remainder (3) + similarity (7)
-# + relational (first 15) = 50; relational's last six and tpch_more
+# First-50 budget: 26 priority + tpch_rest remainder (3) + similarity (7)
+# + relational (first 14) = 50; relational's last seven and tpch_more
 # (r1-green, locally parity-tested) rotate just outside.
 _FAMILY_ORDER = (
     tpch_rest,

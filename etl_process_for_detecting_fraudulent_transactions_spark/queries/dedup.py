@@ -738,3 +738,57 @@ WHERE i / (sa.n + sb.n - i) >= {JACCARD_T}
 
 QUERIES["dedup_incremental"] = dedup_incremental
 ORACLES["dedup_incremental"] = ORACLE_INCREMENTAL
+
+
+# -- canonical representative selection ---------------------------------------
+# The step after clustering in a real dedup pipeline: keep ONE doc per
+# near-dup cluster. Criterion: longest doc wins (the common "keep the most
+# complete version" heuristic), ties broken by min doc_id — deterministic
+# on both engines.
+
+def dedup_canonical_pick(spark, sf_dir):
+    """Per near-dup cluster: the kept (canonical) doc, cluster size, and
+    how many docs a curation pass would drop.
+
+    Scale shape: cluster labels come from the connected-components pass;
+    the pick itself is one row_number window over cluster_id (rank-limit
+    pushdown applies — only ~1 row per cluster survives the shuffle) plus
+    a broadcast-size join of the tiny member set against documents."""
+    from pyspark.sql import Window
+
+    labels = dedup_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = labels.join(docs, "doc_id").withColumn("rk", F.row_number().over(w))
+    per_cluster = ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+        F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias("kept_n_chars"),
+    )
+    return per_cluster.withColumn(
+        "n_dropped", F.col("cluster_size") - F.lit(1)
+    )
+
+
+ORACLE_CANONICAL = f"""
+WITH clusters AS ({ORACLE_CLUSTERS}),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY d.n_chars DESC, c.doc_id ASC
+         ) AS rk
+  FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT cluster_id,
+       COUNT(*) AS cluster_size,
+       MAX(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc_id,
+       MAX(CASE WHEN rk = 1 THEN n_chars END) AS kept_n_chars,
+       COUNT(*) - 1 AS n_dropped
+FROM ranked GROUP BY cluster_id
+"""
+
+QUERIES["dedup_canonical_pick"] = dedup_canonical_pick
+ORACLES["dedup_canonical_pick"] = ORACLE_CANONICAL
