@@ -751,9 +751,12 @@ def dedup_canonical_pick(spark, sf_dir):
     how many docs a curation pass would drop.
 
     Scale shape: cluster labels come from the connected-components pass;
-    the pick itself is one row_number window over cluster_id (rank-limit
-    pushdown applies — only ~1 row per cluster survives the shuffle) plus
-    a broadcast-size join of the tiny member set against documents."""
+    the pick itself is one row_number window + groupBy sharing the
+    cluster_id partitioning over the cluster-member set (tiny relative to
+    the corpus: only docs that HAVE a near-dup), plus one join of that
+    member set against documents. All member rows flow through the window
+    — the groupBy needs them for cluster_size, so rank-limit pushdown
+    does not apply here."""
     from pyspark.sql import Window
 
     labels = dedup_clusters(spark, sf_dir)

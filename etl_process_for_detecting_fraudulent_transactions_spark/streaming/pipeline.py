@@ -210,6 +210,11 @@ def guessing_amount_stream(tx: DataFrame, watermark: str = "1 hour") -> DataFram
     def matcher(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle-card GC: without remove() the timeout invocation would
+            # re-update state and re-arm forever — state would be immortal
+            state.remove()
+            return
         if state.exists:
             results_s, amts_s, ts_s = state.get
             results = results_s.split("|") if results_s else []
@@ -333,6 +338,9 @@ def city_fraud_stream(
     def matcher(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # idle-card GC (see guessing matcher note)
+            return
         if state.exists:
             last_ts_s, last_city = state.get
             last_ts = int(last_ts_s) if last_ts_s else None
@@ -517,6 +525,11 @@ def funnel_stream(
     def matcher(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # retention horizon: forget idle users entirely (a later event
+            # restarts their funnel) — without remove() state is immortal
+            state.remove()
+            return
         t_view, t_click, t_purchase = state.get if state.exists else (0, 0, 0)
         out = []
 
@@ -526,7 +539,16 @@ def funnel_stream(
         before = stage()
         batch = [pdf for pdf in pdfs]
         if batch:
-            for r in pd.concat(batch).sort_values("ts_us").itertuples():
+            # equal-timestamp ties process in FUNNEL-STEP order so a
+            # click@T qualifies against a view@T (batch semantics: the
+            # window bound is inclusive). Without the secondary key,
+            # pandas' unstable quicksort would order ties arbitrarily and
+            # the stream could nondeterministically skip a step.
+            allrows = pd.concat(batch)
+            allrows = allrows.assign(
+                _step=allrows["event_type"].map({"view": 0, "click": 1, "purchase": 2})
+            ).sort_values(["ts_us", "_step"], kind="mergesort")
+            for r in allrows.itertuples():
                 ts = int(r.ts_us)
                 if r.event_type == "view" and not t_view:
                     t_view = ts
