@@ -425,8 +425,26 @@ ORACLES = {
 def dedup_clusters(spark, sf_dir):
     """Connected components over the ≥0.4-Jaccard near-dup graph: every doc
     labeled with the min doc_id of its component (singletons = themselves);
-    output one row per non-singleton cluster member."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").cache()
+    output one row per non-singleton cluster member.
+
+    Pair source (round 4): the BUCKETED banded-minhash candidate generator +
+    exact-Jaccard verify — the same O(dups) path ``dedup_minhash_lsh`` rides,
+    not the quadratic shingle self-join the first cut used. The oracle's
+    ``pairs`` CTE derives from the identical banded-minhash SQL, so engine
+    and oracle agree BY CONSTRUCTION (generator recall affects both sides
+    equally); at 100 TB the label-propagation input is ~O(duplicates), and
+    the clustering itself only ever touches docs that HAVE a near-dup."""
+    sh = _shingles(spark, sf_dir)
+    # eager localCheckpoint (not cache): the CC loop's first count would
+    # otherwise trigger one giant job that scans the cold-cached shingle
+    # frame 4× concurrently (sizes + band join + both verify sides) —
+    # materializing the pair set first keeps the loop on a tiny in-memory
+    # table and truncates the LSH lineage out of every round's plan
+    pairs = (
+        _verify_exact_jaccard(sh, _minhash_band_candidates(sh))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     # undirected edge list + self-loops over the member set
     members = (
         pairs.select(F.col("doc_a").alias("doc_id"))
@@ -469,11 +487,19 @@ def dedup_clusters(spark, sf_dir):
 # rounds — equivalent fixpoint for this bounded graph.
 ORACLE_CLUSTERS = f"""
 WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+sig AS ({_SIG_SQL}),
+banded AS ({_band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+  SELECT doc_a, doc_b, COUNT(*) AS i
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+  GROUP BY doc_a, doc_b
 ),
 pairs AS (
   SELECT doc_a, doc_b FROM inter
