@@ -366,3 +366,77 @@ GROUP BY p.user_id
 
 QUERIES["countmin_heavy_hitters"] = countmin_heavy_hitters
 ORACLES["countmin_heavy_hitters"] = ORACLE_COUNTMIN
+
+
+# -- KMV distinct sketch: oracle-exact approximate distinct counts -----------
+# The engine-replayable counterpart to approx_distinct_sketch (HLL): a
+# k-minimum-values sketch keeps the K smallest distinct 32-bit md5-derived
+# hash values per group; if fewer than K distinct hashes exist the count is
+# exact, otherwise distinct ≈ (K-1) / U_(K) with U_(K) the K-th smallest
+# hash normalized to [0,1) (Bar-Yossef et al., RANDOM'02). Every step is
+# integer arithmetic over md5 — bit-replayable by DuckDB, so unlike HLL this
+# sketch gets a hash-exact oracle (same recipe that made the count-min gate
+# oracle-exact in round 3).
+#
+# Scale shape: the rank-K window gets Spark's WindowGroupLimit pushdown —
+# each map task emits at most K rows per group BEFORE the shuffle, which is
+# exactly the sketch's mergeability (union two sketches = re-take the K
+# smallest); sketch size is independent of N, no raw-key shuffle. The HLL
+# variant (approx_distinct_sketch above) stays as the built-in-function
+# path with its accuracy pin in tests/test_sketches.py; this gate is the
+# driver-checkable one.
+
+KMV_K = 64
+
+
+def approx_distinct_kmv(spark, sf_dir):
+    """KMV distinct-user sketch per event type; exact below K=64 distinct
+    hashes, (K-1)*2^32 DIV h_K above (floor division — identical integer
+    semantics in Spark ``DIV`` and DuckDB ``//``)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    hashes = ev.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    topk = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    agg = topk.groupBy("event_type").agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).alias("m")
+    )
+    est = F.when(F.col("m") < KMV_K, F.col("m")).otherwise(
+        F.expr(f"CAST({(KMV_K - 1) * 4294967296} DIV GREATEST(hk, 1) AS BIGINT)")
+    )
+    return agg.select("event_type", est.alias("approx_users"))
+
+
+ORACLE_KMV = f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashes
+),
+agg AS (
+  SELECT event_type, MAX(h) AS hk, COUNT(*) AS m
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+)
+SELECT event_type,
+       CASE WHEN m < {KMV_K} THEN m
+            ELSE {(KMV_K - 1) * 4294967296} // GREATEST(hk, 1) END AS approx_users
+FROM agg
+"""
+
+# registry: the KMV gate REPLACES the HLL entry (round-4 closure of the one
+# rows-only registry row — VERDICT r3 #3); approx_distinct_sketch itself
+# stays importable with its accuracy contract pinned in tests/test_sketches.py
+QUERIES["approx_distinct_kmv"] = approx_distinct_kmv
+ORACLES["approx_distinct_kmv"] = ORACLE_KMV
+del QUERIES["approx_distinct_sketch"]

@@ -69,3 +69,41 @@ def test_countmin_overestimates_within_epsilon(spark):
     for k, t in true.items():
         assert est[k] >= t, f"CMS UNDER-estimated {k}: {est[k]} < {t}"
         assert est[k] <= t + eps_n, f"{k}: est {est[k]} vs true {t} (+{eps_n:.0f} bound)"
+
+
+def test_kmv_estimate_within_relative_error(spark):
+    """KMV contract: exact below K distinct hashes; above, the (K-1)/U_(K)
+    estimator's standard error is 1/sqrt(K-2) ≈ 12.7% at K=64 — pinned at
+    3 sigma. sf0.01 exercises the estimator path (150 distinct > K)."""
+    import os
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        KMV_K,
+        approx_distinct_kmv,
+    )
+
+    sf_dir = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.01"
+    )
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in approx_distinct_kmv(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact_users"]
+        for r in (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("exact_users"))
+            .collect()
+        )
+    }
+    assert set(approx) == set(exact)
+    assert any(v > KMV_K for v in exact.values()), "estimator path not exercised"
+    for k in exact:
+        rel = abs(approx[k] - exact[k]) / max(exact[k], 1)
+        bound = 1.0 if exact[k] <= KMV_K else 3 / (KMV_K - 2) ** 0.5
+        if exact[k] <= KMV_K:
+            assert approx[k] == exact[k], f"{k}: below-K must be exact"
+        else:
+            assert rel < bound, f"{k}: approx {approx[k]} vs {exact[k]} (rel {rel:.3f})"
