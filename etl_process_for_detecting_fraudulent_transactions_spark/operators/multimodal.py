@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -108,13 +109,15 @@ def decode_ppm(payload: bytes) -> tuple[int, int, float]:
     mean_intensity = sum(samples) / (n_samples * maxval) ∈ [0, 1].
     """
     width, height, maxval, raster = decode_ppm_raster(payload)
+    # numpy-vectorized sums (same exact integers as the per-sample loop:
+    # uint8/uint16 values accumulated into int64 — no float, no overflow for
+    # any raster under 2^47 samples)
     if maxval < 256:
-        total, samples = sum(raster), len(raster)
+        arr = np.frombuffer(raster, dtype=np.uint8)
     else:  # 16-bit samples, big-endian per spec
-        samples = len(raster) // 2
-        total = sum(
-            (raster[2 * i] << 8) | raster[2 * i + 1] for i in range(samples)
-        )
+        arr = np.frombuffer(raster, dtype=">u2")
+    samples = arr.size
+    total = int(arr.sum(dtype=np.int64))
     return width, height, total / (samples * maxval)
 
 
@@ -158,10 +161,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
         # the documented MediaDecodeError contract
         raise MediaDecodeError("empty data chunk: no samples to decode")
     n_total = len(data) // 2
-    sq = 0
-    for i in range(n_total):
-        s = int.from_bytes(data[2 * i : 2 * i + 2], "little", signed=True)
-        sq += s * s
+    # numpy-vectorized sum of squares: int16 samples squared (≤ 2^30) and
+    # accumulated in int64 — bit-identical to the per-sample loop for any
+    # clip under 2^33 samples
+    samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    sq = int(np.dot(samples, samples))
     n_samples = n_total // n_channels
     import math
 
@@ -176,16 +180,12 @@ def resize_nearest(
     integer index math so any engine can replay it."""
     if len(raster) != 3 * src_w * src_h:
         raise MediaDecodeError("raster size does not match dimensions")
-    out = bytearray(3 * out_w * out_h)
-    o = 0
-    for y in range(out_h):
-        sy = y * src_h // out_h
-        for x in range(out_w):
-            sx = x * src_w // out_w
-            src = 3 * (sy * src_w + sx)
-            out[o : o + 3] = raster[src : src + 3]
-            o += 3
-    return bytes(out)
+    # numpy fancy-indexed gather: identical x*src//out integer index math as
+    # the per-pixel loop, one vectorized row/col selection instead
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(src_h, src_w, 3)
+    sy = (np.arange(out_h, dtype=np.int64) * src_h) // out_h
+    sx = (np.arange(out_w, dtype=np.int64) * src_w) // out_w
+    return arr[sy][:, sx].tobytes()
 
 
 def decode_image(payload: bytes) -> tuple[int, int, float]:
