@@ -37,7 +37,11 @@ _SPREAD16 = (
 
 
 def _spread_bits(col: Column) -> Column:
-    x = col.cast("bigint")
+    # clamp to the 16-bit budget first: without the mask, bit 16 of an
+    # unnormalized input would OR into the spread of bit 8 and silently
+    # corrupt the Morton code (z_value is a public helper — callers may
+    # pass raw columns that never went through _normalize_u16)
+    x = col.cast("bigint").bitwiseAND(F.lit(0xFFFF))
     for shift, mask in _SPREAD16:
         x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
     return x
@@ -143,6 +147,11 @@ def pruned_fraction(envelopes, box: dict) -> float:
     """Fraction of row groups a min/max-pruning reader SKIPS for a
     conjunctive box predicate {col: (lo, hi)}. A column without stats
     (envelope None) never prunes — the group counts as read."""
+    if not envelopes:
+        raise ValueError(
+            "no row-group envelopes: path matched no parquet row groups "
+            "(empty directory, or not a parquet dataset)"
+        )
     hit = sum(
         1
         for env in envelopes

@@ -567,15 +567,30 @@ def funnel_stream(
                 ):
                     t_purchase = ts
                 if stage() > before:
-                    out.append((key[0], stage(), t_view, t_click, t_purchase))
+                    # OUTPUT uses NULL for steps not yet reached — a 0
+                    # sentinel in a LongType timestamp column reads as
+                    # epoch-1970 downstream; 0 stays internal to the state
+                    # tuple only (state columns are non-nullable longs)
+                    out.append(
+                        (
+                            key[0],
+                            stage(),
+                            t_view or None,
+                            t_click or None,
+                            t_purchase or None,
+                        )
+                    )
                     before = stage()
         state.update((t_view, t_click, t_purchase))
         state.setTimeoutDuration(6 * 60 * 60 * 1000)
         if out:
-            yield pd.DataFrame(
+            pdf = pd.DataFrame(
                 out,
                 columns=["user_id", "stage", "t_view_us", "t_click_us", "t_purchase_us"],
             )
+            for c in ("t_view_us", "t_click_us", "t_purchase_us"):
+                pdf[c] = pdf[c].astype("Int64")  # nullable long for Arrow
+            yield pdf
 
     return filtered.groupBy("user_id").applyInPandasWithState(
         matcher,

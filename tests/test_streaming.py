@@ -460,6 +460,30 @@ def test_dedup_stream_drops_redelivered_file(spark, tmp_path):
     assert set(streamed_ids) == batch_ids
 
 
+def _await_sink_stable(
+    spark, q, count_sql: str, stable_polls: int = 5, timeout: float = 180.0
+):
+    """Wait until the memory sink's row count is non-zero and unchanged for
+    ``stable_polls`` consecutive 1-second polls, then stop the query.
+
+    Needed because a stateful stream with ProcessingTimeTimeout never
+    self-terminates under trigger(availableNow): once the files drain it
+    loops empty micro-batches ('No new data but cleaning up state') waiting
+    for state timeouts, so awaitTermination(N) always burns the full N."""
+    import time as _t
+
+    t0, last, stable = _t.time(), -1, 0
+    while _t.time() - t0 < timeout:
+        n = spark.sql(count_sql).collect()[0][0]
+        stable = stable + 1 if (n == last and n > 0) else 0
+        last = n
+        if stable >= stable_polls:
+            break
+        _t.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+
+
 def test_funnel_stream_matches_batch(spark, tmp_path):
     """The streaming funnel (per-user stateful cascade) on an ordered
     replay reaches EXACTLY the batch funnel's stage per user — first
@@ -493,7 +517,10 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # ProcessingTimeTimeout keeps availableNow alive with empty
+    # "cleaning up state" batches long after the data is drained —
+    # poll the sink for stability instead of waiting for termination
+    _await_sink_stable(spark, q, "SELECT COUNT(*) AS n FROM funnel_stream_out")
     got = {
         r.user_id: r.stage
         for r in spark.sql(
@@ -508,3 +535,64 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
     for uid, st in batch.items():
         assert got.get(uid, 0) == st, (uid, st, got.get(uid, 0))
     assert set(got) <= set(batch)
+
+
+def test_funnel_stream_out_of_order_divergence(spark, tmp_path):
+    """DOCUMENTED divergence contract for cross-batch out-of-order input:
+    the streaming funnel's state keeps the FIRST-SEEN view; a late earlier
+    view arriving in a later micro-batch cannot displace t_view (the batch
+    funnel's min-qualifying-view would be the earlier one). Also pins the
+    nullable-output contract: steps not yet reached are NULL, never the
+    0 sentinel (which is state-internal only)."""
+    import datetime as dt
+    import time as _time
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.streaming.pipeline import (
+        funnel_stream,
+    )
+
+    landing = str(tmp_path / "landing_ooo")
+    t1 = dt.datetime(2021, 3, 1, 9, 0, 0)   # the LATE earlier view
+    t2 = dt.datetime(2021, 3, 1, 10, 0, 0)  # first-seen view (batch 1)
+    t3 = dt.datetime(2021, 3, 1, 10, 30, 0)  # click (batch 2)
+
+    def us(t):
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    cols = ["user_id", "event_type", "ts"]
+    spark.createDataFrame([(1, "view", t2)], cols).coalesce(1).write.parquet(
+        landing
+    )
+    _time.sleep(1.2)  # distinct mtimes: file order drives micro-batch order
+    spark.createDataFrame(
+        [(1, "view", t1), (1, "click", t3)], cols
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_ooo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel_ooo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_sink_stable(spark, q, "SELECT COUNT(*) AS n FROM funnel_ooo")
+    rows = spark.sql(
+        "SELECT stage, t_view_us, t_click_us, t_purchase_us "
+        "FROM funnel_ooo ORDER BY stage"
+    ).collect()
+    assert [r.stage for r in rows] == [1, 2], rows
+    # timezone-independent pin: the batch-2 row's t_view equals batch-1's
+    # emitted t_view (first-seen survived), and differs from the late view
+    # by exactly t2-t1 — the batch funnel's min-view would have been t1
+    assert rows[1].t_view_us == rows[0].t_view_us, rows
+    assert rows[1].t_click_us - rows[1].t_view_us == us(t3) - us(t2), rows
+    # nullable-output contract: unreached steps are NULL, not 0
+    assert rows[0].t_click_us is None and rows[0].t_purchase_us is None, rows
+    assert rows[1].t_purchase_us is None, rows
