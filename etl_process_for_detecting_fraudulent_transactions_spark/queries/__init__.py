@@ -31,18 +31,21 @@ from . import (
 )
 
 # Order matters: the driver's correctness budget covers roughly the first 50
-# registered queries (r1 and r2 both checked exactly the first 50). Rotation
-# for round 3 (VERDICT r2 #1):
-#   1. the 7 tpch_rest batch-3 queries — the ONLY oracle-backed queries with
-#      zero driver evidence across rounds 1-2;
-#   2. queries whose implementation changed this round and need fresh
-#      evidence: dedup_minhash_mllib (now exact-verified + oracle-backed),
-#      multimodal_features (real PPM decode kernel replaces the stub);
-#   3. the similarity family (re-verify after the cosine-kernel A/B);
-#   4. fill to 50 with the families last checked in round 1 (relational,
-#      tpch_more) — two rounds stale, still locally parity-tested.
-# The r2-green dedup/text/sampling/timeseries/quality/stats families rotate
-# out; they keep local parity coverage in tests/test_oracle_parity.py.
+# registered queries (r1-r3 each checked exactly the first 50). Rotation for
+# round 4 (VERDICT r3 #2 — stalest evidence first):
+#   1. queries whose implementation changed this round: dedup_clusters /
+#      dedup_canonical_pick (now on the bucketed LSH pair source),
+#      approx_distinct_kmv (new, replaces the rows-only HLL registry row),
+#      multimodal_features / _audio / _resize (numpy-vectorized kernels);
+#   2. ALL 28 queries whose latest driver evidence is round 1 (three rounds
+#      stale): the relational/tpch_more remainder that sat just outside the
+#      r3 window;
+#   3. 16 of the r2-stale set, verdict-named re-checks first
+#      (scd2_snapshot_diff, sessionize, tpch_q12/q18, json_props_stats —
+#      the r1 failures fixed in r2), then the dedup/text/sampling core.
+# Still r2-stale after this window (r5 rotation debt): doc_* / embedding_hof
+# / grouping_sets / timeseries-family / quality-family leftovers — all keep
+# local parity coverage in tests/test_oracle_parity.py every session.
 _MODULES = (
     relational,
     extra,
@@ -58,58 +61,79 @@ _MODULES = (
     multimodal,
 )
 
-# Keys verified first this round (never-checked or changed since r2).
+# Keys verified first this round (changed this round, then stalest first).
 _PRIORITY_KEYS = (
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q13_custdist",
-    "tpch_q15_top_supplier",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "dedup_minhash_mllib",
+    # -- changed in r4 --
+    "dedup_clusters",
+    "dedup_canonical_pick",
+    "approx_distinct_kmv",
     "multimodal_features",
-    "multimodal_frame_sample",
     "multimodal_audio_features",
     "multimodal_resize",
-    # new in r3: prefix-filtering exact similarity self-join, bucketed
-    # range join, oracle-exact count-min sketch
-    "dedup_prefix_jaccard",
-    "range_join_events",
-    "countmin_heavy_hitters",
-    "domain_mix_sample",
-    # new in r3 session 3: exact substring dedup (Lee et al.), Gopher
-    # quality rules, TF-IDF keyword extraction, incremental minhash dedup,
-    # per-source (domain) cap sampling
-    "substring_dedup",
-    "gopher_quality_filter",
-    "tfidf_keywords",
-    "dedup_incremental",
-    "per_source_cap",
-    "funnel_steps",
-    "retention_cohorts",
-    "bigram_lm_counts",
-    "data_skew_profile",
-    "dedup_canonical_pick",
+    # -- latest evidence r1 (three rounds stale) --
+    "above_nation_avg",
+    "case_when_bands",
+    "cube_revenue",
+    "distinct_segments",
+    "fraud_flag_events",
+    "full_outer_orders",
+    "monthly_revenue",
+    "pit_join_events",
+    "pivot_priority_revenue",
+    "right_join_orders",
+    "rollup_revenue",
+    "set_except_customers",
+    "set_intersect_customers",
+    "sql_text_api",
+    "string_ops",
+    "topk_orders",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_share",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "union_rule_accumulation",
+    "window_distribution_funcs",
+    "window_rank_topn",
+    # -- r2-stale: verdict-named re-checks (r1 failures fixed in r2) --
+    "scd2_snapshot_diff",
+    "sessionize",
+    "tpch_q12_priority_class",
+    "tpch_q18_large_orders",
+    "json_props_stats",
+    # -- r2-stale: dedup/text/sampling core --
+    "dedup_exact",
+    "dedup_bow_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "fuzzy_name_pairs",
+    "curation_pipeline",
+    "text_token_stats",
+    "text_quality",
+    "train_test_split",
+    "stratified_sample",
 )
 
-# Family order after the priority keys.
-# First-50 budget: 26 priority + tpch_rest remainder (3) + similarity (7)
-# + relational (first 14) = 50; relational's last seven and tpch_more
-# (r1-green, locally parity-tested) rotate just outside.
+# Family order after the priority keys: remaining r2-stale families first
+# so any budget beyond 50 lands on the next-stalest evidence.
 _FAMILY_ORDER = (
-    tpch_rest,
-    similarity,
-    relational,
-    tpch_more,
-    extra,
-    dedup,
+    stats,
     text,
-    sampling,
     timeseries,
     quality,
-    stats,
+    sampling,
+    dedup,
+    extra,
+    similarity,
     multimodal,
+    relational,
+    tpch_more,
+    tpch_rest,
 )
 
 
