@@ -18,6 +18,7 @@ from __future__ import annotations
 from . import (
     dedup,
     extra,
+    graph,
     multimodal,
     quality,
     relational,
@@ -49,6 +50,7 @@ from . import (
 _MODULES = (
     relational,
     extra,
+    graph,
     tpch_more,
     tpch_rest,
     stats,
@@ -70,6 +72,10 @@ _PRIORITY_KEYS = (
     "multimodal_features",
     "multimodal_audio_features",
     "multimodal_resize",
+    # -- new in r4: graph family --
+    "triangle_stats",
+    "max_concurrent_events",
+    "event_path_trigrams",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",
@@ -124,6 +130,7 @@ _PRIORITY_KEYS = (
 _FAMILY_ORDER = (
     stats,
     text,
+    graph,
     timeseries,
     quality,
     sampling,

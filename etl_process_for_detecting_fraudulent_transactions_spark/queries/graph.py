@@ -1,0 +1,252 @@
+"""Graph / event-sequence analytics gates (engine-completeness beyond the
+reference: SURVEY.md §2.6 — plus the co-occurrence graph shapes a
+training-data curation pipeline uses for document-link analysis).
+
+All three gates are integer-exact (counts, or a single IEEE division of two
+exact integers), so Spark and DuckDB hash-match bit-for-bit.
+
+Scale notes per gate are on the functions; the common theme: the triangle
+join is ORIENTED by (degree, id) so every wedge is enumerated exactly once
+from its lowest-degree endpoint — the standard trick that turns the
+worst-case hub blowup (sum of deg² over hubs) into sum of oriented-deg²,
+bounded by O(edges^1.5) total wedges on any graph (Schank & Wagner 2005;
+the same orientation MCE/GraphFrames use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ._io import load_table as _t
+
+
+# -- co-purchase graph: triangle census --------------------------------------
+
+def _copurchase_edges(spark, sf_dir):
+    """Undirected distinct edge list (pa < pb): parts sharing an order.
+
+    One (order, part) projection feeds a self-join on the order key; the
+    per-order pair fanout is bounded by basket size (~4 parts/order), so
+    edge generation is linear-ish in lineitem — no part×part blowup."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        # deterministic 1/4 node sample: the synthetic co-purchase graph is
+        # near-regular (avg degree ~120 at sf0.1), where exact triangle
+        # counting is inherently Θ(Σ deg²) ≈ 148M wedges — the sample keeps
+        # the gate's wedge volume ~2.3M at sf0.1 while exercising the exact
+        # same plan; on real (power-law) graphs the orientation below is
+        # what bounds the blowup, not the sample
+        .filter(F.col("l_partkey") % 4 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .distinct()
+    )
+
+
+def triangle_stats(spark, sf_dir):
+    """Global triangle census of the co-purchase graph: nodes, edges,
+    wedges (= sum over nodes of C(deg, 2)), triangles, and the global
+    clustering coefficient 3*triangles/wedges.
+
+    Spark plan: edges are ORIENTED from the (degree, id)-smaller endpoint,
+    wedges enumerate from each wedge center's two out-edges, and the close
+    is a semi-join-shaped inner join back to the oriented edge list — each
+    triangle counted exactly once, hub wedge cost capped by orientation.
+    The oracle counts triangles on the unoriented a<b form (orientation
+    changes the join sizes, never the count), so the SQL stays readable.
+    clustering = one IEEE division of two exact BIGINTs — bit-identical
+    across engines."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("pa").alias("p"))
+        .unionByName(edges.select(F.col("pb").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orientation key packed into ONE bigint (deg*2^32 + id — exact while
+    # deg < 2^31 and ids are 32-bit; at larger scale widen to decimal):
+    # a scalar total order in (deg, id), so the wedge filter and the close
+    # join below stay pure equi/range comparisons — no OR-join that would
+    # degenerate into a nested loop
+    key = deg.select("p", (F.col("deg") * F.lit(4294967296) + F.col("p")).alias("okey"))
+    oriented = (
+        edges.join(key.select(F.col("p").alias("pa"), F.col("okey").alias("ka")), "pa")
+        .join(key.select(F.col("p").alias("pb"), F.col("okey").alias("kb")), "pb")
+        .select(
+            F.when(F.col("ka") < F.col("kb"), F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(F.col("ka") < F.col("kb"), F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+            F.greatest("ka", "kb").alias("dkey"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    e3 = oriented.select(F.col("src").alias("c_src"), F.col("dst").alias("c_dst"))
+    # wedge (u -> v, u -> w) with v ≺ w in orientation order closes iff the
+    # oriented edge v -> w exists (for a triangle a≺b≺c the oriented edges
+    # are exactly a->b, a->c, b->c) — one hash join, each triangle once
+    tri = (
+        e1.join(e2, F.col("e1.src") == F.col("e2.src"))
+        .filter(F.col("e1.dkey") < F.col("e2.dkey"))
+        .join(
+            e3,
+            (F.col("c_src") == F.col("e1.dst")) & (F.col("c_dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    summary = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).alias("n_wedges"),
+    )
+    # both sides are 1-row aggregates: the cross join is a broadcast of one
+    # scalar row, not a data-size hazard
+    return summary.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (F.lit(3) * F.col("n_triangles") / F.col("n_wedges")).alias("clustering"),
+    )
+
+
+ORACLE_TRIANGLES = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_partkey % 4 = 0
+),
+edges AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+  SELECT p, COUNT(*) AS deg FROM (
+    SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges
+  ) GROUP BY p
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.pa = e1.pb
+  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT SUM(deg) // 2 FROM deg) AS n_edges,
+       (SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS n_wedges,
+       n_triangles,
+       3 * n_triangles / (SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS clustering
+FROM tri
+"""
+
+
+# -- sweep-line max concurrency ----------------------------------------------
+
+def max_concurrent_events(spark, sf_dir):
+    """Max concurrent 30-minute event intervals per event type — the
+    classic sweep line as ONE window cumulative sum: each event contributes
+    (+1 at ts, -1 at ts+30min); the running sum ordered by (t, delta) is
+    the live-interval count, its max the answer.
+
+    The RANGE-framed default window makes the running sum ORDER-INDEPENDENT
+    within tied (t, delta) keys (all peers are included in the frame), so
+    both engines agree without any row_number tiebreaker. Ends sort before
+    starts at the same instant (delta -1 < +1): end-exclusive intervals.
+    Scale: one exchange on event_type (the partition key), no join — at
+    100 TB this is a single shuffle of 2 rows per event; skewed types can
+    pre-aggregate deltas per (type, t) first (same answer, RANGE frame)."""
+    ev = _t(spark, sf_dir, "events")
+    deltas = ev.select(
+        "event_type", F.unix_micros("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        ev.select(
+            "event_type",
+            (F.unix_micros("ts") + 30 * 60 * 1_000_000).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "delta")
+    return (
+        deltas.withColumn("live", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(F.max("live").cast("bigint").alias("max_concurrent"))
+    )
+
+
+ORACLE_MAX_CONCURRENT = """
+WITH deltas AS (
+  SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + 30 * 60 * 1000000, -1 FROM events
+)
+SELECT event_type,
+       CAST(MAX(live) AS BIGINT) AS max_concurrent
+FROM (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta) AS live
+  FROM deltas
+)
+GROUP BY event_type
+"""
+
+
+# -- event path trigrams ------------------------------------------------------
+
+def event_path_trigrams(spark, sf_dir):
+    """Top-20 three-step event-type paths across all users: two lags over
+    one per-user time window (a SINGLE Window node — same shared-exchange
+    discipline as the Q4 matcher), then a global count + top-k.
+
+    The per-user window orders by (ts, event_id) — a unique tiebreaker, so
+    the path multiset is engine-deterministic. Top-k is count-then-
+    TakeOrderedAndProject; the heavy exchange is the per-user one, which at
+    100 TB is the same partitioning sessionize/funnels already reuse."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            "user_id",
+            F.lag("event_type", 2).over(w).alias("t1"),
+            F.lag("event_type", 1).over(w).alias("t2"),
+            F.col("event_type").alias("t3"),
+        )
+        .filter(F.col("t1").isNotNull())
+        .select(F.concat_ws(">", "t1", "t2", "t3").alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )
+
+
+ORACLE_TRIGRAMS = """
+WITH lagged AS (
+  SELECT LAG(event_type, 2) OVER w AS t1,
+         LAG(event_type, 1) OVER w AS t2,
+         event_type AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+FROM lagged WHERE t1 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+"""
+
+
+QUERIES = {
+    "triangle_stats": triangle_stats,
+    "max_concurrent_events": max_concurrent_events,
+    "event_path_trigrams": event_path_trigrams,
+}
+
+ORACLES = {
+    "triangle_stats": ORACLE_TRIANGLES,
+    "max_concurrent_events": ORACLE_MAX_CONCURRENT,
+    "event_path_trigrams": ORACLE_TRIGRAMS,
+}
