@@ -188,15 +188,59 @@ def resize_nearest(
     return arr[sy][:, sx].tobytes()
 
 
+def decode_bmp(payload: bytes) -> tuple[int, int, float]:
+    """REAL pure-Python decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER).
+
+    Parses the file header (pixel-array offset) and the info header
+    (width, height — negative height = top-down rows — bit depth,
+    BI_RGB only), then computes the pixel mean over the actual BGR rows,
+    skipping each row's 4-byte alignment padding. Returns
+    (width, height, mean_intensity) with mean over samples / 255 ∈ [0, 1]
+    — the same contract as ``decode_ppm``."""
+    if payload[:2] != b"BM":
+        raise MediaDecodeError("not a BMP payload")
+    if len(payload) < 54:
+        raise MediaDecodeError("truncated BMP headers")
+    pix_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise MediaDecodeError(f"unsupported BMP header size {hdr_size}")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    planes = int.from_bytes(payload[26:28], "little")
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise MediaDecodeError(
+            f"unsupported BMP encoding planes={planes} bpp={bpp} compression={compression}"
+        )
+    abs_h = abs(height)
+    if width <= 0 or abs_h == 0:
+        raise MediaDecodeError(f"bad BMP dimensions {width}x{height}")
+    row_stride = (3 * width + 3) & ~3  # rows pad to 4-byte boundaries
+    need = pix_off + row_stride * abs_h
+    if len(payload) < need:
+        raise MediaDecodeError(f"truncated BMP pixel array: {len(payload)} of {need}")
+    rows = np.frombuffer(
+        payload[pix_off : pix_off + row_stride * abs_h], dtype=np.uint8
+    ).reshape(abs_h, row_stride)[:, : 3 * width]
+    total = int(rows.sum(dtype=np.int64))
+    return width, abs_h, total / (rows.size * 255)
+
+
 def decode_image(payload: bytes) -> tuple[int, int, float]:
-    """Dispatch on magic bytes. PPM decodes for real; compressed formats
-    raise (their codecs aren't in this container — swapping in
-    ``PIL.Image.open(io.BytesIO(payload))`` here is the one-line change)."""
+    """Dispatch on magic bytes. PPM and uncompressed 24-bit BMP decode for
+    real; compressed formats raise (their codecs aren't in this container —
+    swapping in ``PIL.Image.open(io.BytesIO(payload))`` here is the
+    one-line change)."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
         "no codec for this payload format in this environment "
-        f"(magic={payload[:4]!r}); only binary PPM (P6) decodes natively"
+        f"(magic={payload[:4]!r}); only binary PPM (P6) and uncompressed "
+        "24-bit BMP decode natively"
     )
 
 

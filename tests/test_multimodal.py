@@ -171,3 +171,67 @@ def test_decode_wav_empty_data_chunk_raises_decode_error():
     payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
     with _pytest.raises(MediaDecodeError, match="empty data chunk"):
         decode_wav(payload)
+
+
+def _bmp_24(width, height, bgr_rows, top_down=False):
+    """Minimal BITMAPINFOHEADER 24-bit BMP: bgr_rows is bottom-up row-major
+    BGR bytes WITHOUT padding; padding is added per the 4-byte rule."""
+    stride = (3 * width + 3) & ~3
+    pad = b"\x00" * (stride - 3 * width)
+    body = b"".join(bytes(r) + pad for r in bgr_rows)
+    h = -height if top_down else height
+    info = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    off = 14 + 40
+    hdr = b"BM" + (off + len(body)).to_bytes(4, "little") + b"\x00" * 4 + off.to_bytes(4, "little")
+    return hdr + info + body
+
+
+def test_decode_bmp_known_pixels():
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+    )
+
+    # 2x2, rows bottom-up, BGR; values chosen so the mean is exact
+    rows = [[10, 20, 30, 40, 50, 60], [70, 80, 90, 100, 110, 120]]
+    bmp = _bmp_24(2, 2, rows)
+    w, h, mean = decode_bmp(bmp)
+    assert (w, h) == (2, 2)
+    assert mean == sum(sum(r) for r in rows) / (12 * 255)
+    assert decode_image(bmp) == (w, h, mean)  # dispatch hits the BMP path
+    # padding must be EXCLUDED from the mean: odd width forces 3-byte pad
+    rows3 = [[255, 255, 255]]
+    bmp3 = _bmp_24(1, 1, rows3)
+    assert decode_bmp(bmp3) == (1, 1, 1.0)
+    # top-down (negative height) variant decodes with positive dimensions
+    assert decode_bmp(_bmp_24(2, 2, rows, top_down=True))[:2] == (2, 2)
+
+
+def test_decode_bmp_rejects_malformed():
+    import pytest
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        MediaDecodeError,
+        decode_bmp,
+    )
+
+    with pytest.raises(MediaDecodeError):
+        decode_bmp(b"PNG\x00" + b"\x00" * 60)
+    with pytest.raises(MediaDecodeError):
+        decode_bmp(b"BM" + b"\x00" * 10)  # truncated headers
+    ok = _bmp_24(2, 2, [[0] * 6, [0] * 6])
+    with pytest.raises(MediaDecodeError):
+        decode_bmp(ok[:-3])  # truncated pixel array
+    bad_bpp = bytearray(ok)
+    bad_bpp[28] = 32  # declare 32bpp
+    with pytest.raises(MediaDecodeError):
+        decode_bmp(bytes(bad_bpp))
