@@ -344,3 +344,45 @@ def test_bigram_lm_is_single_scan_two_exchanges(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Join" not in plan
+
+
+def test_triangle_close_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The oriented triangle census must keep the wedge filter and the
+    close as hash equi-joins — a naive either-direction close (an OR of
+    two equi-conditions) degenerates into BroadcastNestedLoopJoin, which
+    is the difference between O(wedges) and O(wedges x edges)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.graph import (
+        triangle_stats,
+    )
+
+    plan = _plan(triangle_stats(spark, sf_dir))
+    # exactly one nested-loop is expected: the 1-row summary x 1-row
+    # triangle-count scalar crossJoin; the wedge/close joins must hash
+    assert plan.count("NestedLoop") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_max_concurrent_is_single_exchange_no_join(spark, sf_dir):
+    """Sweep line = union + one window + one aggregate sharing the
+    event_type partitioning: no join, at most the window's exchange plus
+    the final single-partition agg."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.graph import (
+        max_concurrent_events,
+    )
+
+    plan = _plan(max_concurrent_events(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_path_trigrams_single_window_node(spark, sf_dir):
+    """Both lags share ONE Window node / one per-user exchange; top-k is
+    TakeOrderedAndProject, never a global sort."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.graph import (
+        event_path_trigrams,
+    )
+
+    plan = _plan(event_path_trigrams(spark, sf_dir))
+    assert plan.count("Window ") + plan.count("Window[") <= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
