@@ -235,3 +235,88 @@ def test_decode_bmp_rejects_malformed():
     bad_bpp[28] = 32  # declare 32bpp
     with pytest.raises(MediaDecodeError):
         decode_bmp(bytes(bad_bpp))
+
+
+# -- property pins for the numpy-vectorized kernels (round 4): the
+# vectorized forms must match the straightforward per-sample/per-pixel
+# reference loops bit-for-bit on arbitrary payloads --------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(1, 8),
+    st.integers(1, 8),
+    st.integers(1, 6),
+    st.integers(1, 6),
+    st.binary(min_size=0, max_size=0),
+)
+def test_resize_matches_per_pixel_loop(src_w, src_h, out_w, out_h, _):
+    import numpy as np
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(src_w * 1000 + src_h * 100 + out_w * 10 + out_h)
+    raster = bytes(rng.integers(0, 256, 3 * src_w * src_h, dtype=np.uint8))
+    got = resize_nearest(raster, src_w, src_h, out_w, out_h)
+    # reference loop (the pre-vectorization implementation)
+    ref = bytearray(3 * out_w * out_h)
+    o = 0
+    for y in range(out_h):
+        sy = y * src_h // out_h
+        for x in range(out_w):
+            sx = x * src_w // out_w
+            src = 3 * (sy * src_w + sx)
+            ref[o : o + 3] = raster[src : src + 3]
+            o += 3
+    assert got == bytes(ref)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=64))
+def test_wav_rms_matches_per_sample_loop(samples):
+    import math
+    import struct
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rate, ch, n, rms = decode_wav(wav)
+    sq = sum(s * s for s in samples)  # reference integer accumulation
+    assert (rate, ch, n) == (8000, 1, len(samples))
+    assert rms == math.sqrt(sq / len(samples))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 6), st.integers(1, 6), st.booleans())
+def test_ppm_mean_matches_per_sample_loop(w, h, sixteen_bit):
+    import numpy as np
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    rng = np.random.default_rng(w * 100 + h * 10 + sixteen_bit)
+    if sixteen_bit:
+        maxval, raster = 65535, bytes(rng.integers(0, 256, 6 * w * h, dtype=np.uint8))
+        samples = [
+            (raster[2 * i] << 8) | raster[2 * i + 1] for i in range(3 * w * h)
+        ]
+    else:
+        maxval, raster = 255, bytes(rng.integers(0, 256, 3 * w * h, dtype=np.uint8))
+        samples = list(raster)
+    ppm = f"P6\n{w} {h}\n{maxval}\n".encode() + raster
+    got = decode_ppm(ppm)
+    assert got == (w, h, sum(samples) / (len(samples) * maxval))
