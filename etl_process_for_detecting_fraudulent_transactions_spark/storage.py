@@ -78,3 +78,61 @@ def write_bucketed(
     if sort:
         w = w.sortBy(bucket_key)
     w.saveAsTable(table)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction for an append-accumulated parquet directory —
+    the maintenance op every long-lived mart needs (REP_FRAUD here appends
+    per daily batch; a year of loads is 365+ tiny files per partition, and
+    at 100 TB the NameNode/listing and per-file open costs dominate scans
+    long before the data does).
+
+    Strategy: measure the dataset's on-disk bytes from the filesystem (not
+    from optimizer stats, which reflect pre-filter estimates), rewrite to
+    ceil(bytes / target_file_bytes) files, then atomically swap directories
+    — the same write-new-plus-rename contract ``overwrite_swap`` uses, so
+    readers never see a half-compacted dir.
+
+    Unpartitioned layouts compact with ``coalesce`` (no shuffle — tasks
+    just concatenate input splits); Hive-partitioned layouts must shuffle
+    on the partition columns so each output task writes whole partition
+    directories (one file per live partition value) instead of every task
+    appending a sliver to every partition.
+    Returns {"files_before", "files_after", "bytes"} for observability.
+    """
+    import math
+
+    before = 0
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                before += 1
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if partition_by:
+        writer = (
+            df.repartition(n_files, *[df[c] for c in partition_by])
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+        )
+    else:
+        writer = df.coalesce(n_files).write.mode("overwrite")
+    writer.parquet(tmp)
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(tmp, path)
+    after = sum(
+        1
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return {"files_before": before, "files_after": after, "bytes": total}
