@@ -51,6 +51,8 @@ SCALE_KEYS = (
     "substring_dedup",
     "gopher_quality_filter",
     "tfidf_keywords",
+    "max_concurrent_events",
+    "approx_distinct_kmv",
 )
 # input table each scale query is throughput-bounded by (for the rows/s numerator)
 SCALE_INPUT = {
@@ -67,6 +69,8 @@ SCALE_INPUT = {
     "substring_dedup": "documents",
     "gopher_quality_filter": "documents",
     "tfidf_keywords": "documents",
+    "max_concurrent_events": "events",
+    "approx_distinct_kmv": "events",
 }
 
 

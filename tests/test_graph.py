@@ -1,0 +1,58 @@
+"""Graph-gate unit truths beyond the oracle harness: a hand-built graph
+with a KNOWN triangle census (truth independent of both engines), and
+empty-input engine/oracle agreement."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+
+def _mini_lineitem(spark, tmp_path):
+    # co-purchase graph over partkeys ≡ 0 (mod 4): order 1 = {0,4,8}
+    # (a triangle), order 2 = {8,12} (a pendant edge), order 3 = {3,5}
+    # (filtered out by the mod-4 sample). Truth: nodes 4, edges 4,
+    # deg = {0:2, 4:2, 8:3, 12:1}, wedges = 1+1+3+0 = 5, triangles = 1,
+    # clustering = 3/5.
+    rows = [(1, 0), (1, 4), (1, 8), (2, 8), (2, 12), (3, 3), (3, 5)]
+    path = str(tmp_path / "li")
+    spark.createDataFrame(rows, ["l_orderkey", "l_partkey"]).write.parquet(
+        f"{path}/lineitem.parquet"
+    )
+    return path
+
+
+def test_triangle_stats_known_graph(spark, tmp_path):
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.graph import (
+        triangle_stats,
+    )
+
+    path = _mini_lineitem(spark, tmp_path)
+    row = triangle_stats(spark, path).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (4, 4, 5, 1)
+    assert row.clustering == 3 / 5
+
+
+def test_graph_gates_empty_input_parity(spark, tmp_path):
+    """Empty base tables: Spark result and DuckDB oracle must still agree
+    (aggregate gates produce their 1 null-ish row identically; row-stream
+    gates produce zero rows)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.graph import (
+        ORACLES,
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "empty")
+    for t in ("lineitem", "events"):
+        spark.read.parquet(f"{sf}/{t}.parquet").limit(0).write.parquet(
+            f"{path}/{t}.parquet"
+        )
+    con = duckdb.connect()
+    for t in ("lineitem", "events"):
+        # Spark writes a directory of part files; glob them for DuckDB
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}/{t}.parquet/*.parquet')"
+        )
+    for k, fn in QUERIES.items():
+        srows = sorted(tuple(r) for r in fn(spark, path).collect())
+        drows = sorted(tuple(r) for r in con.sql(ORACLES[k]).fetchall())
+        assert srows == drows, (k, srows, drows)
