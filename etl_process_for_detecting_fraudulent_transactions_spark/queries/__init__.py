@@ -72,10 +72,11 @@ _PRIORITY_KEYS = (
     "multimodal_features",
     "multimodal_audio_features",
     "multimodal_resize",
-    # -- new in r4: graph family --
+    # -- new in r4: graph family + deterministic z-score anomaly gate --
     "triangle_stats",
     "max_concurrent_events",
     "event_path_trigrams",
+    "zscore_outliers",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -440,3 +440,78 @@ FROM agg
 QUERIES["approx_distinct_kmv"] = approx_distinct_kmv
 ORACLES["approx_distinct_kmv"] = ORACLE_KMV
 del QUERIES["approx_distinct_sketch"]
+
+
+# -- z-score outliers: cross-engine-deterministic anomaly detection ----------
+# The float discipline that makes a STATISTICAL gate hash-exact: sums and
+# sums-of-squares accumulate in DECIMAL (order-independent, exact — the
+# only place engines could diverge is reassociated float addition), then
+# mean/variance/z evaluate as the SAME fixed scalar IEEE expression tree on
+# both engines — identical operands + identical operation order = identical
+# doubles, including the sqrt (correctly rounded per IEEE-754). Population
+# variance via E[X^2] - E[X]^2 written EXACTLY the same on both sides.
+
+Z_THRESHOLD = 3.0
+
+
+def zscore_outliers(spark, sf_dir):
+    """Events whose value is > 3 population-sigmas from their event type's
+    mean (events.value is right-skewed, so the 3-sigma tail is non-empty —
+    ~190 rows at sf0.01). Scale shape: one map-side-combinable groupBy over
+    ~5 groups, broadcast back to the fact scan — no window over the fact,
+    no second shuffle.
+
+    Exactness chain: DECIMAL(15,2) accumulators (the square is
+    DECIMAL(31,4) — int128 on both engines), then the exact decimal sums
+    are SCALED INTO BIGINTs (x100 / x10000) before touching doubles:
+    integer->double conversion is exact below 2^53 on any engine, whereas
+    DuckDB's direct decimal->double cast is double(int128) * 10^-scale —
+    two roundings, observed 1 ulp off Spark's correctly-rounded
+    BigDecimal conversion on this very data. From the identical integer
+    operands, mean/var/z evaluate as the same fixed IEEE expression tree.
+    (Headroom: ss*10^4 < 2^53 holds through ~sf10 events; widen the scale
+    split above that.)"""
+    e = _t(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(15,2)")
+    stats = e.groupBy("event_type").agg(
+        (F.sum(d) * 100).cast("long").alias("s_int"),
+        (F.sum(d * d) * 10000).cast("long").alias("ss_int"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("s_int") / (F.lit(100.0) * F.col("n"))
+    var = F.col("ss_int") / (F.lit(10000.0) * F.col("n")) - mean * mean
+    stats = stats.select(
+        "event_type",
+        mean.alias("mean"),
+        F.sqrt(var).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > Z_THRESHOLD)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+ORACLE_ZSCORE = f"""
+WITH sums AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(15,2))) * 100 AS BIGINT) AS s_int,
+         CAST(SUM(CAST(value AS DECIMAL(15,2)) * CAST(value AS DECIMAL(15,2))) * 10000 AS BIGINT) AS ss_int,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type
+),
+stats AS (
+  SELECT event_type,
+         s_int / (100.0 * n) AS mean,
+         sqrt(ss_int / (10000.0 * n) - (s_int / (100.0 * n)) * (s_int / (100.0 * n))) AS std
+  FROM sums
+)
+SELECT event_id, event_type, value, (value - mean) / std AS z
+FROM events JOIN stats USING (event_type)
+WHERE abs((value - mean) / std) > {Z_THRESHOLD}
+"""
+
+QUERIES["zscore_outliers"] = zscore_outliers
+ORACLES["zscore_outliers"] = ORACLE_ZSCORE
