@@ -41,11 +41,13 @@ from . import (
 #   2. ALL 28 queries whose latest driver evidence is round 1 (three rounds
 #      stale): the relational/tpch_more remainder that sat just outside the
 #      r3 window;
-#   3. 16 of the r2-stale set, verdict-named re-checks first
+#   3. the r2-stale set as budget allows, verdict-named re-checks first
 #      (scd2_snapshot_diff, sessionize, tpch_q12/q18, json_props_stats —
-#      the r1 failures fixed in r2), then the dedup/text/sampling core.
-# Still r2-stale after this window (r5 rotation debt): doc_* / embedding_hof
-# / grouping_sets / timeseries-family / quality-family leftovers — all keep
+#      the r1 failures fixed in r2), then the dedup core; with the 10 new/
+#      changed keys ahead of them, the window cuts after ~13 of these.
+# Still r2-stale after this window (r5 rotation debt): text_token_stats /
+# text_quality / train_test_split / stratified_sample plus the doc_* /
+# embedding_hof / grouping_sets / timeseries / quality leftovers — all keep
 # local parity coverage in tests/test_oracle_parity.py every session.
 _MODULES = (
     relational,
