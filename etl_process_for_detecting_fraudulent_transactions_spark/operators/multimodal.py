@@ -318,6 +318,56 @@ def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text", "source").mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
+    """Fabricate REAL uncompressed 24-bit BMP payloads from the documents
+    fixture — same deterministic recipe as ``synthesize_ppm_media`` (dims
+    from the first two md5(text) bytes, pixel-array sample i =
+    ``(doc_id*31 + i*7) % 256``) but laid out as a genuine BMP: 54-byte
+    headers, bottom-up rows, 4-byte row padding (zeros, excluded from the
+    decoder's mean). Exercises ``decode_bmp`` on real bytes; the oracle
+    replays byte_len/mean analytically."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode()).digest()
+                w, hgt = 4 + h[0] % 13, 4 + h[1] % 13
+                stride = (3 * w + 3) & ~3
+                vals = ((int(doc_id) * 31 + 7 * np.arange(3 * w * hgt, dtype=np.int64)) % 256).astype(np.uint8)
+                rows = np.zeros((hgt, stride), dtype=np.uint8)
+                rows[:, : 3 * w] = vals.reshape(hgt, 3 * w)
+                body = rows.tobytes()
+                info = (
+                    (40).to_bytes(4, "little")
+                    + w.to_bytes(4, "little", signed=True)
+                    + hgt.to_bytes(4, "little", signed=True)
+                    + (1).to_bytes(2, "little")
+                    + (24).to_bytes(2, "little")
+                    + (0).to_bytes(4, "little")
+                    + len(body).to_bytes(4, "little")
+                    + b"\x00" * 16
+                )
+                hdr = (
+                    b"BM"
+                    + (54 + len(body)).to_bytes(4, "little")
+                    + b"\x00" * 4
+                    + (54).to_bytes(4, "little")
+                )
+                payloads.append(hdr + info + body)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "source": pdf["source"],
+                }
+            )
+
+    return docs.select("doc_id", "text", "source").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 WAV_RATE = 8000
 
 AUDIO_SCHEMA = StructType(

@@ -79,6 +79,7 @@ _PRIORITY_KEYS = (
     "max_concurrent_events",
     "event_path_trigrams",
     "zscore_outliers",
+    "multimodal_bmp_features",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

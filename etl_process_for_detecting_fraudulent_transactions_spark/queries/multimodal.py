@@ -165,3 +165,40 @@ ORACLES = {
     "multimodal_audio_features": ORACLE_AUDIO,
     "multimodal_resize": ORACLE_RESIZE,
 }
+
+
+# -- BMP decode gate (round 4): second REAL image codec through the same
+# Arrow pipeline. Payloads are genuine uncompressed 24-bit BMPs (54-byte
+# headers, bottom-up rows, zero row-padding to 4-byte stride); the decoder
+# must skip the padding, so byte_len uses the padded stride while the mean
+# uses only the 3*w*h pixel bytes — the oracle derives BOTH analytically.
+
+def multimodal_bmp_features(spark: SparkSession, sf_dir: str):
+    from ..operators.multimodal import synthesize_bmp_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_media_features(synthesize_bmp_media(docs)).drop("content_md5")
+
+
+ORACLE_BMP = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(4 + {_sql_md5_byte('text', 0)} % 13 AS INT) AS width,
+         CAST(4 + {_sql_md5_byte('text', 1)} % 13 AS INT) AS height
+  FROM documents
+),
+px AS (
+  SELECT doc_id, CAST(SUM((doc_id * 31 + i * 7) % 256) AS BIGINT) AS s
+  FROM m, unnest(range(0, 3 * width * height)) AS u(i)
+  GROUP BY doc_id
+)
+SELECT m.doc_id AS media_id,
+       'image' AS media_type,
+       CAST(54 + ((3 * width + 3) // 4) * 4 * height AS BIGINT) AS byte_len,
+       width, height,
+       CAST(px.s AS DOUBLE) / (3 * width * height * 255) AS mean_intensity
+FROM m JOIN px USING (doc_id)
+"""
+
+QUERIES["multimodal_bmp_features"] = multimodal_bmp_features
+ORACLES["multimodal_bmp_features"] = ORACLE_BMP
