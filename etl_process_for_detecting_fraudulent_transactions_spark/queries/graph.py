@@ -156,19 +156,25 @@ def max_concurrent_events(spark, sf_dir):
     within tied (t, delta) keys (all peers are included in the frame), so
     both engines agree without any row_number tiebreaker. Ends sort before
     starts at the same instant (delta -1 < +1): end-exclusive intervals.
-    Scale: one exchange on event_type (the partition key), no join — at
-    100 TB this is a single shuffle of 2 rows per event; skewed types can
+    Scale: ONE fact scan (the ±1 rows come from a generator explode, not a
+    self-union that reads the table twice) + one exchange on event_type —
+    2 rows per event through a single shuffle; skewed types can
     pre-aggregate deltas per (type, t) first (same answer, RANGE frame)."""
     ev = _t(spark, sf_dir, "events")
     deltas = ev.select(
-        "event_type", F.unix_micros("ts").alias("t"), F.lit(1).alias("delta")
-    ).unionByName(
-        ev.select(
-            "event_type",
-            (F.unix_micros("ts") + 30 * 60 * 1_000_000).alias("t"),
-            F.lit(-1).alias("delta"),
-        )
-    )
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.unix_micros("ts").alias("t"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    (F.unix_micros("ts") + 30 * 60 * 1_000_000).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e"),
+    ).select("event_type", F.col("e.t").alias("t"), F.col("e.delta").alias("delta"))
     w = Window.partitionBy("event_type").orderBy("t", "delta")
     return (
         deltas.withColumn("live", F.sum("delta").over(w))
