@@ -88,24 +88,36 @@ GROUP BY 1
 # -- shingles ----------------------------------------------------------------
 # 3-word shingles; Spark side built once and reused by jaccard + minhash.
 
-def _shingles(spark, sf_dir):
+def _shingle_arrays(spark, sf_dir):
+    """Per-doc DISTINCT shingle SET as one array column — built entirely
+    map-side (``array_distinct`` runs inside the row, before any explode),
+    so the set construction costs ZERO shuffles at any corpus size. The
+    round-1..3 shape (explode → ``.distinct()``) shuffled the full shingle
+    stream — ~100× corpus rows — once per gate; per-doc distinctness never
+    needed a global shuffle, only a per-row dedup."""
     d = (
         _docs(spark, sf_dir)
         .select("doc_id", F.split("text", " ").alias("ws"))
         .filter(F.size("ws") >= 3)  # guard: F.sequence would run descending
     )
-    sh = d.select(
+    arr = d.select(
         "doc_id",
-        F.explode(
+        F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size("ws") - 3),
                 lambda i: F.concat_ws("_", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]),
             )
-        ).alias("s"),
-    ).distinct()
-    # the shingle set feeds the self-join twice plus the sizes agg — cache so
-    # the explode+distinct shuffle runs once, not 3-4 times
-    return sh.cache()
+        ).alias("shs"),
+    )
+    # reused by the signature build + both verify sides — cache the narrow
+    # per-doc frame (N rows, not N×shingles)
+    return arr.cache()
+
+
+def _shingles(spark, sf_dir):
+    """Exploded (doc_id, s) view of the per-doc distinct shingle arrays —
+    rows identical to the old explode+distinct, minus its shuffle."""
+    return _shingle_arrays(spark, sf_dir).select("doc_id", F.explode("shs").alias("s"))
 
 _SQL_SHINGLES = """
   SELECT DISTINCT doc_id, ws[i] || '_' || ws[i+1] || '_' || ws[i+2] AS s
@@ -117,8 +129,11 @@ _SQL_SHINGLES = """
 def dedup_ngram_jaccard(spark, sf_dir):
     """n-gram (3-word shingle) Jaccard near-dup pairs ≥ 0.4 — the exact
     quadratic baseline the LSH variants approximate."""
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    arr = _shingle_arrays(spark, sf_dir)
+    sh = arr.select("doc_id", F.explode("shs").alias("s"))
+    # set sizes are a map-side array length, not a groupBy over the
+    # exploded stream
+    sizes = arr.select("doc_id", F.size("shs").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -152,31 +167,33 @@ WHERE i / (sa.n + sb.n - i) >= {JACCARD_T}
 
 # -- MinHash + LSH -----------------------------------------------------------
 
-def _verify_exact_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
+def _verify_exact_jaccard(arr: DataFrame, cand: DataFrame) -> DataFrame:
     """Exact-Jaccard verify of candidate (doc_a < doc_b) pairs over the
-    shingle set ``sh``: size-ratio prefilter (|A∩B|/|A∪B| ≥ t forces
-    min(|A|,|B|)/max ≥ t — provably output-preserving, so the oracle needs
-    no counterpart) then the shingle-intersection join. Shared by every LSH
-    candidate generator: the generator only affects RECALL, the verified
-    output is exact, which is what makes approximate generators
-    oracle-checkable at all."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    cand = (
-        cand.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    per-doc shingle-ARRAY frame ``arr``: size-ratio prefilter
+    (|A∩B|/|A∪B| ≥ t forces min(|A|,|B|)/max ≥ t — provably
+    output-preserving, so the oracle needs no counterpart) then a map-side
+    ``size(array_intersect(...))``. Shared by every LSH candidate
+    generator: the generator only affects RECALL, the verified output is
+    exact, which is what makes approximate generators oracle-checkable.
+
+    Scale shape: two key joins attach each side's shingle set, then the
+    intersection count is computed INSIDE the row — vs the round-1..3
+    explode-join-groupBy verify, this drops the (candidates × shingles)
+    join and the per-pair groupBy (two wide shuffles) in exchange for
+    shipping each doc's set once per candidate pair, which the exploded
+    form also paid."""
+    a = arr.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    b = arr.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("na", F.size("shs_a"))
+        .withColumn("nb", F.size("shs_b"))
         .filter(
             (F.least("na", "nb").cast("double") / F.greatest("na", "nb")) >= JACCARD_T
         )
-    )
-    sa, sb = sh.alias("sa"), sh.alias("sb")
-    inter = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    return (
-        inter.withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .withColumn("i", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
         .filter(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -188,38 +205,48 @@ def dedup_minhash_lsh(spark, sf_dir):
 
     At scale the band join touches only colliding buckets — candidate count
     ~O(dups), not O(N²). Same output contract as dedup_ngram_jaccard.
+    The whole pre-join pipeline (shingle sets, signatures, band keys) is
+    map-side: the FIRST shuffle in the plan is the band-bucket join itself.
     """
-    sh = _shingles(spark, sf_dir)
-    return _verify_exact_jaccard(sh, _minhash_band_candidates(sh))
+    arr = _shingle_arrays(spark, sf_dir)
+    return _verify_exact_jaccard(arr, _minhash_band_candidates(arr))
 
 
-def _minhash_banded(sh: DataFrame) -> DataFrame:
+def _minhash_banded(arr: DataFrame) -> DataFrame:
     """Deterministic banded-minhash (doc_id, band_key) rows — replayable by
-    any engine.
+    any engine, computed with ZERO shuffles from the per-doc arrays.
 
     ONE md5 per shingle, not one per (shingle, permutation): the shingle's
     32-bit md5 prefix (reduced mod p) feeds K affine permutations
     h_k = (a_k*hp + b_k) mod p over the prime p = 2^31-1 — the classic
     universal family, exact in 64-bit integer arithmetic on both engines
-    (a_k < 2^31 and hp < 2^31 keep the product under 2^62). vs the old
-    string-min over K seeded digests: K-1 fewer md5 per shingle map-side
-    and numeric-min instead of 32-char-string-min (the at-scale CPU term),
-    A/B-neutral locally at sf0.1 and the 10x tier (9.8 vs 9.5 s — the band
-    join dominates there, and r=2 doubles its rows); adopted for the
-    RECALL retune it enables (see N_BANDS note), measured exhaustive at
-    all three sfs."""
-    hp = (
-        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint") % MINHASH_P
-    )
-    sig = sh.withColumn("hp", hp).groupBy("doc_id").agg(
+    (a_k < 2^31 and hp < 2^31 keep the product under 2^62). The signature
+    is ``array_min(transform(hps, ...))`` per permutation — a per-row
+    expression over the doc's own hash array, replacing the round-1..3
+    groupBy(doc_id) aggregate (one full shuffle of the exploded shingle
+    stream, the dominant exchange of every LSH gate at 100 TB)."""
+    def _perm(a, b):
+        # closure factory, not default-arg lambdas: PySpark derives the HOF's
+        # expected arity from the lambda's parameter count
+        return lambda x: (x * F.lit(a) + F.lit(b)) % MINHASH_P
+
+    sig = arr.withColumn(
+        "hps",
+        F.transform(
+            "shs",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+            % MINHASH_P,
+        ),
+    ).select(
+        "doc_id",
         *[
-            F.min((F.col("hp") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"mh{k}")
+            F.array_min(F.transform("hps", _perm(a, b))).alias(f"mh{k}")
             for k, (a, b) in enumerate(MINHASH_AB)
-        ]
+        ],
     )
     rows_per_band = N_MINHASH // N_BANDS
     # one explode over an array of band keys (NOT an N_BANDS-way union: union
-    # branches each re-evaluate the signature aggregate — explode scans it once)
+    # branches each re-evaluate the signature build — explode scans it once)
     band_keys = [
         F.concat_ws(
             "|",
@@ -231,9 +258,10 @@ def _minhash_banded(sh: DataFrame) -> DataFrame:
     return sig.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
 
 
-def _minhash_band_candidates(sh: DataFrame) -> DataFrame:
-    """Banded-minhash candidate pairs (doc_a < doc_b) over the shingle set."""
-    banded = _minhash_banded(sh)
+def _minhash_band_candidates(arr: DataFrame) -> DataFrame:
+    """Banded-minhash candidate pairs (doc_a < doc_b) over the shingle-array
+    frame."""
+    banded = _minhash_banded(arr)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -434,14 +462,14 @@ def dedup_clusters(spark, sf_dir):
     and oracle agree BY CONSTRUCTION (generator recall affects both sides
     equally); at 100 TB the label-propagation input is ~O(duplicates), and
     the clustering itself only ever touches docs that HAVE a near-dup."""
-    sh = _shingles(spark, sf_dir)
+    arr = _shingle_arrays(spark, sf_dir)
     # eager localCheckpoint (not cache): the CC loop's first count would
     # otherwise trigger one giant job that scans the cold-cached shingle
-    # frame 4× concurrently (sizes + band join + both verify sides) —
+    # frame 3× concurrently (band join + both verify sides) —
     # materializing the pair set first keeps the loop on a tiny in-memory
     # table and truncates the LSH lineage out of every round's plan
     pairs = (
-        _verify_exact_jaccard(sh, _minhash_band_candidates(sh))
+        _verify_exact_jaccard(arr, _minhash_band_candidates(arr))
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
@@ -550,14 +578,14 @@ def dedup_minhash_mllib(spark, sf_dir):
     from ..ml.lsh_dedup import minhash_dedup_pairs
 
     docs = _docs(spark, sf_dir)
-    sh = _shingles(spark, sf_dir)
+    arr = _shingle_arrays(spark, sf_dir)
     cand = (
         minhash_dedup_pairs(docs, jaccard_threshold=JACCARD_T)
         .select("doc_a", "doc_b")
-        .unionByName(_minhash_band_candidates(sh))
+        .unionByName(_minhash_band_candidates(arr))
         .distinct()
     )
-    return _verify_exact_jaccard(sh, cand)
+    return _verify_exact_jaccard(arr, cand)
 
 
 QUERIES["dedup_minhash_mllib"] = dedup_minhash_mllib
@@ -601,7 +629,8 @@ def dedup_prefix_jaccard(spark, sf_dir):
     vocabulary property, not a data-size property — kept as the exact scale
     path, measured honestly.
     """
-    sh = _shingles(spark, sf_dir)
+    arr = _shingle_arrays(spark, sf_dir)
+    sh = arr.select("doc_id", F.explode("shs").alias("s"))
     from pyspark.sql import Window
 
     # df / n / rn as a window chain over the SAME frame — one s exchange +
@@ -639,7 +668,7 @@ def dedup_prefix_jaccard(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _verify_exact_jaccard(sh, cand)
+    return _verify_exact_jaccard(arr, cand)
 
 
 QUERIES["dedup_prefix_jaccard"] = dedup_prefix_jaccard
@@ -719,8 +748,8 @@ def dedup_incremental(spark, sf_dir):
     O(new batch + band collisions), not O(corpus). Here both sides derive
     from one banded frame and the (new_a OR new_b) predicate is pushed into
     the band join, so no old-old pair is ever materialized."""
-    sh = _shingles(spark, sf_dir)
-    banded = _minhash_banded(sh).withColumn(
+    arr = _shingle_arrays(spark, sf_dir)
+    banded = _minhash_banded(arr).withColumn(
         "is_new", (F.col("doc_id") % INC_NEW_MOD) == INC_NEW_MOD - 1
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -734,7 +763,7 @@ def dedup_incremental(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _verify_exact_jaccard(sh, cand)
+    return _verify_exact_jaccard(arr, cand)
 
 
 ORACLE_INCREMENTAL = f"""
