@@ -70,6 +70,7 @@ _PRIORITY_KEYS = (
     # -- changed in r4 --
     "dedup_clusters",
     "dedup_canonical_pick",
+    "dedup_signature_est",
     "approx_distinct_kmv",
     "multimodal_features",
     "multimodal_audio_features",

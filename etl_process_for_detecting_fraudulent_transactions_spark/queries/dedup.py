@@ -212,25 +212,16 @@ def dedup_minhash_lsh(spark, sf_dir):
     return _verify_exact_jaccard(arr, _minhash_band_candidates(arr))
 
 
-def _minhash_banded(arr: DataFrame) -> DataFrame:
-    """Deterministic banded-minhash (doc_id, band_key) rows — replayable by
-    any engine, computed with ZERO shuffles from the per-doc arrays.
-
-    ONE md5 per shingle, not one per (shingle, permutation): the shingle's
-    32-bit md5 prefix (reduced mod p) feeds K affine permutations
-    h_k = (a_k*hp + b_k) mod p over the prime p = 2^31-1 — the classic
-    universal family, exact in 64-bit integer arithmetic on both engines
-    (a_k < 2^31 and hp < 2^31 keep the product under 2^62). The signature
-    is ``array_min(transform(hps, ...))`` per permutation — a per-row
-    expression over the doc's own hash array, replacing the round-1..3
-    groupBy(doc_id) aggregate (one full shuffle of the exploded shingle
-    stream, the dominant exchange of every LSH gate at 100 TB)."""
+def _minhash_sig(arr: DataFrame) -> DataFrame:
+    """Per-doc K-component minhash signature (doc_id, mh0..mh{K-1}) — a
+    per-row expression over the doc's own shingle-hash array, zero
+    shuffles."""
     def _perm(a, b):
         # closure factory, not default-arg lambdas: PySpark derives the HOF's
         # expected arity from the lambda's parameter count
         return lambda x: (x * F.lit(a) + F.lit(b)) % MINHASH_P
 
-    sig = arr.withColumn(
+    return arr.withColumn(
         "hps",
         F.transform(
             "shs",
@@ -244,6 +235,22 @@ def _minhash_banded(arr: DataFrame) -> DataFrame:
             for k, (a, b) in enumerate(MINHASH_AB)
         ],
     )
+
+
+def _minhash_banded(arr: DataFrame) -> DataFrame:
+    """Deterministic banded-minhash (doc_id, band_key) rows — replayable by
+    any engine, computed with ZERO shuffles from the per-doc arrays.
+
+    ONE md5 per shingle, not one per (shingle, permutation): the shingle's
+    32-bit md5 prefix (reduced mod p) feeds K affine permutations
+    h_k = (a_k*hp + b_k) mod p over the prime p = 2^31-1 — the classic
+    universal family, exact in 64-bit integer arithmetic on both engines
+    (a_k < 2^31 and hp < 2^31 keep the product under 2^62). The signature
+    is ``array_min(transform(hps, ...))`` per permutation — a per-row
+    expression over the doc's own hash array, replacing the round-1..3
+    groupBy(doc_id) aggregate (one full shuffle of the exploded shingle
+    stream, the dominant exchange of every LSH gate at 100 TB)."""
+    sig = _minhash_sig(arr)
     rows_per_band = N_MINHASH // N_BANDS
     # one explode over an array of band keys (NOT an N_BANDS-way union: union
     # branches each re-evaluate the signature build — explode scans it once)
@@ -850,3 +857,81 @@ FROM ranked GROUP BY cluster_id
 
 QUERIES["dedup_canonical_pick"] = dedup_canonical_pick
 ORACLES["dedup_canonical_pick"] = ORACLE_CANONICAL
+
+
+# -- sketch-accuracy audit ----------------------------------------------------
+# The op a production dedup pipeline runs when tuning (K, b, r): for every
+# VERIFIED near-dup pair, how close is the cheap signature estimate
+# (matching minhash components / K — the unbiased MinHash estimator of
+# Jaccard) to the exact value the verify computed? At 100 TB this is the
+# feedback loop that decides whether the LSH tier can skip exact
+# verification for high-estimate pairs.
+
+def dedup_signature_est(spark, sf_dir):
+    """Per verified near-dup pair: exact Jaccard, the K=12 minhash signature
+    estimate, and their absolute error. All integer counts + single IEEE
+    divisions — bit-identical across engines. The signature frame is
+    map-side (zero shuffles); the audit adds two key joins to the verified
+    pair set, nothing corpus-wide."""
+    arr = _shingle_arrays(spark, sf_dir)
+    pairs = _verify_exact_jaccard(arr, _minhash_band_candidates(arr))
+    sig = _minhash_sig(arr)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(N_MINHASH)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(N_MINHASH)],
+    )
+    n_eq = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(N_MINHASH)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_eq", n_eq.cast("int"))
+        .withColumn("sig_est", F.col("n_eq") / F.lit(N_MINHASH))
+        .withColumn("abs_err", F.abs(F.col("jaccard") - F.col("sig_est")))
+        .select("doc_a", "doc_b", "jaccard", "n_eq", "sig_est", "abs_err")
+    )
+
+
+_sig_eq = " + ".join(
+    f"CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END" for k in range(N_MINHASH)
+)
+ORACLE_SIGNATURE_EST = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sig AS ({_SIG_SQL}),
+banded AS ({_band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT doc_a, doc_b, COUNT(*) AS i
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+  GROUP BY doc_a, doc_b
+),
+pairs AS (
+  SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE i / (sa.n + sb.n - i) >= {JACCARD_T}
+)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       CAST({_sig_eq} AS INT) AS n_eq,
+       CAST({_sig_eq} AS INT) / {N_MINHASH} AS sig_est,
+       ABS(p.jaccard - CAST({_sig_eq} AS INT) / {N_MINHASH}) AS abs_err
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+"""
+
+QUERIES["dedup_signature_est"] = dedup_signature_est
+ORACLES["dedup_signature_est"] = ORACLE_SIGNATURE_EST
