@@ -5,13 +5,18 @@ exact (hash groupBy), bag-of-words fingerprint, n-gram Jaccard,
 MinHash+LSH (band-bucket join), and SimHash (banded hamming).
 
 Determinism across engines: the only hash both engines share is ``md5`` —
-MinHash uses *string* min over md5 hex digests (total order, engine-neutral);
-SimHash extracts bits from md5 hex chars arithmetically. Jaccard values are
-ratios of exact integer counts (single IEEE division → bit-identical).
+MinHash feeds each shingle's 32-bit md5 prefix through fixed affine
+permutations mod 2^31-1 (exact 64-bit integer arithmetic on both engines);
+SimHash extracts bits from the word md5 prefix arithmetically. Jaccard
+values are ratios of exact integer counts (single IEEE division →
+bit-identical).
 
-Scale notes: every op here is shuffle-bounded by ``explode(shingles)`` —
-at 100 TB the shingle join is the cost center, so the LSH variants bucket
-FIRST (band keys) and only verify candidates, which is the point of
+Scale notes: the pre-join half of every near-dup gate is map-side — shingle
+SETS via ``array_distinct`` inside the row, signatures via
+``array_min(transform(...))``, candidate verify via
+``size(array_intersect(...))`` — so the first exchange in an LSH plan is
+the band-bucket join itself, which touches only colliding buckets. That
+bucket-first shape (candidates ~O(dups), not O(N²)) is the point of
 MinHash/SimHash vs the quadratic n-gram join (kept for small-N parity).
 """
 
@@ -88,19 +93,19 @@ GROUP BY 1
 # -- shingles ----------------------------------------------------------------
 # 3-word shingles; Spark side built once and reused by jaccard + minhash.
 
-def _shingle_arrays(spark, sf_dir):
+def _doc_shingle_arrays(docs: DataFrame) -> DataFrame:
     """Per-doc DISTINCT shingle SET as one array column — built entirely
     map-side (``array_distinct`` runs inside the row, before any explode),
     so the set construction costs ZERO shuffles at any corpus size. The
     round-1..3 shape (explode → ``.distinct()``) shuffled the full shingle
     stream — ~100× corpus rows — once per gate; per-doc distinctness never
-    needed a global shuffle, only a per-row dedup."""
+    needed a global shuffle, only a per-row dedup. Works on batch AND
+    streaming frames (pure per-row expressions)."""
     d = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.split("text", " ").alias("ws"))
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
         .filter(F.size("ws") >= 3)  # guard: F.sequence would run descending
     )
-    arr = d.select(
+    return d.select(
         "doc_id",
         F.array_distinct(
             F.transform(
@@ -109,9 +114,12 @@ def _shingle_arrays(spark, sf_dir):
             )
         ).alias("shs"),
     )
+
+
+def _shingle_arrays(spark, sf_dir):
     # reused by the signature build + both verify sides — cache the narrow
     # per-doc frame (N rows, not N×shingles)
-    return arr.cache()
+    return _doc_shingle_arrays(_docs(spark, sf_dir)).cache()
 
 
 def _shingles(spark, sf_dir):

@@ -599,3 +599,85 @@ def funnel_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# -- streaming incremental near-dup detection ---------------------------------
+# The streaming form of queries.dedup.dedup_incremental: a persisted LSH
+# index over the historical corpus; each micro-batch of NEW documents band-
+# joins against it (plus itself), gets exact-Jaccard verified, and then its
+# own signatures append to the index — so later batches see earlier ones and
+# the union over batches equals the batch operator's (new×old) ∪ (new×new)
+# pair set exactly. Old×old is never touched, which is the entire point of
+# the daily-production shape at 100 TB.
+
+
+def seed_near_dup_index(docs: DataFrame, index_dir: str) -> None:
+    """Build the persisted LSH index for ``near_dup_stream``: per-doc shingle
+    arrays (the verify side) + banded minhash rows (the candidate side).
+    Both derive map-side from one scan of ``docs`` (no shuffle)."""
+    from ..queries.dedup import _doc_shingle_arrays, _minhash_banded
+
+    arr = _doc_shingle_arrays(docs).localCheckpoint(eager=True)
+    arr.write.mode("overwrite").parquet(f"{index_dir}/arrays")
+    _minhash_banded(arr).write.mode("overwrite").parquet(f"{index_dir}/banded")
+
+
+def near_dup_stream(
+    docs_stream: DataFrame, index_dir: str, pairs_dir: str, checkpoint_dir: str
+):
+    """Streaming incremental near-dup detection via ``foreachBatch``.
+
+    Per micro-batch: compute the batch's shingle arrays + band keys map-side
+    (the same per-row expressions the batch gates use — streaming-legal by
+    construction), band-join against the persisted index AND the batch
+    itself, verify candidates with the exact ``array_intersect`` Jaccard,
+    append verified pairs to ``pairs_dir``, THEN append the batch's arrays/
+    band rows to the index so subsequent batches treat it as corpus.
+
+    foreachBatch because the index update is a batch-only write that must
+    happen after the pair emit within the same micro-batch — not expressible
+    as a pure streaming sink. Parquet appends are at-least-once under retry
+    (same caveat as the mart writer); exactly-once would key the append on
+    ``batch_id``. Returns the StreamingQuery.
+    """
+    from ..queries.dedup import (
+        _doc_shingle_arrays,
+        _minhash_banded,
+        _verify_exact_jaccard,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # materialize once: feeds the band build, the verify side, and the
+        # index append (and truncates streaming-source lineage)
+        arr_new = _doc_shingle_arrays(batch_df).localCheckpoint(eager=True)
+        banded_new = _minhash_banded(arr_new).localCheckpoint(eager=True)
+        arr_old = spark.read.parquet(f"{index_dir}/arrays")
+        banded_old = spark.read.parquet(f"{index_dir}/banded")
+        n, o = banded_new.alias("n"), banded_old.alias("o")
+        # new×index candidates, normalized to doc_a < doc_b (ids are global)
+        cand_no = n.join(o, F.col("n.band_key") == F.col("o.band_key")).select(
+            F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+        )
+        a, b = banded_new.alias("a"), banded_new.alias("b")
+        cand_nn = a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand = cand_no.unionByName(cand_nn).distinct()
+        pairs = _verify_exact_jaccard(arr_old.unionByName(arr_new), cand)
+        pairs.write.mode("append").parquet(pairs_dir)
+        arr_new.write.mode("append").parquet(f"{index_dir}/arrays")
+        banded_new.write.mode("append").parquet(f"{index_dir}/banded")
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,71 @@
+"""Streaming incremental near-dup detection: batch-equivalence pin.
+
+``near_dup_stream`` (streaming/pipeline.py) is the streaming form of
+``queries.dedup.dedup_incremental``: a persisted LSH index over the old
+corpus, each micro-batch of new docs band-joined against it + itself,
+exact-Jaccard verified, then appended to the index. Streaming the "new"
+partition (doc_id % 5 == 4, the same split the batch gate uses) in two
+micro-batches must reproduce the batch gate's verified pair set EXACTLY —
+including the Jaccard doubles (identical integer counts + single IEEE
+division on both paths) — because the union over batches of
+(batch × index) ∪ (batch × batch) candidates equals the batch operator's
+(new × old) ∪ (new × new), and band keys are per-doc map-side expressions,
+invariant to which frame a doc arrives in.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import TESTDATA
+
+
+def test_near_dup_stream_matches_incremental_batch(spark, tmp_path):
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.dedup import (
+        INC_NEW_MOD,
+        dedup_incremental,
+    )
+    from etl_process_for_detecting_fraudulent_transactions_spark.streaming.pipeline import (
+        near_dup_stream,
+        seed_near_dup_index,
+    )
+
+    sf_dir = os.path.join(TESTDATA, "sf0.001")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    is_new = (F.col("doc_id") % INC_NEW_MOD) == INC_NEW_MOD - 1
+
+    index_dir = str(tmp_path / "index")
+    seed_near_dup_index(docs.filter(~is_new), index_dir)
+
+    # two files -> two micro-batches under maxFilesPerTrigger=1, so the
+    # cross-batch new×new path (batch-2 doc vs batch-1 doc now in the index)
+    # is actually exercised
+    landing = str(tmp_path / "landing")
+    new = docs.filter(is_new)
+    new.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(landing)
+    new.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    pairs_dir = str(tmp_path / "pairs")
+    q = near_dup_stream(stream, index_dir, pairs_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    exp = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_incremental(spark, sf_dir).collect()
+    }
+    assert exp, "fixture must plant near-dup pairs involving the new batch"
+    assert got == exp
+
+    # index now holds the full corpus: arrays row count == all docs with >=3 words
+    n_indexed = spark.read.parquet(f"{index_dir}/arrays").count()
+    n_docs = docs.filter(F.size(F.split("text", " ")) >= 3).count()
+    assert n_indexed == n_docs
