@@ -36,6 +36,7 @@ from . import (
 # round 4 (VERDICT r3 #2 — stalest evidence first):
 #   1. queries whose implementation changed this round: dedup_clusters /
 #      dedup_canonical_pick (now on the bucketed LSH pair source),
+#      dedup_signature_est (new: minhash-estimator accuracy audit),
 #      approx_distinct_kmv (new, replaces the rows-only HLL registry row),
 #      multimodal_features / _audio / _resize (numpy-vectorized kernels);
 #   2. ALL 28 queries whose latest driver evidence is round 1 (three rounds
