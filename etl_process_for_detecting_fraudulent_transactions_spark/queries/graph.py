@@ -156,10 +156,21 @@ def max_concurrent_events(spark, sf_dir):
     within tied (t, delta) keys (all peers are included in the frame), so
     both engines agree without any row_number tiebreaker. Ends sort before
     starts at the same instant (delta -1 < +1): end-exclusive intervals.
+
     Scale: ONE fact scan (the ±1 rows come from a generator explode, not a
-    self-union that reads the table twice) + one exchange on event_type —
-    2 rows per event through a single shuffle; skewed types can
-    pre-aggregate deltas per (type, t) first (same answer, RANGE frame)."""
+    self-union that reads the table twice), then a DISTRIBUTED prefix sum.
+    A window partitioned only by event_type serializes each type's entire
+    delta stream through one task (~5 types → parallelism 5, measured
+    8.9 s at the 100×/20M-delta tier); instead the sweep decomposes by
+    1-hour time bucket: (1) within-(type, bucket) running sums — the wide
+    shuffle, but ~#buckets-way parallel; (2) per-bucket max + total; (3) a
+    cross-bucket offset window over only #buckets rows per type; max
+    concurrency = max(offset + within-bucket max). Identical output: the
+    global max is always attained at the end of a +1 tie group (RANGE
+    gives every tie row the group-end value, and a -1 group's interior
+    prefix is dominated by the preceding row), and bucket decomposition
+    preserves every group-end prefix value as offset + within-bucket run."""
+    bucket_us = 3600 * 1_000_000  # 1-hour sweep buckets
     ev = _t(spark, sf_dir, "events")
     deltas = ev.select(
         "event_type",
@@ -175,11 +186,28 @@ def max_concurrent_events(spark, sf_dir):
             )
         ).alias("e"),
     ).select("event_type", F.col("e.t").alias("t"), F.col("e.delta").alias("delta"))
-    w = Window.partitionBy("event_type").orderBy("t", "delta")
+    deltas = deltas.withColumn("bucket", F.floor(F.col("t") / bucket_us))
+    wb = Window.partitionBy("event_type", "bucket").orderBy("t", "delta")
+    per_bucket = (
+        deltas.withColumn("run", F.sum("delta").over(wb))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("run").alias("max_run"), F.sum("delta").alias("bucket_sum"))
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     return (
-        deltas.withColumn("live", F.sum("delta").over(w))
+        per_bucket.withColumn(
+            "offset", F.coalesce(F.sum("bucket_sum").over(wo), F.lit(0))
+        )
         .groupBy("event_type")
-        .agg(F.max("live").cast("bigint").alias("max_concurrent"))
+        .agg(
+            F.max(F.col("offset") + F.col("max_run"))
+            .cast("bigint")
+            .alias("max_concurrent")
+        )
     )
 
 

@@ -362,17 +362,20 @@ def test_triangle_close_is_hash_join_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_max_concurrent_is_single_exchange_no_join(spark, sf_dir):
-    """Sweep line = union + one window + one aggregate sharing the
-    event_type partitioning: no join, at most the window's exchange plus
-    the final single-partition agg."""
+def test_max_concurrent_is_join_free_bucketed_sweep(spark, sf_dir):
+    """Distributed sweep line: no join anywhere; the wide shuffle is keyed
+    by (event_type, bucket) — NOT by event_type alone, which would
+    serialize each type's whole delta stream through one task — and the
+    narrow cross-bucket pass adds at most two more small exchanges."""
     from etl_process_for_detecting_fraudulent_transactions_spark.queries.graph import (
         max_concurrent_events,
     )
 
     plan = _plan(max_concurrent_events(spark, sf_dir))
     assert "Join" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Exchange hashpartitioning") <= 3
+    # the wide (per-delta) exchange must carry the bucket key
+    assert "hashpartitioning(event_type" in plan and "bucket" in plan
 
 
 def test_path_trigrams_single_window_node(spark, sf_dir):
