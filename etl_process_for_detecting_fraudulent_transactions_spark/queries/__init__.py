@@ -80,6 +80,7 @@ _PRIORITY_KEYS = (
     "triangle_stats",
     "max_concurrent_events",
     "event_path_trigrams",
+    "pagerank_copurchase",
     "zscore_outliers",
     "multimodal_bmp_features",
     # -- latest evidence r1 (three rounds stale) --

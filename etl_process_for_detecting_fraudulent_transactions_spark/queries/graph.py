@@ -2,8 +2,10 @@
 reference: SURVEY.md §2.6 — plus the co-occurrence graph shapes a
 training-data curation pipeline uses for document-link analysis).
 
-All three gates are integer-exact (counts, or a single IEEE division of two
-exact integers), so Spark and DuckDB hash-match bit-for-bit.
+All gates are integer-exact (counts, fixed-point bigint arithmetic, or a
+single IEEE division of two exact integers), so Spark and DuckDB hash-match
+bit-for-bit — including the ITERATIVE PageRank, whose fixed-point integer
+recurrence sidesteps float-accumulation order entirely.
 
 Scale notes per gate are on the functions; the common theme: the triangle
 join is ORIENTED by (degree, id) so every wedge is enumerated exactly once
@@ -284,3 +286,122 @@ ORACLES = {
     "max_concurrent_events": ORACLE_MAX_CONCURRENT,
     "event_path_trigrams": ORACLE_TRIGRAMS,
 }
+
+
+# -- PageRank (fixed-point integer, 3 iterations) -----------------------------
+# Iterative centrality over the co-purchase graph — the influence/authority
+# op a document-link curation pipeline runs. FIXED-POINT INTEGER arithmetic
+# makes an iterative float algorithm hash-exact across engines: ranks are
+# bigints scaled by 10^12, every step is integer DIV (truncation — Spark
+# `DIV` ≡ DuckDB `//` on positives) and exact bigint sums (order-independent,
+# unlike float accumulation), so 3 iterations produce bit-identical ranks.
+
+PR_SCALE = 1_000_000_000_000  # 10^12 fixed-point scale
+PR_ITERS = 3
+PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as an exact ratio
+
+
+def pagerank_copurchase(spark, sf_dir):
+    """Top-20 co-purchase-graph nodes by 3-iteration damped PageRank.
+
+    Spark: driver-side *plan* loop (the CC pattern — each iteration fully
+    distributed: one edge join + one groupBy(dst), lineage truncated by
+    localCheckpoint). Undirected edges are expanded to both directions, so
+    every node has out-degree ≥ 1 — no dangling-mass term. ``n_nodes`` is
+    the one driver-side scalar (bounded metadata, same class as the CC
+    convergence probe). Top-20 is TakeOrderedAndProject (rank desc, id asc
+    — ranks are exact integers, ties deterministic)."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    dirs = (
+        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    outdeg = dirs.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = outdeg.select(F.col("src").alias("p"), "outdeg")
+    n_nodes = nodes.count()  # bounded driver scalar: one int
+    if n_nodes == 0:
+        # empty graph: zero rows, same schema (the oracle's empty-CTE chain)
+        return nodes.select("p", F.col("outdeg").cast("bigint").alias("rank_fp"))
+    base = (PR_SCALE * (PR_D_DEN - PR_D_NUM)) // (PR_D_DEN * n_nodes)
+    r = nodes.select(
+        "p", "outdeg", F.lit(PR_SCALE // n_nodes).cast("bigint").alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            dirs.join(r, dirs.src == r.p)
+            .select("dst", F.expr("r DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("csum"))
+        )
+        r = (
+            nodes.join(contrib, nodes.p == contrib.dst)
+            .select(
+                "p",
+                "outdeg",
+                (
+                    F.lit(base)
+                    + F.expr(f"({PR_D_NUM} * csum) DIV {PR_D_DEN}")
+                ).cast("bigint").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        r.select("p", F.col("r").alias("rank_fp"))
+        .orderBy(F.desc("rank_fp"), F.asc("p"))
+        .limit(20)
+    )
+
+
+_pr_iter_sql = """
+r{K} AS (
+  SELECT n.p, n.outdeg,
+         {BASE} + ({D_NUM} * SUM(r{J}.r // r{J}.outdeg)) // {D_DEN} AS r
+  FROM dirs
+  JOIN r{J} ON dirs.src = r{J}.p
+  JOIN nodes n ON n.p = dirs.dst
+  GROUP BY n.p, n.outdeg
+)"""
+
+ORACLE_PAGERANK_TEMPLATE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_partkey % 4 = 0
+),
+edges AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+dirs AS (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL
+  SELECT pb, pa FROM edges
+),
+nodes AS (SELECT src AS p, COUNT(*) AS outdeg FROM dirs GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (
+  SELECT p, outdeg, ({SCALE} // (SELECT n FROM nn)) AS r FROM nodes
+),
+{ITERS}
+SELECT p, r AS rank_fp
+FROM r{LAST}
+ORDER BY rank_fp DESC, p ASC
+LIMIT 20
+"""
+
+_PR_BASE_SQL = (
+    f"(({PR_SCALE} * {PR_D_DEN - PR_D_NUM}) // ({PR_D_DEN} * (SELECT n FROM nn)))"
+)
+ORACLE_PAGERANK = ORACLE_PAGERANK_TEMPLATE.format(
+    SCALE=PR_SCALE,
+    ITERS=",".join(
+        _pr_iter_sql.format(
+            K=k, J=k - 1, BASE=_PR_BASE_SQL, D_NUM=PR_D_NUM, D_DEN=PR_D_DEN
+        )
+        for k in range(1, PR_ITERS + 1)
+    ),
+    LAST=PR_ITERS,
+)
+
+QUERIES["pagerank_copurchase"] = pagerank_copurchase
+ORACLES["pagerank_copurchase"] = ORACLE_PAGERANK

@@ -56,3 +56,33 @@ def test_graph_gates_empty_input_parity(spark, tmp_path):
         srows = sorted(tuple(r) for r in fn(spark, path).collect())
         drows = sorted(tuple(r) for r in con.sql(ORACLES[k]).fetchall())
         assert srows == drows, (k, srows, drows)
+
+
+def test_pagerank_known_graph(spark, tmp_path):
+    """Fixed-point PageRank against an independent plain-Python integer
+    simulation of the same recurrence on the hand-built graph — truth
+    derived outside both engines."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.graph import (
+        PR_D_DEN,
+        PR_D_NUM,
+        PR_ITERS,
+        PR_SCALE,
+        pagerank_copurchase,
+    )
+
+    path = _mini_lineitem(spark, tmp_path)
+    got = {r.p: r.rank_fp for r in pagerank_copurchase(spark, path).collect()}
+
+    nbrs = {0: {4, 8}, 4: {0, 8}, 8: {0, 4, 12}, 12: {8}}
+    n = len(nbrs)
+    base = (PR_SCALE * (PR_D_DEN - PR_D_NUM)) // (PR_D_DEN * n)
+    r = {v: PR_SCALE // n for v in nbrs}
+    for _ in range(PR_ITERS):
+        r = {
+            v: base
+            + (PR_D_NUM * sum(r[u] // len(nbrs[u]) for u in nbrs[v])) // PR_D_DEN
+            for v in nbrs
+        }
+    assert got == r
+    # the degree-3 hub must outrank everything; the pendant ranks lowest
+    assert max(got, key=got.get) == 8 and min(got, key=got.get) == 12
