@@ -122,11 +122,6 @@ def _shingle_arrays(spark, sf_dir):
     return _doc_shingle_arrays(_docs(spark, sf_dir)).cache()
 
 
-def _shingles(spark, sf_dir):
-    """Exploded (doc_id, s) view of the per-doc distinct shingle arrays —
-    rows identical to the old explode+distinct, minus its shuffle."""
-    return _shingle_arrays(spark, sf_dir).select("doc_id", F.explode("shs").alias("s"))
-
 _SQL_SHINGLES = """
   SELECT DISTINCT doc_id, ws[i] || '_' || ws[i+1] || '_' || ws[i+2] AS s
   FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents) t,
@@ -258,7 +253,12 @@ def _minhash_banded(arr: DataFrame) -> DataFrame:
     expression over the doc's own hash array, replacing the round-1..3
     groupBy(doc_id) aggregate (one full shuffle of the exploded shingle
     stream, the dominant exchange of every LSH gate at 100 TB)."""
-    sig = _minhash_sig(arr)
+    return _bands_from_sig(_minhash_sig(arr))
+
+
+def _bands_from_sig(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_key) rows from a signature frame — lets a caller that
+    also needs the raw signature build it ONCE and share it."""
     rows_per_band = N_MINHASH // N_BANDS
     # one explode over an array of band keys (NOT an N_BANDS-way union: union
     # branches each re-evaluate the signature build — explode scans it once)
@@ -273,16 +273,20 @@ def _minhash_banded(arr: DataFrame) -> DataFrame:
     return sig.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
 
 
-def _minhash_band_candidates(arr: DataFrame) -> DataFrame:
-    """Banded-minhash candidate pairs (doc_a < doc_b) over the shingle-array
-    frame."""
-    banded = _minhash_banded(arr)
+def _band_pairs(banded: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any band key."""
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _minhash_band_candidates(arr: DataFrame) -> DataFrame:
+    """Banded-minhash candidate pairs (doc_a < doc_b) over the shingle-array
+    frame."""
+    return _band_pairs(_minhash_banded(arr))
 
 
 # one md5 per shingle reduced mod p, then the affine permutations — the
@@ -882,8 +886,13 @@ def dedup_signature_est(spark, sf_dir):
     map-side (zero shuffles); the audit adds two key joins to the verified
     pair set, nothing corpus-wide."""
     arr = _shingle_arrays(spark, sf_dir)
-    pairs = _verify_exact_jaccard(arr, _minhash_band_candidates(arr))
-    sig = _minhash_sig(arr)
+    # ONE signature build shared by the band-candidate join and both
+    # estimate sides (eagerly materialized: the three subtrees key on
+    # different columns, so exchange reuse would never deduplicate them and
+    # the per-shingle md5 + K permutations — the LSH CPU cost center —
+    # would run three times)
+    sig = _minhash_sig(arr).localCheckpoint(eager=True)
+    pairs = _verify_exact_jaccard(arr, _band_pairs(_bands_from_sig(sig)))
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{k}").alias(f"a{k}") for k in range(N_MINHASH)],

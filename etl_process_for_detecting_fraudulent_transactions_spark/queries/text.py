@@ -811,7 +811,7 @@ def bigram_lm_counts(spark, sf_dir):
     from pyspark.sql.window import Window
 
     # size >= 2 guard: F.sequence(1, n-1) runs DESCENDING for n <= 1 and
-    # element_at then throws INVALID_ARRAY_INDEX (same hazard _shingles in
+    # element_at then throws INVALID_ARRAY_INDEX (same hazard _shingle_arrays in
     # dedup.py guards); the oracle's WHERE len(toks) >= 2 is the mirror
     d = (
         _docs(spark, sf_dir)

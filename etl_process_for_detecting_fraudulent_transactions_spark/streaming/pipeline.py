@@ -614,12 +614,16 @@ def funnel_stream(
 def seed_near_dup_index(docs: DataFrame, index_dir: str) -> None:
     """Build the persisted LSH index for ``near_dup_stream``: per-doc shingle
     arrays (the verify side) + banded minhash rows (the candidate side).
-    Both derive map-side from one scan of ``docs`` (no shuffle)."""
+    Both derive map-side from one scan of ``docs`` (no shuffle). Layout is
+    one ``batch=<id>`` partition directory per write so every later append
+    is an idempotent per-batch overwrite."""
     from ..queries.dedup import _doc_shingle_arrays, _minhash_banded
 
     arr = _doc_shingle_arrays(docs).localCheckpoint(eager=True)
-    arr.write.mode("overwrite").parquet(f"{index_dir}/arrays")
-    _minhash_banded(arr).write.mode("overwrite").parquet(f"{index_dir}/banded")
+    arr.write.mode("overwrite").parquet(f"{index_dir}/arrays/batch=seed")
+    _minhash_banded(arr).write.mode("overwrite").parquet(
+        f"{index_dir}/banded/batch=seed"
+    )
 
 
 def near_dup_stream(
@@ -631,14 +635,17 @@ def near_dup_stream(
     (the same per-row expressions the batch gates use — streaming-legal by
     construction), band-join against the persisted index AND the batch
     itself, verify candidates with the exact ``array_intersect`` Jaccard,
-    append verified pairs to ``pairs_dir``, THEN append the batch's arrays/
-    band rows to the index so subsequent batches treat it as corpus.
+    write verified pairs, THEN add the batch's arrays/band rows to the
+    index so subsequent batches treat it as corpus.
 
     foreachBatch because the index update is a batch-only write that must
     happen after the pair emit within the same micro-batch — not expressible
-    as a pure streaming sink. Parquet appends are at-least-once under retry
-    (same caveat as the mart writer); exactly-once would key the append on
-    ``batch_id``. Returns the StreamingQuery.
+    as a pure streaming sink. Every write is an OVERWRITE of a
+    ``batch=b<id>`` partition directory, so a retried batch replaces its own
+    prior attempt instead of duplicating rows — pairs and index both stay
+    exactly-once per batch id. A doc redelivered in a LATER batch (new
+    batch id) still self-collides with its index entry, so the new×index
+    join excludes equal doc_ids. Returns the StreamingQuery.
     """
     from ..queries.dedup import (
         _doc_shingle_arrays,
@@ -654,11 +661,20 @@ def near_dup_stream(
         # index append (and truncates streaming-source lineage)
         arr_new = _doc_shingle_arrays(batch_df).localCheckpoint(eager=True)
         banded_new = _minhash_banded(arr_new).localCheckpoint(eager=True)
-        arr_old = spark.read.parquet(f"{index_dir}/arrays")
-        banded_old = spark.read.parquet(f"{index_dir}/banded")
+        # explicit column selection drops the discovered batch partition key
+        arr_old = spark.read.parquet(f"{index_dir}/arrays").select("doc_id", "shs")
+        banded_old = spark.read.parquet(f"{index_dir}/banded").select(
+            "doc_id", "band_key"
+        )
         n, o = banded_new.alias("n"), banded_old.alias("o")
-        # new×index candidates, normalized to doc_a < doc_b (ids are global)
-        cand_no = n.join(o, F.col("n.band_key") == F.col("o.band_key")).select(
+        # new×index candidates, normalized to doc_a < doc_b (ids are global);
+        # equal ids excluded — a redelivered doc must not self-pair against
+        # its own index entry
+        cand_no = n.join(
+            o,
+            (F.col("n.band_key") == F.col("o.band_key"))
+            & (F.col("n.doc_id") != F.col("o.doc_id")),
+        ).select(
             F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
             F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
         )
@@ -670,9 +686,13 @@ def near_dup_stream(
         ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         cand = cand_no.unionByName(cand_nn).distinct()
         pairs = _verify_exact_jaccard(arr_old.unionByName(arr_new), cand)
-        pairs.write.mode("append").parquet(pairs_dir)
-        arr_new.write.mode("append").parquet(f"{index_dir}/arrays")
-        banded_new.write.mode("append").parquet(f"{index_dir}/banded")
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch=b{batch_id}")
+        arr_new.write.mode("overwrite").parquet(
+            f"{index_dir}/arrays/batch=b{batch_id}"
+        )
+        banded_new.write.mode("overwrite").parquet(
+            f"{index_dir}/banded/batch=b{batch_id}"
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)

@@ -7,7 +7,7 @@ adversarial ones — tiny vocabularies (maximal shingle collision), highly
 duplicated docs, threshold-boundary pairs — and the prefix path must emit
 exactly the same pair set as the unpruned quadratic join on every draw.
 
-The two paths share only `_shingles`/`_verify_exact_jaccard`; the pruning
+The two paths share only `_shingle_arrays`/`_verify_exact_jaccard`; the pruning
 logic under test is exercised end-to-end through a real SparkSession.
 """
 
