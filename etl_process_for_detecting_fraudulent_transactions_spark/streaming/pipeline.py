@@ -626,6 +626,64 @@ def seed_near_dup_index(docs: DataFrame, index_dir: str) -> None:
     )
 
 
+def _near_dup_process_batch(
+    batch_df: DataFrame, batch_id: int, index_dir: str, pairs_dir: str
+) -> None:
+    """One micro-batch of the near-dup stream — module-level so the retry
+    contract is directly testable: rerunning the SAME (batch_df, batch_id)
+    must leave pairs and index byte-identical (every write is an overwrite
+    of this batch's own partition directory)."""
+    from ..queries.dedup import (
+        _doc_shingle_arrays,
+        _minhash_banded,
+        _verify_exact_jaccard,
+    )
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    # materialize once: feeds the band build, the verify side, and the
+    # index append (and truncates streaming-source lineage)
+    arr_new = _doc_shingle_arrays(batch_df).localCheckpoint(eager=True)
+    banded_new = _minhash_banded(arr_new).localCheckpoint(eager=True)
+    # explicit column selection drops the discovered batch partition key
+    arr_old = spark.read.parquet(f"{index_dir}/arrays").select("doc_id", "shs")
+    banded_old = spark.read.parquet(f"{index_dir}/banded").select(
+        "doc_id", "band_key"
+    )
+    n, o = banded_new.alias("n"), banded_old.alias("o")
+    # new×index candidates, normalized to doc_a < doc_b (ids are global);
+    # equal ids excluded — a redelivered doc must not self-pair against
+    # its own index entry
+    cand_no = n.join(
+        o,
+        (F.col("n.band_key") == F.col("o.band_key"))
+        & (F.col("n.doc_id") != F.col("o.doc_id")),
+    ).select(
+        F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+        F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+    )
+    a, b = banded_new.alias("a"), banded_new.alias("b")
+    cand_nn = a.join(
+        b,
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    cand = cand_no.unionByName(cand_nn).distinct()
+    # a retried batch (crash after its index write) sees its own docs in
+    # BOTH arr_old and arr_new — anti-join them out of the index side so
+    # each doc verifies against exactly one shingle-set row (batch wins)
+    arr_all = arr_old.join(arr_new.select("doc_id"), "doc_id", "left_anti").unionByName(
+        arr_new
+    )
+    pairs = _verify_exact_jaccard(arr_all, cand)
+    pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch=b{batch_id}")
+    arr_new.write.mode("overwrite").parquet(f"{index_dir}/arrays/batch=b{batch_id}")
+    banded_new.write.mode("overwrite").parquet(
+        f"{index_dir}/banded/batch=b{batch_id}"
+    )
+
+
 def near_dup_stream(
     docs_stream: DataFrame, index_dir: str, pairs_dir: str, checkpoint_dir: str
 ):
@@ -647,52 +705,8 @@ def near_dup_stream(
     batch id) still self-collides with its index entry, so the new×index
     join excludes equal doc_ids. Returns the StreamingQuery.
     """
-    from ..queries.dedup import (
-        _doc_shingle_arrays,
-        _minhash_banded,
-        _verify_exact_jaccard,
-    )
-
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        # materialize once: feeds the band build, the verify side, and the
-        # index append (and truncates streaming-source lineage)
-        arr_new = _doc_shingle_arrays(batch_df).localCheckpoint(eager=True)
-        banded_new = _minhash_banded(arr_new).localCheckpoint(eager=True)
-        # explicit column selection drops the discovered batch partition key
-        arr_old = spark.read.parquet(f"{index_dir}/arrays").select("doc_id", "shs")
-        banded_old = spark.read.parquet(f"{index_dir}/banded").select(
-            "doc_id", "band_key"
-        )
-        n, o = banded_new.alias("n"), banded_old.alias("o")
-        # new×index candidates, normalized to doc_a < doc_b (ids are global);
-        # equal ids excluded — a redelivered doc must not self-pair against
-        # its own index entry
-        cand_no = n.join(
-            o,
-            (F.col("n.band_key") == F.col("o.band_key"))
-            & (F.col("n.doc_id") != F.col("o.doc_id")),
-        ).select(
-            F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
-            F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
-        )
-        a, b = banded_new.alias("a"), banded_new.alias("b")
-        cand_nn = a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        cand = cand_no.unionByName(cand_nn).distinct()
-        pairs = _verify_exact_jaccard(arr_old.unionByName(arr_new), cand)
-        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch=b{batch_id}")
-        arr_new.write.mode("overwrite").parquet(
-            f"{index_dir}/arrays/batch=b{batch_id}"
-        )
-        banded_new.write.mode("overwrite").parquet(
-            f"{index_dir}/banded/batch=b{batch_id}"
-        )
+        _near_dup_process_batch(batch_df, batch_id, index_dir, pairs_dir)
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)
