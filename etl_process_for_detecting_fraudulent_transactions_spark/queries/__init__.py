@@ -81,6 +81,8 @@ _PRIORITY_KEYS = (
     "max_concurrent_events",
     "event_path_trigrams",
     "pagerank_copurchase",
+    "doc_novelty_score",
+    "weighted_sample",
     "zscore_outliers",
     "multimodal_bmp_features",
     # -- latest evidence r1 (three rounds stale) --

@@ -284,3 +284,52 @@ SELECT doc_id, source, rk FROM r WHERE rk <= {SOURCE_CAP}
 
 QUERIES["per_source_cap"] = per_source_cap
 ORACLES["per_source_cap"] = ORACLE_SOURCE_CAP
+
+
+# -- weighted Bernoulli sampling ----------------------------------------------
+# Quality-weighted corpus sampling (the "sample longer/better docs more
+# often" pass): each doc keeps with probability weight/max_weight, decided
+# by a deterministic integer comparison — hash * max_w < w * 2^32 — so the
+# selection is EXACT integer arithmetic (no float RNG), reproducible on any
+# engine and any cluster size.
+
+def weighted_sample(spark, sf_dir):
+    """Per-(lang, source) summary of a weight-proportional Bernoulli sample
+    (weight = n_chars): kept docs, total docs, kept chars. P(keep) =
+    n_chars / max(n_chars); the only non-scan step is the broadcast 1-row
+    max and the final small aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    hp = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    mx = d.agg(F.max("n_chars").alias("max_w"))
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .withColumn("keep", hp * F.col("max_w") < F.col("n_chars") * F.lit(4294967296))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH mx AS (SELECT MAX(n_chars) AS max_w FROM documents)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT
+                     * (SELECT max_w FROM mx) < n_chars * 4294967296
+                THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT
+                     * (SELECT max_w FROM mx) < n_chars * 4294967296
+                THEN n_chars ELSE 0 END) AS kept_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+QUERIES["weighted_sample"] = weighted_sample
+ORACLES["weighted_sample"] = ORACLE_WEIGHTED_SAMPLE

@@ -858,3 +858,70 @@ FROM c WHERE c2 >= {BIGRAM_MIN_C}
 
 QUERIES["bigram_lm_counts"] = bigram_lm_counts
 ORACLES["bigram_lm_counts"] = ORACLE_BIGRAM_LM
+
+
+# -- corpus-novelty scoring ---------------------------------------------------
+# CCNet-family quality signal without a float LM: how much of a document's
+# bigram vocabulary exists NOWHERE else in the corpus? High novelty = unique
+# content (keep); near-zero novelty = boilerplate assembled from common
+# phrases (candidate for down-sampling). Integer counts + one IEEE division
+# keep it bit-identical across engines where a log-prob LM score could not be.
+
+def doc_novelty_score(spark, sf_dir):
+    """Per doc: distinct-bigram count, how many of those bigrams have
+    corpus document-frequency 1 (they appear in NO other doc), and the
+    rare-bigram fraction.
+
+    Plan: bigram SETS build map-side (array_distinct before explode — the
+    dedup-family discipline), corpus df via count-over-window on the bigram
+    key (one wide shuffle, high-cardinality key), then one groupBy(doc_id).
+    Because the per-doc bigrams are distinct, df counts DOCUMENTS, not
+    occurrences."""
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+    )
+    bgs = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 2),
+                    lambda i: F.concat_ws("_", F.col("ws")[i], F.col("ws")[i + 1]),
+                )
+            )
+        ).alias("g"),
+    )
+    from pyspark.sql import Window
+
+    withdf = bgs.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    return (
+        withdf.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .withColumn("novelty", F.col("n_unique") / F.col("n_bigrams"))
+    )
+
+
+ORACLE_NOVELTY = """
+WITH bgs AS (
+  SELECT DISTINCT doc_id, ws[i] || '_' || ws[i+1] AS g
+  FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents) t,
+       unnest(range(1, len(ws))) AS u(i)
+  WHERE len(ws) >= 2
+),
+withdf AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS df FROM bgs
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique,
+       SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) / COUNT(*) AS novelty
+FROM withdf GROUP BY doc_id
+"""
+
+QUERIES["doc_novelty_score"] = doc_novelty_score
+ORACLES["doc_novelty_score"] = ORACLE_NOVELTY
