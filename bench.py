@@ -53,6 +53,8 @@ SCALE_KEYS = (
     "tfidf_keywords",
     "max_concurrent_events",
     "approx_distinct_kmv",
+    "doc_novelty_score",
+    "weighted_sample",
 )
 # input table each scale query is throughput-bounded by (for the rows/s numerator)
 SCALE_INPUT = {
@@ -71,6 +73,8 @@ SCALE_INPUT = {
     "tfidf_keywords": "documents",
     "max_concurrent_events": "events",
     "approx_distinct_kmv": "events",
+    "doc_novelty_score": "documents",
+    "weighted_sample": "documents",
 }
 
 
