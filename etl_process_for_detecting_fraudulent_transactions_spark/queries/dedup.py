@@ -93,27 +93,33 @@ GROUP BY 1
 # -- shingles ----------------------------------------------------------------
 # 3-word shingles; Spark side built once and reused by jaccard + minhash.
 
-def _doc_shingle_arrays(docs: DataFrame) -> DataFrame:
-    """Per-doc DISTINCT shingle SET as one array column — built entirely
+def _ngram_set_arrays(docs: DataFrame, n: int, out: str = "shs") -> DataFrame:
+    """Per-doc DISTINCT word-n-gram SET as one array column — built entirely
     map-side (``array_distinct`` runs inside the row, before any explode),
     so the set construction costs ZERO shuffles at any corpus size. The
-    round-1..3 shape (explode → ``.distinct()``) shuffled the full shingle
+    round-1..3 shape (explode → ``.distinct()``) shuffled the full n-gram
     stream — ~100× corpus rows — once per gate; per-doc distinctness never
     needed a global shuffle, only a per-row dedup. Works on batch AND
-    streaming frames (pure per-row expressions)."""
+    streaming frames (pure per-row expressions). Shared by the trigram
+    shingle family (n=3) and the bigram novelty gate (n=2)."""
     d = (
         docs.select("doc_id", F.split("text", " ").alias("ws"))
-        .filter(F.size("ws") >= 3)  # guard: F.sequence would run descending
+        .filter(F.size("ws") >= n)  # guard: F.sequence would run descending
     )
     return d.select(
         "doc_id",
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.size("ws") - 3),
-                lambda i: F.concat_ws("_", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]),
+                F.sequence(F.lit(0), F.size("ws") - n),
+                lambda i: F.concat_ws("_", *[F.col("ws")[i + j] for j in range(n)]),
             )
-        ).alias("shs"),
+        ).alias(out),
     )
+
+
+def _doc_shingle_arrays(docs: DataFrame) -> DataFrame:
+    """3-word shingle sets — the near-dup family's unit of comparison."""
+    return _ngram_set_arrays(docs, 3)
 
 
 def _shingle_arrays(spark, sf_dir):

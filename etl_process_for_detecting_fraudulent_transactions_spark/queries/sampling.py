@@ -321,12 +321,12 @@ ORACLE_WEIGHTED_SAMPLE = """
 WITH mx AS (SELECT MAX(n_chars) AS max_w FROM documents)
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT
+       CAST(SUM(CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT
                      * (SELECT max_w FROM mx) < n_chars * 4294967296
-                THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT
                      * (SELECT max_w FROM mx) < n_chars * 4294967296
-                THEN n_chars ELSE 0 END) AS kept_chars
+                THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
 FROM documents
 GROUP BY lang, source
 """

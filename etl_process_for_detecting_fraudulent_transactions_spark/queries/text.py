@@ -872,26 +872,15 @@ def doc_novelty_score(spark, sf_dir):
     corpus document-frequency 1 (they appear in NO other doc), and the
     rare-bigram fraction.
 
-    Plan: bigram SETS build map-side (array_distinct before explode — the
-    dedup-family discipline), corpus df via count-over-window on the bigram
-    key (one wide shuffle, high-cardinality key), then one groupBy(doc_id).
-    Because the per-doc bigrams are distinct, df counts DOCUMENTS, not
-    occurrences."""
-    d = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.split("text", " ").alias("ws"))
-        .filter(F.size("ws") >= 2)
-    )
-    bgs = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ws") - 2),
-                    lambda i: F.concat_ws("_", F.col("ws")[i], F.col("ws")[i + 1]),
-                )
-            )
-        ).alias("g"),
+    Plan: bigram SETS build map-side via the dedup family's shared
+    ``_ngram_set_arrays`` (array_distinct before explode), corpus df via
+    count-over-window on the bigram key (one wide shuffle,
+    high-cardinality key), then one groupBy(doc_id). Because the per-doc
+    bigrams are distinct, df counts DOCUMENTS, not occurrences."""
+    from .dedup import _ngram_set_arrays
+
+    bgs = _ngram_set_arrays(_docs(spark, sf_dir), 2, out="bgs").select(
+        "doc_id", F.explode("bgs").alias("g")
     )
     from pyspark.sql import Window
 
@@ -918,7 +907,7 @@ withdf AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_bigrams,
-       SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
        SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) / COUNT(*) AS novelty
 FROM withdf GROUP BY doc_id
 """

@@ -642,24 +642,35 @@ def _near_dup_process_batch(
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
-    # materialize once: feeds the band build, the verify side, and the
-    # index append (and truncates streaming-source lineage)
-    arr_new = _doc_shingle_arrays(batch_df).localCheckpoint(eager=True)
-    banded_new = _minhash_banded(arr_new).localCheckpoint(eager=True)
-    # explicit column selection drops the discovered batch partition key
-    arr_old = spark.read.parquet(f"{index_dir}/arrays").select("doc_id", "shs")
-    banded_old = spark.read.parquet(f"{index_dir}/banded").select(
-        "doc_id", "band_key"
+    # the index EXCLUDING this batch's own partition: a retried batch
+    # (crash after its index write) must see exactly the state its first
+    # attempt saw, so its own batch=b<id> rows are filtered out before the
+    # partition key is dropped
+    own = f"b{batch_id}"
+    arr_old = (
+        spark.read.parquet(f"{index_dir}/arrays")
+        .filter(F.col("batch") != own)
+        .select("doc_id", "shs")
     )
+    banded_old = (
+        spark.read.parquet(f"{index_dir}/banded")
+        .filter(F.col("batch") != own)
+        .select("doc_id", "band_key")
+    )
+    # first-write-wins across batches: a doc_id redelivered in a LATER
+    # batch is already indexed (and already had its pairs emitted when
+    # first seen) — drop it from the batch so the index stays one row per
+    # doc and no pair is re-emitted under a new batch id
+    arr_new = (
+        _doc_shingle_arrays(batch_df)
+        .join(arr_old.select("doc_id"), "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    banded_new = _minhash_banded(arr_new).localCheckpoint(eager=True)
     n, o = banded_new.alias("n"), banded_old.alias("o")
-    # new×index candidates, normalized to doc_a < doc_b (ids are global);
-    # equal ids excluded — a redelivered doc must not self-pair against
-    # its own index entry
-    cand_no = n.join(
-        o,
-        (F.col("n.band_key") == F.col("o.band_key"))
-        & (F.col("n.doc_id") != F.col("o.doc_id")),
-    ).select(
+    # new×index candidates, normalized to doc_a < doc_b (ids are global;
+    # the sides are disjoint by the anti-join above)
+    cand_no = n.join(o, F.col("n.band_key") == F.col("o.band_key")).select(
         F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
         F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
     )
@@ -670,13 +681,7 @@ def _near_dup_process_batch(
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     cand = cand_no.unionByName(cand_nn).distinct()
-    # a retried batch (crash after its index write) sees its own docs in
-    # BOTH arr_old and arr_new — anti-join them out of the index side so
-    # each doc verifies against exactly one shingle-set row (batch wins)
-    arr_all = arr_old.join(arr_new.select("doc_id"), "doc_id", "left_anti").unionByName(
-        arr_new
-    )
-    pairs = _verify_exact_jaccard(arr_all, cand)
+    pairs = _verify_exact_jaccard(arr_old.unionByName(arr_new), cand)
     pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch=b{batch_id}")
     arr_new.write.mode("overwrite").parquet(f"{index_dir}/arrays/batch=b{batch_id}")
     banded_new.write.mode("overwrite").parquet(
@@ -698,12 +703,18 @@ def near_dup_stream(
 
     foreachBatch because the index update is a batch-only write that must
     happen after the pair emit within the same micro-batch — not expressible
-    as a pure streaming sink. Every write is an OVERWRITE of a
-    ``batch=b<id>`` partition directory, so a retried batch replaces its own
-    prior attempt instead of duplicating rows — pairs and index both stay
-    exactly-once per batch id. A doc redelivered in a LATER batch (new
-    batch id) still self-collides with its index entry, so the new×index
-    join excludes equal doc_ids. Returns the StreamingQuery.
+    as a pure streaming sink. Delivery semantics, both pinned in
+    tests/test_streaming_neardup.py:
+    - RETRY (same batch id, incl. crash-after-index-write): every write is
+      an OVERWRITE of a ``batch=b<id>`` partition directory and the batch
+      reads the index with its OWN partition excluded, so a retry replays
+      against exactly the state the first attempt saw and replaces its
+      output byte-for-byte.
+    - REDELIVERY (same doc in a later batch id): first-write-wins — docs
+      already in the index are anti-joined out of the batch, so the index
+      keeps one row per doc and previously-emitted pairs are never
+      re-emitted (a changed payload under a redelivered id is ignored).
+    Returns the StreamingQuery.
     """
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         _near_dup_process_batch(batch_df, batch_id, index_dir, pairs_dir)
