@@ -4,9 +4,11 @@ processed in Arrow batches via ``mapInPandas`` (training-data-pipeline ops).
 The decode kernel is REAL for the netpbm P6 (binary PPM) format:
 ``decode_ppm`` parses the header (magic, comments, dimensions, maxval) and
 computes pixel statistics from the actual raster bytes — no hashing tricks.
-Compressed formats (JPEG/PNG) still raise ``NotImplementedError`` from
-``decode_image`` because their codec libraries are not in this container;
-the dispatch point is the one-function swap a real deployment makes.
+PNG — a genuinely COMPRESSED format — also decodes for real via stdlib
+``zlib`` (chunk walk + CRC, inflate, all five scanline filters inverted).
+Only JPEG still raises ``NotImplementedError`` from ``decode_image``
+(DCT entropy coding needs a codec library this container lacks); the
+dispatch point is the one-function swap a real deployment makes.
 
 Scale notes: payloads stay opaque bytes end-to-end (no driver collect); the
 Pandas UDF path is Arrow-batched (spark.sql.execution.arrow.maxRecordsPerBatch
@@ -237,10 +239,13 @@ def decode_image(payload: bytes) -> tuple[int, int, float]:
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
         "no codec for this payload format in this environment "
-        f"(magic={payload[:4]!r}); only binary PPM (P6) and uncompressed "
-        "24-bit BMP decode natively"
+        f"(magic={payload[:4]!r}); binary PPM (P6), uncompressed 24-bit "
+        "BMP, and 8-bit truecolor PNG decode natively — JPEG needs a codec "
+        "library"
     )
 
 
@@ -495,3 +500,203 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.col("text").cast("binary").alias("payload"),
         "source",
     )
+
+
+# -- PNG: first COMPRESSED image codec, decoded for real ----------------------
+# PNG needs no external codec library: the pixel stream is zlib-deflated
+# (stdlib ``zlib``) scanlines, each prefixed by one of five filter bytes.
+# This decoder walks the chunk structure (with CRC verification), inflates
+# the IDAT stream, and inverts every filter type (None/Sub/Up/Average/
+# Paeth) — so the "compressed formats raise" limitation now covers only
+# JPEG (DCT entropy coding genuinely needs a codec library).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, float]:
+    """REAL pure-Python decoder for 8-bit truecolor (color type 2) PNG.
+
+    Chunk walk with CRC checks → IHDR validation → IDAT concatenation →
+    ``zlib.decompress`` → per-scanline filter inversion (all five filter
+    types; Sub is an exact per-channel cumulative sum, Up is vectorized,
+    Average/Paeth run the spec's sequential recurrence). Returns
+    (width, height, mean_intensity) — the same contract as the PPM/BMP
+    decoders."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise MediaDecodeError("not a PNG payload")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos + 12 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise MediaDecodeError("truncated PNG chunk")
+        crc = int.from_bytes(payload[pos + 8 + ln : pos + 12 + ln], "big")
+        if crc != (zlib.crc32(typ + data) & 0xFFFFFFFF):
+            raise MediaDecodeError(f"PNG chunk CRC mismatch in {typ!r}")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            ended = True
+            break
+    if ihdr is None or len(ihdr) != 13 or not ended:
+        raise MediaDecodeError("missing or malformed IHDR/IEND")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if depth != 8 or color != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise MediaDecodeError(
+            f"unsupported PNG encoding depth={depth} color={color} "
+            f"comp={comp} filt={filt} interlace={interlace}"
+        )
+    if width <= 0 or height <= 0:
+        raise MediaDecodeError(f"bad PNG dimensions {width}x{height}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise MediaDecodeError(f"corrupt PNG IDAT stream: {exc}") from exc
+    stride = 3 * width
+    if len(raw) != height * (1 + stride):
+        raise MediaDecodeError(
+            f"bad PNG scanline volume: {len(raw)} != {height * (1 + stride)}"
+        )
+    recon = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        f = raw[y * (1 + stride)]
+        row = np.frombuffer(raw, np.uint8, count=stride, offset=y * (1 + stride) + 1)
+        prev = recon[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:
+            recon[y] = row
+        elif f == 1:  # Sub: per-channel cumulative sum mod 256, exact
+            recon[y] = (
+                np.cumsum(row.reshape(width, 3).astype(np.int64), axis=0)
+                .astype(np.uint8)
+                .ravel()
+            )
+        elif f == 2:  # Up: vectorized wrap-around add
+            recon[y] = row + prev
+        elif f in (3, 4):  # Average / Paeth: sequential spec recurrence
+            out = recon[y]
+            for x in range(stride):
+                a = int(out[x - 3]) if x >= 3 else 0
+                b = int(prev[x])
+                if f == 3:
+                    out[x] = (int(row[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - 3]) if x >= 3 else 0
+                    out[x] = (int(row[x]) + _paeth(a, b, c)) & 0xFF
+        else:
+            raise MediaDecodeError(f"unknown PNG filter type {f}")
+    total = int(recon.sum(dtype=np.int64))
+    return width, height, total / (recon.size * 255)
+
+
+def _png_filter_rows(rows: "np.ndarray", f: int) -> "np.ndarray":
+    """Apply PNG filter ``f`` to reconstructed rows (encode side) — filters
+    reference RECONSTRUCTED neighbors, so encoding vectorizes fully."""
+    if f == 0:
+        return rows.copy()
+    left = np.zeros_like(rows)
+    left[:, 3:] = rows[:, :-3]
+    up = np.zeros_like(rows)
+    up[1:] = rows[:-1]
+    if f == 1:
+        return rows - left
+    if f == 2:
+        return rows - up
+    if f == 3:
+        return rows - ((left.astype(np.int16) + up.astype(np.int16)) // 2).astype(
+            np.uint8
+        )
+    ul = np.zeros_like(rows)
+    ul[1:, 3:] = rows[:-1, :-3]
+    a, b, c = left.astype(np.int16), up.astype(np.int16), ul.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(
+        np.uint8
+    )
+    return rows - pred
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(rows: "np.ndarray", filter_type: int) -> bytes:
+    """Encode reconstructed (h, 3*w) uint8 rows as a real 8-bit truecolor
+    PNG, every scanline using ``filter_type``."""
+    import zlib
+
+    h, stride = rows.shape
+    w = stride // 3
+    filtered = _png_filter_rows(rows, filter_type)
+    raw = b"".join(
+        bytes([filter_type]) + filtered[y].tobytes() for y in range(h)
+    )
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png_media(docs: DataFrame) -> DataFrame:
+    """Fabricate REAL compressed PNG payloads from the documents fixture —
+    the same deterministic pixel recipe as the PPM/BMP synthesizers (dims
+    from the first two md5(text) bytes, sample i = (doc_id*31 + i*7) % 256)
+    but zlib-deflated behind per-image filter type doc_id % 5, so every
+    PNG filter path decodes for real in the gate. byte_len is NOT
+    analytically replayable (deflate length), so the PNG gate drops it."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode()).digest()
+                w, hgt = 4 + h[0] % 13, 4 + h[1] % 13
+                vals = (
+                    (int(doc_id) * 31 + 7 * np.arange(3 * w * hgt, dtype=np.int64))
+                    % 256
+                ).astype(np.uint8)
+                payloads.append(
+                    encode_png(vals.reshape(hgt, 3 * w), int(doc_id) % 5)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "source": pdf["source"],
+                }
+            )
+
+    return docs.select("doc_id", "text", "source").mapInPandas(batches, schema=MEDIA_SCHEMA)

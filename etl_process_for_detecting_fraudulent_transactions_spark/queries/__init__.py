@@ -85,6 +85,7 @@ _PRIORITY_KEYS = (
     "weighted_sample",
     "zscore_outliers",
     "multimodal_bmp_features",
+    "multimodal_png_features",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -202,3 +202,45 @@ FROM m JOIN px USING (doc_id)
 
 QUERIES["multimodal_bmp_features"] = multimodal_bmp_features
 ORACLES["multimodal_bmp_features"] = ORACLE_BMP
+
+
+# -- PNG decode gate (round 4): first COMPRESSED image codec through the
+# Arrow pipeline. Payloads are genuine zlib-deflated 8-bit truecolor PNGs
+# with per-image filter type doc_id % 5 — every PNG scanline-filter path
+# (None/Sub/Up/Average/Paeth) decodes for real inside the gate. byte_len is
+# a deflate-stream length (not analytically replayable), so this gate emits
+# only the decoded geometry + pixel statistics, which the oracle re-derives
+# from the generative pixel formula exactly like the PPM/BMP gates.
+
+def multimodal_png_features(spark: SparkSession, sf_dir: str):
+    from ..operators.multimodal import synthesize_png_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        extract_media_features(synthesize_png_media(docs))
+        .drop("content_md5")
+        .drop("byte_len")
+    )
+
+
+ORACLE_PNG = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(4 + {_sql_md5_byte('text', 0)} % 13 AS INT) AS width,
+         CAST(4 + {_sql_md5_byte('text', 1)} % 13 AS INT) AS height
+  FROM documents
+),
+px AS (
+  SELECT doc_id, CAST(SUM((doc_id * 31 + i * 7) % 256) AS BIGINT) AS s
+  FROM m, unnest(range(0, 3 * width * height)) AS u(i)
+  GROUP BY doc_id
+)
+SELECT m.doc_id AS media_id,
+       'image' AS media_type,
+       width, height,
+       CAST(px.s AS DOUBLE) / (3 * width * height * 255) AS mean_intensity
+FROM m JOIN px USING (doc_id)
+"""
+
+QUERIES["multimodal_png_features"] = multimodal_png_features
+ORACLES["multimodal_png_features"] = ORACLE_PNG

@@ -60,8 +60,17 @@ def test_decode_ppm_rejects_malformed():
 
 def test_decode_image_dispatch():
     assert decode_image(_ppm(1, 1, [0, 0, 0]))[:2] == (1, 1)
-    with pytest.raises(NotImplementedError, match="no codec"):
+    # PNG now routes to the REAL decoder: a bare signature is a malformed
+    # PNG (decode error), not an unimplemented format
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        MediaDecodeError,
+    )
+
+    with pytest.raises(MediaDecodeError):
         decode_image(b"\x89PNG\r\n\x1a\n")
+    # JPEG is the one remaining format with no in-container codec
+    with pytest.raises(NotImplementedError, match="no codec"):
+        decode_image(b"\xff\xd8\xff\xe0rest")
 
 
 def test_decode_wav_known_samples():
@@ -320,3 +329,56 @@ def test_ppm_mean_matches_per_sample_loop(w, h, sixteen_bit):
     ppm = f"P6\n{w} {h}\n{maxval}\n".encode() + raster
     got = decode_ppm(ppm)
     assert got == (w, h, sum(samples) / (len(samples) * maxval))
+
+
+def test_decode_png_roundtrip_all_filters():
+    """encode_png/decode_png are exact inverses for every PNG filter type
+    (None/Sub/Up/Average/Paeth) on random rasters — the mean must equal the
+    integer pixel sum computed outside the codec."""
+    import numpy as np
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for f in range(5):
+        for (w, h) in [(1, 1), (4, 5), (16, 9)]:
+            rows = rng.integers(0, 256, size=(h, 3 * w), dtype=np.uint8)
+            got = decode_png(encode_png(rows, f))
+            assert got == (w, h, int(rows.sum(dtype=np.int64)) / (rows.size * 255))
+
+
+def test_decode_png_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        MediaDecodeError,
+        decode_png,
+        encode_png,
+    )
+
+    vals = (np.arange(3 * 6 * 7, dtype=np.int64) % 256).astype(np.uint8).reshape(7, 18)
+    good = encode_png(vals, 4)
+    with pytest.raises(MediaDecodeError):  # truncated mid-chunk
+        decode_png(good[:20])
+    bad_crc = bytearray(good)
+    bad_crc[40] ^= 0xFF
+    with pytest.raises(MediaDecodeError):
+        decode_png(bytes(bad_crc))
+    with pytest.raises(MediaDecodeError):  # wrong signature entirely
+        decode_png(b"\x89PNGnope" + good[8:])
+
+
+def test_decode_image_dispatches_png():
+    import numpy as np
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    rows = np.full((2, 6), 128, dtype=np.uint8)
+    assert decode_image(encode_png(rows, 2)) == (2, 2, 128 / 255)
