@@ -231,10 +231,11 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float]:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, float]:
-    """Dispatch on magic bytes. PPM and uncompressed 24-bit BMP decode for
-    real; compressed formats raise (their codecs aren't in this container —
-    swapping in ``PIL.Image.open(io.BytesIO(payload))`` here is the
-    one-line change)."""
+    """Dispatch on magic bytes. PPM, uncompressed 24-bit BMP, and 8-bit
+    truecolor PNG (stdlib-zlib inflate) all decode for real; only JPEG
+    raises — its DCT entropy coding needs a codec library this container
+    lacks, and swapping in ``PIL.Image.open(io.BytesIO(payload))`` here is
+    the one-line change a real deployment makes."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -566,14 +567,21 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
         )
     if width <= 0 or height <= 0:
         raise MediaDecodeError(f"bad PNG dimensions {width}x{height}")
+    stride = 3 * width
+    expected = height * (1 + stride)
+    # bounded inflate: the exact output size is known from IHDR, so cap the
+    # decompressor at expected+1 — a zlib bomb (tiny IDAT deflating to GBs)
+    # raises MediaDecodeError instead of OOMing the executor, matching the
+    # other decoders' validate-declared-sizes-first discipline
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(bytes(idat))
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise MediaDecodeError(f"corrupt PNG IDAT stream: {exc}") from exc
-    stride = 3 * width
-    if len(raw) != height * (1 + stride):
+    if len(raw) != expected or not d.eof:
         raise MediaDecodeError(
-            f"bad PNG scanline volume: {len(raw)} != {height * (1 + stride)}"
+            f"bad PNG scanline volume: {len(raw)} vs expected {expected}"
+            + ("" if d.eof else " (stream continues past the declared raster)")
         )
     recon = np.zeros((height, stride), dtype=np.uint8)
     for y in range(height):

@@ -46,8 +46,9 @@ from . import (
 #      r3 window;
 #   3. the r2-stale set as budget allows, verdict-named re-checks first
 #      (scd2_snapshot_diff, sessionize, tpch_q12/q18, json_props_stats —
-#      the r1 failures fixed in r2), then the dedup core; with the 15 new/
-#      changed keys ahead of them, the ~50-query window keeps ~7 of these.
+#      the r1 failures fixed in r2), then the dedup core; with the 16 new/
+#      changed keys ahead of them (11 never driver-checked + 5 changed-but-
+#      r3-green), the ~50-query window keeps ~11 of these.
 # Final first-50 mix (tools/rotation_check.py): 11 never + 28 r1-stale +
 # 4 r3 + 7 r2-stale. Still r2-stale after this window (r5 rotation debt):
 # text_token_stats / text_quality / train_test_split / stratified_sample

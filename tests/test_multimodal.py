@@ -382,3 +382,44 @@ def test_decode_image_dispatches_png():
 
     rows = np.full((2, 6), 128, dtype=np.uint8)
     assert decode_image(encode_png(rows, 2)) == (2, 2, 128 / 255)
+
+
+def test_decode_png_rejects_zlib_bomb():
+    """A valid IHDR with an IDAT that deflate-expands far past the declared
+    raster size must raise MediaDecodeError, not allocate the inflated
+    stream (bounded decompressobj)."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        MediaDecodeError,
+        decode_png,
+        encode_png,
+        _png_chunk,
+        _PNG_SIG,
+    )
+
+    # 2x2 IHDR but an IDAT holding ~64 MB of zeros (compresses to ~64 KB)
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    bomb = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (64 << 20)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(MediaDecodeError, match="scanline volume"):
+        decode_png(bomb)
+    # and a stream that inflates SHORT of the raster also raises
+    short = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 3))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(MediaDecodeError, match="scanline volume"):
+        decode_png(short)
+    # the exact-size stream still decodes
+    rows = np.zeros((2, 6), dtype=np.uint8)
+    assert decode_png(encode_png(rows, 0)) == (2, 2, 0.0)
