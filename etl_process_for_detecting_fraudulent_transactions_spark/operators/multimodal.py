@@ -5,10 +5,13 @@ The decode kernel is REAL for the netpbm P6 (binary PPM) format:
 ``decode_ppm`` parses the header (magic, comments, dimensions, maxval) and
 computes pixel statistics from the actual raster bytes — no hashing tricks.
 PNG — a genuinely COMPRESSED format — also decodes for real via stdlib
-``zlib`` (chunk walk + CRC, inflate, all five scanline filters inverted).
-Only JPEG still raises ``NotImplementedError`` from ``decode_image``
-(DCT entropy coding needs a codec library this container lacks); the
-dispatch point is the one-function swap a real deployment makes.
+``zlib`` (chunk walk + CRC, inflate, all five scanline filters inverted),
+and baseline grayscale JPEG decodes for real too (canonical Huffman +
+DPCM + run-length entropy decode, dequantization, separable IDCT — all
+from the public T.81 spec, no codec library). Color/progressive JPEG is
+the remaining unsupported corner (the component loop, not the codec
+machinery); the ``decode_image`` dispatch point is the one-function swap a
+full-codec deployment makes.
 
 Scale notes: payloads stay opaque bytes end-to-end (no driver collect); the
 Pandas UDF path is Arrow-batched (spark.sql.execution.arrow.maxRecordsPerBatch
@@ -231,22 +234,25 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float]:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, float]:
-    """Dispatch on magic bytes. PPM, uncompressed 24-bit BMP, and 8-bit
-    truecolor PNG (stdlib-zlib inflate) all decode for real; only JPEG
-    raises — its DCT entropy coding needs a codec library this container
-    lacks, and swapping in ``PIL.Image.open(io.BytesIO(payload))`` here is
-    the one-line change a real deployment makes."""
+    """Dispatch on magic bytes. PPM, uncompressed 24-bit BMP, 8-bit
+    truecolor PNG (stdlib-zlib inflate), and baseline grayscale JPEG
+    (canonical Huffman + dequant + IDCT) all decode for real. Color/
+    progressive JPEG raises MediaDecodeError from the decoder itself;
+    swapping in ``PIL.Image.open(io.BytesIO(payload))`` here remains the
+    one-line change a full-codec deployment makes."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
         "no codec for this payload format in this environment "
         f"(magic={payload[:4]!r}); binary PPM (P6), uncompressed 24-bit "
-        "BMP, and 8-bit truecolor PNG decode natively — JPEG needs a codec "
-        "library"
+        "BMP, 8-bit truecolor PNG, and baseline grayscale JPEG decode "
+        "natively"
     )
 
 
@@ -697,6 +703,366 @@ def synthesize_png_media(docs: DataFrame) -> DataFrame:
                 ).astype(np.uint8)
                 payloads.append(
                     encode_png(vals.reshape(hgt, 3 * w), int(doc_id) % 5)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "source": pdf["source"],
+                }
+            )
+
+    return docs.select("doc_id", "text", "source").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+# -- JPEG: baseline sequential decode, for real -------------------------------
+# Baseline JPEG needs no external library either — the entropy layer is
+# canonical Huffman coding and the transform is the 8x8 IDCT, both
+# implementable exactly from the public ITU T.81 spec. The decoder below
+# handles the general baseline single-component (grayscale) path: marker
+# walk, DQT (8/16-bit), DHT, SOF0, SOS, byte-stuffed entropy-coded segment,
+# DC DPCM + AC run-length, dequantization, de-zigzag, float separable IDCT
+# with level shift. The gate's payloads are DC-only with quant=1 and DC
+# levels ≡ 0 (mod 8): the IDCT of a DC-only block is the constant DC/8, an
+# exact integer, so the decoded mean is analytically replayable — the same
+# restriction-for-oracle-exactness trade every multimodal gate makes, with
+# the decode path itself fully real.
+
+# Standard Huffman tables from ITU T.81 Annex K (public spec constants):
+# (bit-length counts 1..16, then symbol values in order)
+_JPEG_DC_LUMA_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_LUMA_VALS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+_JPEG_AC_LUMA_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_LUMA_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _huffman_decode_table(bits, vals):
+    """(code, length) -> symbol map built per T.81 C.2 canonical ordering."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(code, length)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huffman_encode_table(bits, vals):
+    """symbol -> (code, length), the inverse of the decode table."""
+    return {v: (c, l) for (c, l), v in _huffman_decode_table(bits, vals).items()}
+
+
+_IDCT_M = None
+
+
+def _idct_basis():
+    global _IDCT_M
+    if _IDCT_M is None:
+        m = np.zeros((8, 8))
+        for u in range(8):
+            cu = (0.5 / np.sqrt(2.0)) if u == 0 else 0.5
+            for x in range(8):
+                m[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 16)
+        _IDCT_M = m
+    return _IDCT_M
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with T.81 byte
+    unstuffing (0xFF 0x00 -> literal 0xFF; 0xFF D9 ends the scan)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf, self.pos, self.acc, self.nbits = buf, pos, 0, 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.buf):
+            raise MediaDecodeError("truncated JPEG entropy stream")
+        b = self.buf[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.buf):
+                raise MediaDecodeError("truncated JPEG marker in scan")
+            nxt = self.buf[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed zero: literal 0xFF data byte
+            elif nxt == 0xD9:  # EOI inside scan: pad bits exhausted
+                raise MediaDecodeError("JPEG scan ended before all blocks")
+            else:
+                raise MediaDecodeError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((code, length))
+            if sym is not None:
+                return sym
+        raise MediaDecodeError("invalid JPEG huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 sign extension of an s-bit magnitude value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
+    """REAL baseline JPEG decoder (single-component / grayscale subset).
+
+    Full marker walk, DQT/DHT/SOF0/SOS parsing, canonical Huffman decode of
+    the byte-stuffed scan (DC DPCM + AC run-length/EOB/ZRL), dequantization,
+    de-zigzag, separable float IDCT, +128 level shift, clamp. Multi-component
+    (color) and progressive streams raise MediaDecodeError as unsupported —
+    the restriction is the component loop, not the codec machinery. Returns
+    (width, height, mean_intensity) like the other image decoders."""
+    if payload[:2] != b"\xff\xd8":
+        raise MediaDecodeError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    sof = None
+    while True:
+        if pos + 4 > len(payload):
+            raise MediaDecodeError("truncated JPEG marker segment")
+        if payload[pos] != 0xFF:
+            raise MediaDecodeError(f"bad JPEG marker alignment at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise MediaDecodeError("JPEG EOI before SOS")
+        ln = int.from_bytes(payload[pos : pos + 2], "big")
+        seg = payload[pos + 2 : pos + ln]
+        if len(seg) != ln - 2:
+            raise MediaDecodeError("truncated JPEG segment body")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                n = 64 * (2 if prec else 1)
+                raw = seg[p : p + n]
+                if len(raw) != n:
+                    raise MediaDecodeError("truncated DQT")
+                if prec:
+                    q = [int.from_bytes(raw[2 * i : 2 * i + 2], "big") for i in range(64)]
+                else:
+                    q = list(raw)
+                qtables[tid] = q
+                p += n
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                bits = tuple(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = tuple(seg[p + 17 : p + 17 + n])
+                if len(vals) != n:
+                    raise MediaDecodeError("truncated DHT")
+                htables[(cls, tid)] = _huffman_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, ncomp = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
+            if precision != 8:
+                raise MediaDecodeError(f"unsupported JPEG precision {precision}")
+            if ncomp != 1:
+                raise MediaDecodeError(
+                    f"unsupported JPEG component count {ncomp} (grayscale only)"
+                )
+            comp_q = seg[8]
+            sof = (w, h, comp_q)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise MediaDecodeError(f"unsupported JPEG SOF type 0xFF{marker:02X}")
+        elif marker == 0xDD:  # DRI: restart markers unsupported
+            raise MediaDecodeError("unsupported JPEG restart-interval stream")
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise MediaDecodeError("JPEG SOS before SOF")
+            ncomp_s = seg[0]
+            if ncomp_s != 1:
+                raise MediaDecodeError("unsupported multi-component scan")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 0xF
+            scan_pos = pos + ln
+            break
+        pos += ln
+    w, h, qid = sof
+    if w <= 0 or h <= 0:
+        raise MediaDecodeError(f"bad JPEG dimensions {w}x{h}")
+    if qid not in qtables:
+        raise MediaDecodeError(f"JPEG references missing quant table {qid}")
+    dc_tab = htables.get((0, dc_id))
+    ac_tab = htables.get((1, ac_id))
+    if dc_tab is None or ac_tab is None:
+        raise MediaDecodeError("JPEG references missing huffman table")
+    q = np.array(qtables[qid], dtype=np.int64)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    reader = _BitReader(payload, scan_pos)
+    m = _idct_basis()
+    img = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.int64)
+            s = reader.huff(dc_tab)
+            diff = _extend(reader.bits(s), s) if s else 0
+            pred += diff
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                rs = reader.huff(ac_tab)
+                r, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if r == 15:  # ZRL: sixteen zeros
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise MediaDecodeError("JPEG AC coefficient overrun")
+                zz[k] = _extend(reader.bits(size), size)
+                k += 1
+            coeff = np.zeros(64, dtype=np.float64)
+            coeff[list(_ZIGZAG)] = (zz * q).astype(np.float64)
+            block = m.T @ coeff.reshape(8, 8) @ m
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(block).astype(np.int64) + 128, 0, 255
+            )
+    samples = img[:h, :w]
+    total = int(samples.sum(dtype=np.int64))
+    return w, h, total / (samples.size * 255)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc, self.nbits = 0, 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def encode_jpeg_gray_dc(dc_levels: "np.ndarray", w: int, h: int) -> bytes:
+    """Encode a REAL baseline grayscale JPEG whose blocks are DC-only.
+
+    ``dc_levels`` is the (h//8, w//8) array of quantized DC coefficients
+    (quant table all ones). With levels ≡ 0 (mod 8) every reconstructed
+    block is the exact constant level/8 + 128 — analytically replayable."""
+    seg = bytearray(b"\xff\xd8")  # SOI
+
+    def chunk(marker: int, body: bytes) -> None:
+        seg.extend(bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body)
+
+    chunk(0xDB, bytes([0]) + bytes([1] * 64))  # DQT id 0, all ones
+    chunk(
+        0xC0,
+        bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )  # SOF0: 1 component, 1x1 sampling, quant 0
+    chunk(
+        0xC4,
+        bytes([0x00])
+        + bytes(_JPEG_DC_LUMA_BITS)
+        + bytes(_JPEG_DC_LUMA_VALS),
+    )
+    chunk(
+        0xC4,
+        bytes([0x10])
+        + bytes(_JPEG_AC_LUMA_BITS)
+        + bytes(_JPEG_AC_LUMA_VALS),
+    )
+    chunk(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    dc_enc = _huffman_encode_table(_JPEG_DC_LUMA_BITS, _JPEG_DC_LUMA_VALS)
+    ac_enc = _huffman_encode_table(_JPEG_AC_LUMA_BITS, _JPEG_AC_LUMA_VALS)
+    wtr = _BitWriter()
+    pred = 0
+    for level in np.asarray(dc_levels, dtype=np.int64).ravel():
+        diff = int(level) - pred
+        pred = int(level)
+        s = int(abs(diff)).bit_length()
+        code, ln = dc_enc[s]
+        wtr.write(code, ln)
+        if s:
+            wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        code, ln = ac_enc[0x00]  # EOB: all ACs zero
+        wtr.write(code, ln)
+    seg.extend(wtr.flush())
+    seg.extend(b"\xff\xd9")  # EOI
+    return bytes(seg)
+
+
+def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Fabricate REAL baseline grayscale JPEG payloads from the documents
+    fixture: dims 8·(1 + md5[0]%3) × 8·(1 + md5[1]%3), block b's quantized
+    DC level = 8·((doc_id·31 + b·7) % 25 − 12) — multiples of 8 with a flat
+    quant table make every reconstructed block the exact constant
+    level/8 + 128 ∈ [116, 140], so the decoded mean is analytically
+    replayable while the payload exercises the full real decode path
+    (markers, Huffman, DPCM, byte unstuffing, IDCT, level shift)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hd = hashlib.md5(text.encode()).digest()
+                w = 8 * (1 + hd[0] % 3)
+                hgt = 8 * (1 + hd[1] % 3)
+                bw, bh = w // 8, hgt // 8
+                b = np.arange(bw * bh, dtype=np.int64)
+                levels = 8 * ((int(doc_id) * 31 + b * 7) % 25 - 12)
+                payloads.append(
+                    encode_jpeg_gray_dc(levels.reshape(bh, bw), w, hgt)
                 )
             yield pd.DataFrame(
                 {

@@ -92,6 +92,7 @@ _PRIORITY_KEYS = (
     "zscore_outliers",
     "multimodal_bmp_features",
     "multimodal_png_features",
+    "multimodal_jpeg_features",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -244,3 +244,48 @@ FROM m JOIN px USING (doc_id)
 
 QUERIES["multimodal_png_features"] = multimodal_png_features
 ORACLES["multimodal_png_features"] = ORACLE_PNG
+
+
+# -- JPEG decode gate (round 4): baseline JPEG through the Arrow pipeline.
+# Payloads are genuine baseline grayscale JPEGs (Annex-K Huffman tables,
+# DPCM-coded DC-only blocks, byte-stuffed scan); the decoder runs the full
+# marker/Huffman/dequant/IDCT path. DC levels ≡ 0 (mod 8) with a flat quant
+# table make each reconstructed block an exact constant, so the mean is
+# analytically replayable; byte_len (an entropy-coded length) is dropped.
+
+def multimodal_jpeg_features(spark: SparkSession, sf_dir: str):
+    from ..operators.multimodal import synthesize_jpeg_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        extract_media_features(synthesize_jpeg_media(docs))
+        .drop("content_md5")
+        .drop("byte_len")
+    )
+
+
+# block b's constant pixel value = (doc_id*31 + b*7) % 25 + 116; every block
+# holds 64 of them, so the mean over pixels = mean over blocks / 255
+ORACLE_JPEG = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(8 * (1 + {_sql_md5_byte('text', 0)} % 3) AS INT) AS width,
+         CAST(8 * (1 + {_sql_md5_byte('text', 1)} % 3) AS INT) AS height
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+         CAST(SUM((doc_id * 31 + b * 7) % 25 + 116) AS BIGINT) AS s,
+         COUNT(*) AS nb
+  FROM m, unnest(range(0, (width // 8) * (height // 8))) AS u(b)
+  GROUP BY doc_id
+)
+SELECT m.doc_id AS media_id,
+       'image' AS media_type,
+       width, height,
+       CAST(px.s AS DOUBLE) / (px.nb * 255) AS mean_intensity
+FROM m JOIN px USING (doc_id)
+"""
+
+QUERIES["multimodal_jpeg_features"] = multimodal_jpeg_features
+ORACLES["multimodal_jpeg_features"] = ORACLE_JPEG

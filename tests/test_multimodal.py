@@ -68,9 +68,13 @@ def test_decode_image_dispatch():
 
     with pytest.raises(MediaDecodeError):
         decode_image(b"\x89PNG\r\n\x1a\n")
-    # JPEG is the one remaining format with no in-container codec
-    with pytest.raises(NotImplementedError, match="no codec"):
+    # JPEG also routes to a real decoder now: truncated payload = decode
+    # error, not unimplemented
+    with pytest.raises(MediaDecodeError):
         decode_image(b"\xff\xd8\xff\xe0rest")
+    # a genuinely unimplemented format (GIF) still raises NotImplementedError
+    with pytest.raises(NotImplementedError, match="no codec"):
+        decode_image(b"GIF89a...")
 
 
 def test_decode_wav_known_samples():
@@ -423,3 +427,148 @@ def test_decode_png_rejects_zlib_bomb():
     # the exact-size stream still decodes
     rows = np.zeros((2, 6), dtype=np.uint8)
     assert decode_png(encode_png(rows, 0)) == (2, 2, 0.0)
+
+
+def test_decode_jpeg_dc_only_exact():
+    """DC-only baseline JPEG with levels ≡ 0 (mod 8) and flat quant: every
+    reconstructed block is the exact constant level/8 + 128, including the
+    clamp at 0/255."""
+    import numpy as np
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray_dc,
+    )
+
+    rng = np.random.default_rng(3)
+    for (w, h) in [(8, 8), (16, 8), (24, 32)]:
+        levels = (rng.integers(-12, 13, size=(h // 8, w // 8)) * 8).astype(np.int64)
+        got = decode_jpeg(encode_jpeg_gray_dc(levels, w, h))
+        pix = np.repeat(np.repeat(levels // 8 + 128, 8, 0), 8, 1)
+        assert got == (w, h, int(pix.sum()) / (pix.size * 255))
+    # clamp extremes: levels -1024 / +1016 hit pixel 0 / 255 exactly
+    levels = np.array([[-1024, 1016], [0, 8]], dtype=np.int64)
+    got = decode_jpeg(encode_jpeg_gray_dc(levels, 16, 16))
+    pix = np.clip(np.array([[-128, 127], [0, 1]]) + 128, 0, 255).repeat(8, 0).repeat(8, 1)
+    assert got == (16, 16, int(pix.sum()) / (pix.size * 255))
+
+
+def test_decode_jpeg_general_ac_path_matches_reference():
+    """Hand-assembled scans with random AC coefficients, long zero runs
+    (ZRL), and a random quant table must match an independently-written
+    dequant + de-zigzag + IDCT reference bit-for-bit."""
+    import numpy as np
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        _JPEG_AC_LUMA_BITS,
+        _JPEG_AC_LUMA_VALS,
+        _JPEG_DC_LUMA_BITS,
+        _JPEG_DC_LUMA_VALS,
+        _ZIGZAG,
+        _BitWriter,
+        _huffman_encode_table,
+        decode_jpeg,
+    )
+
+    def encode_general(blocks_zz, w, h, quant):
+        seg = bytearray(b"\xff\xd8")
+
+        def chunk(marker, body):
+            seg.extend(bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body)
+
+        chunk(0xDB, bytes([0]) + bytes(quant))
+        chunk(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+        chunk(0xC4, bytes([0x00]) + bytes(_JPEG_DC_LUMA_BITS) + bytes(_JPEG_DC_LUMA_VALS))
+        chunk(0xC4, bytes([0x10]) + bytes(_JPEG_AC_LUMA_BITS) + bytes(_JPEG_AC_LUMA_VALS))
+        chunk(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        dc_enc = _huffman_encode_table(_JPEG_DC_LUMA_BITS, _JPEG_DC_LUMA_VALS)
+        ac_enc = _huffman_encode_table(_JPEG_AC_LUMA_BITS, _JPEG_AC_LUMA_VALS)
+        wtr = _BitWriter()
+        pred = 0
+        for zz in blocks_zz:
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            s = abs(diff).bit_length()
+            c, ln = dc_enc[s]
+            wtr.write(c, ln)
+            if s:
+                wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            k = 1
+            while k < 64:
+                run = 0
+                while k < 64 and zz[k] == 0:
+                    run += 1
+                    k += 1
+                if k == 64:
+                    break
+                while run >= 16:
+                    c, ln = ac_enc[0xF0]
+                    wtr.write(c, ln)
+                    run -= 16
+                v = int(zz[k])
+                s = abs(v).bit_length()
+                c, ln = ac_enc[(run << 4) | s]
+                wtr.write(c, ln)
+                wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                k += 1
+            if zz[63] == 0:
+                c, ln = ac_enc[0x00]
+                wtr.write(c, ln)
+        seg.extend(wtr.flush())
+        seg.extend(b"\xff\xd9")
+        return bytes(seg)
+
+    def reference(blocks_zz, w, h, quant):
+        m = np.zeros((8, 8))
+        for u in range(8):
+            cu = (0.5 / np.sqrt(2.0)) if u == 0 else 0.5
+            for x in range(8):
+                m[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 16)
+        bw = w // 8
+        img = np.zeros((h, w), dtype=np.int64)
+        for bi, zz in enumerate(blocks_zz):
+            by, bx = divmod(bi, bw)
+            co = np.zeros(64)
+            for k in range(64):
+                co[_ZIGZAG[k]] = zz[k] * quant[k]
+            blk = m.T @ co.reshape(8, 8) @ m
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(blk).astype(np.int64) + 128, 0, 255
+            )
+        return img
+
+    rng = np.random.default_rng(11)
+    quant = list(rng.integers(1, 20, 64))
+    for _ in range(3):
+        blocks = []
+        for _b in range(4):
+            zz = np.zeros(64, dtype=np.int64)
+            zz[0] = rng.integers(-100, 100)
+            for pos in rng.choice(np.arange(1, 64), size=5, replace=False):
+                zz[pos] = rng.integers(-30, 31)
+            blocks.append(zz)
+        ref = reference(blocks, 16, 16, quant)
+        got = decode_jpeg(encode_general(blocks, 16, 16, quant))
+        assert got == (16, 16, int(ref.sum()) / (ref.size * 255))
+
+
+def test_decode_jpeg_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        MediaDecodeError,
+        decode_image,
+        decode_jpeg,
+        encode_jpeg_gray_dc,
+    )
+
+    good = encode_jpeg_gray_dc(np.zeros((1, 1), dtype=np.int64), 8, 8)
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(good[:30])  # truncated mid-segment
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(b"\x89PNGnope")  # wrong magic
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(good[:-10])  # scan cut before all blocks decode
+    # dispatch now routes JPEG magic to the real decoder
+    assert decode_image(good) == (8, 8, 128 / 255)
