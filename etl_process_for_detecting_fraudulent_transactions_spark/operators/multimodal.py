@@ -514,8 +514,8 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 # (stdlib ``zlib``) scanlines, each prefixed by one of five filter bytes.
 # This decoder walks the chunk structure (with CRC verification), inflates
 # the IDAT stream, and inverts every filter type (None/Sub/Up/Average/
-# Paeth) — so the "compressed formats raise" limitation now covers only
-# JPEG (DCT entropy coding genuinely needs a codec library).
+# Paeth). Baseline grayscale JPEG decodes for real further below — the
+# remaining unsupported corner is color/progressive JPEG.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -757,6 +757,7 @@ _ZIGZAG = (
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 )
+_ZIGZAG_IDX = np.array(_ZIGZAG)  # fancy-index form, built once
 
 
 def _huffman_decode_table(bits, vals):
@@ -774,6 +775,11 @@ def _huffman_decode_table(bits, vals):
 def _huffman_encode_table(bits, vals):
     """symbol -> (code, length), the inverse of the decode table."""
     return {v: (c, l) for (c, l), v in _huffman_decode_table(bits, vals).items()}
+
+
+# encode tables are compile-time constants — built once, not per payload
+_DC_LUMA_ENC = _huffman_encode_table(_JPEG_DC_LUMA_BITS, _JPEG_DC_LUMA_VALS)
+_AC_LUMA_ENC = _huffman_encode_table(_JPEG_AC_LUMA_BITS, _JPEG_AC_LUMA_VALS)
 
 
 _IDCT_M = None
@@ -860,15 +866,24 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
     htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     sof = None
     while True:
-        if pos + 4 > len(payload):
+        if pos + 2 > len(payload):
             raise MediaDecodeError("truncated JPEG marker segment")
         if payload[pos] != 0xFF:
             raise MediaDecodeError(f"bad JPEG marker alignment at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:
             raise MediaDecodeError("JPEG EOI before SOS")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # TEM / RSTn: standalone markers, no length field
+        if pos + 2 > len(payload):
+            raise MediaDecodeError("truncated JPEG segment length")
         ln = int.from_bytes(payload[pos : pos + 2], "big")
+        if ln < 2:
+            raise MediaDecodeError(f"bad JPEG segment length {ln}")
         seg = payload[pos + 2 : pos + ln]
         if len(seg) != ln - 2:
             raise MediaDecodeError("truncated JPEG segment body")
@@ -890,6 +905,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
+                if p + 17 > len(seg):
+                    raise MediaDecodeError("truncated DHT header")
                 cls, tid = seg[p] >> 4, seg[p] & 0xF
                 bits = tuple(seg[p + 1 : p + 17])
                 n = sum(bits)
@@ -899,6 +916,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
                 htables[(cls, tid)] = _huffman_decode_table(bits, vals)
                 p += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 9:
+                raise MediaDecodeError("truncated SOF0 segment")
             precision, h, w, ncomp = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
             if precision != 8:
                 raise MediaDecodeError(f"unsupported JPEG precision {precision}")
@@ -915,6 +934,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
         elif marker == 0xDA:  # SOS
             if sof is None:
                 raise MediaDecodeError("JPEG SOS before SOF")
+            if len(seg) < 6:
+                raise MediaDecodeError("truncated SOS segment")
             ncomp_s = seg[0]
             if ncomp_s != 1:
                 raise MediaDecodeError("unsupported multi-component scan")
@@ -951,6 +972,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
                 if size == 0:
                     if r == 15:  # ZRL: sixteen zeros
                         k += 16
+                        if k > 63:
+                            raise MediaDecodeError("JPEG AC coefficient overrun")
                         continue
                     break  # EOB
                 k += r
@@ -959,7 +982,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
                 zz[k] = _extend(reader.bits(size), size)
                 k += 1
             coeff = np.zeros(64, dtype=np.float64)
-            coeff[list(_ZIGZAG)] = (zz * q).astype(np.float64)
+            coeff[_ZIGZAG_IDX] = (zz * q).astype(np.float64)
             block = m.T @ coeff.reshape(8, 8) @ m
             img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
                 np.rint(block).astype(np.int64) + 128, 0, 255
@@ -1023,14 +1046,19 @@ def encode_jpeg_gray_dc(dc_levels: "np.ndarray", w: int, h: int) -> bytes:
         + bytes(_JPEG_AC_LUMA_VALS),
     )
     chunk(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
-    dc_enc = _huffman_encode_table(_JPEG_DC_LUMA_BITS, _JPEG_DC_LUMA_VALS)
-    ac_enc = _huffman_encode_table(_JPEG_AC_LUMA_BITS, _JPEG_AC_LUMA_VALS)
+    dc_enc = _DC_LUMA_ENC
+    ac_enc = _AC_LUMA_ENC
     wtr = _BitWriter()
     pred = 0
     for level in np.asarray(dc_levels, dtype=np.int64).ravel():
         diff = int(level) - pred
         pred = int(level)
         s = int(abs(diff)).bit_length()
+        if s > 11:
+            raise ValueError(
+                f"DC DPCM diff {diff} needs magnitude category {s}; the "
+                "Annex-K DC table tops out at 11 (|diff| < 2048)"
+            )
         code, ln = dc_enc[s]
         wtr.write(code, ln)
         if s:

@@ -572,3 +572,35 @@ def test_decode_jpeg_rejects_malformed():
         decode_jpeg(good[:-10])  # scan cut before all blocks decode
     # dispatch now routes JPEG magic to the real decoder
     assert decode_image(good) == (8, 8, 128 / 255)
+
+
+def test_decode_jpeg_marker_walk_robustness():
+    """Truncated segment bodies raise MediaDecodeError (never IndexError);
+    T.81-legal 0xFF fill bytes and standalone TEM/RST markers in the header
+    walk are tolerated; encoder DC-category overflow raises a clear error."""
+    import numpy as np
+    import pytest
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        MediaDecodeError,
+        decode_jpeg,
+        encode_jpeg_gray_dc,
+    )
+
+    for payload in (
+        b"\xff\xd8\xff\xc0\x00\x03\x08",  # SOF0 body shorter than its fields
+        b"\xff\xd8\xff\xc0\x00\x02",  # zero-body SOF0
+        b"\xff\xd8\xff\xc4\x00\x05\x00\x01\x02",  # DHT shorter than 17 bytes
+        b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        b"\xff\xda\x00\x04\x01\x01",  # SOS body shorter than its fields
+    ):
+        with pytest.raises(MediaDecodeError):
+            decode_jpeg(payload)
+
+    good = encode_jpeg_gray_dc(np.array([[8]], dtype=np.int64), 8, 8)
+    ref = decode_jpeg(good)
+    assert decode_jpeg(good[:2] + b"\xff" + good[2:]) == ref  # fill byte
+    assert decode_jpeg(good[:2] + b"\xff\x01" + good[2:]) == ref  # TEM
+
+    with pytest.raises(ValueError, match="category 12"):
+        encode_jpeg_gray_dc(np.array([[-1024, 1024]], dtype=np.int64), 16, 8)
