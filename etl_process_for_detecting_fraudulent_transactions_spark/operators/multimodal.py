@@ -6,12 +6,13 @@ The decode kernel is REAL for the netpbm P6 (binary PPM) format:
 computes pixel statistics from the actual raster bytes — no hashing tricks.
 PNG — a genuinely COMPRESSED format — also decodes for real via stdlib
 ``zlib`` (chunk walk + CRC, inflate, all five scanline filters inverted),
-and baseline grayscale JPEG decodes for real too (canonical Huffman +
-DPCM + run-length entropy decode, dequantization, separable IDCT — all
-from the public T.81 spec, no codec library). Color/progressive JPEG is
-the remaining unsupported corner (the component loop, not the codec
-machinery); the ``decode_image`` dispatch point is the one-function swap a
-full-codec deployment makes.
+and baseline JPEG — both grayscale and 3-component YCbCr color with
+subsampled interleaved MCUs — decodes for real too (canonical Huffman +
+DPCM + run-length entropy decode, dequantization, separable IDCT,
+fixed-point color conversion — all from the public T.81 spec, no codec
+library). Progressive (SOF2) and restart-interval JPEG are the remaining
+unsupported corners; the ``decode_image`` dispatch point is the
+one-function swap a full-codec deployment makes.
 
 Scale notes: payloads stay opaque bytes end-to-end (no driver collect); the
 Pandas UDF path is Arrow-batched (spark.sql.execution.arrow.maxRecordsPerBatch
@@ -235,11 +236,12 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float]:
 
 def decode_image(payload: bytes) -> tuple[int, int, float]:
     """Dispatch on magic bytes. PPM, uncompressed 24-bit BMP, 8-bit
-    truecolor PNG (stdlib-zlib inflate), and baseline grayscale JPEG
-    (canonical Huffman + dequant + IDCT) all decode for real. Color/
-    progressive JPEG raises MediaDecodeError from the decoder itself;
-    swapping in ``PIL.Image.open(io.BytesIO(payload))`` here remains the
-    one-line change a full-codec deployment makes."""
+    truecolor PNG (stdlib-zlib inflate), and baseline JPEG — grayscale and
+    YCbCr color (canonical Huffman + dequant + IDCT + fixed-point color
+    conversion) — all decode for real. Progressive/restart-interval JPEG
+    raises MediaDecodeError from the decoder itself; swapping in
+    ``PIL.Image.open(io.BytesIO(payload))`` here remains the one-line
+    change a full-codec deployment makes."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -514,8 +516,9 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 # (stdlib ``zlib``) scanlines, each prefixed by one of five filter bytes.
 # This decoder walks the chunk structure (with CRC verification), inflates
 # the IDAT stream, and inverts every filter type (None/Sub/Up/Average/
-# Paeth). Baseline grayscale JPEG decodes for real further below — the
-# remaining unsupported corner is color/progressive JPEG.
+# Paeth). Baseline JPEG (grayscale and YCbCr color) decodes for real
+# further below — the remaining unsupported corners are progressive (SOF2)
+# and restart-interval streams.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -720,10 +723,13 @@ def synthesize_png_media(docs: DataFrame) -> DataFrame:
 # Baseline JPEG needs no external library either — the entropy layer is
 # canonical Huffman coding and the transform is the 8x8 IDCT, both
 # implementable exactly from the public ITU T.81 spec. The decoder below
-# handles the general baseline single-component (grayscale) path: marker
-# walk, DQT (8/16-bit), DHT, SOF0, SOS, byte-stuffed entropy-coded segment,
-# DC DPCM + AC run-length, dequantization, de-zigzag, float separable IDCT
-# with level shift. The gate's payloads are DC-only with quant=1 and DC
+# handles the general baseline path for 1-component (grayscale) and
+# 3-component (YCbCr color, arbitrary integer-ratio sampling factors,
+# interleaved MCU scan) frames: marker walk, DQT (8/16-bit), DHT, SOF0,
+# SOS, byte-stuffed entropy-coded segment, DC DPCM + AC run-length,
+# dequantization, de-zigzag, float separable IDCT with level shift, chroma
+# replication upsample, fixed-point color conversion. The gates' payloads
+# are DC-only with quant=1 and DC
 # levels ≡ 0 (mod 8): the IDCT of a DC-only block is the constant DC/8, an
 # exact integer, so the decoded mean is analytically replayable — the same
 # restriction-for-oracle-exactness trade every multimodal gate makes, with
@@ -850,15 +856,41 @@ def _extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+# libjpeg-style fixed-point YCbCr->RGB constants (BT.601 coefficients
+# scaled by 2^16): the conversion is pure integer arithmetic (multiply,
+# add the 0.5 rounding term, arithmetic-shift floor), so the decoded RGB
+# is bit-deterministic and the gate oracle can replay the exact formula
+# in SQL with FLOOR(x / 65536.0).
+_FIX_CR_R = 91881  # round(1.40200 * 2^16)
+_FIX_CB_G = 22554  # round(0.34414 * 2^16)
+_FIX_CR_G = 46802  # round(0.71414 * 2^16)
+_FIX_CB_B = 116130  # round(1.77200 * 2^16)
+
+
+def _ycbcr_to_rgb(y: "np.ndarray", cb: "np.ndarray", cr: "np.ndarray"):
+    """Fixed-point integer color conversion over int64 planes; returns the
+    (3, h, w) clamped RGB stack. `>>16` on int64 is an arithmetic shift
+    (floor), matching FLOOR(x/65536.0) in the oracle SQL."""
+    cb_ = cb - 128
+    cr_ = cr - 128
+    r = y + ((_FIX_CR_R * cr_ + 32768) >> 16)
+    g = y + ((-_FIX_CB_G * cb_ - _FIX_CR_G * cr_ + 32768) >> 16)
+    b = y + ((_FIX_CB_B * cb_ + 32768) >> 16)
+    return np.clip(np.stack([r, g, b]), 0, 255)
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
-    """REAL baseline JPEG decoder (single-component / grayscale subset).
+    """REAL baseline JPEG decoder (grayscale AND 3-component YCbCr color).
 
     Full marker walk, DQT/DHT/SOF0/SOS parsing, canonical Huffman decode of
     the byte-stuffed scan (DC DPCM + AC run-length/EOB/ZRL), dequantization,
-    de-zigzag, separable float IDCT, +128 level shift, clamp. Multi-component
-    (color) and progressive streams raise MediaDecodeError as unsupported —
-    the restriction is the component loop, not the codec machinery. Returns
-    (width, height, mean_intensity) like the other image decoders."""
+    de-zigzag, separable float IDCT, +128 level shift, clamp. Color streams
+    decode the interleaved MCU scan (per-component sampling factors, e.g.
+    4:2:0 = 2x2,1x1,1x1), upsample chroma by replication, and convert
+    YCbCr->RGB in fixed-point integer arithmetic. Progressive (SOF2) and
+    restart-interval (DRI) streams raise MediaDecodeError as unsupported.
+    Returns (width, height, mean_intensity) like the other image decoders;
+    for color the mean is over all three RGB channels."""
     if payload[:2] != b"\xff\xd8":
         raise MediaDecodeError("not a JPEG payload")
     pos = 2
@@ -916,17 +948,25 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
                 htables[(cls, tid)] = _huffman_decode_table(bits, vals)
                 p += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
-            if len(seg) < 9:
+            if len(seg) < 6:
                 raise MediaDecodeError("truncated SOF0 segment")
             precision, h, w, ncomp = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
             if precision != 8:
                 raise MediaDecodeError(f"unsupported JPEG precision {precision}")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise MediaDecodeError(
-                    f"unsupported JPEG component count {ncomp} (grayscale only)"
+                    f"unsupported JPEG component count {ncomp} (1 or 3)"
                 )
-            comp_q = seg[8]
-            sof = (w, h, comp_q)
+            if len(seg) < 6 + 3 * ncomp:
+                raise MediaDecodeError("truncated SOF0 component list")
+            comps = []  # (cid, h_samp, v_samp, tq)
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                hs, vs = hv >> 4, hv & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise MediaDecodeError(f"bad JPEG sampling factors {hs}x{vs}")
+                comps.append((cid, hs, vs, tq))
+            sof = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise MediaDecodeError(f"unsupported JPEG SOF type 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI: restart markers unsupported
@@ -934,62 +974,115 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
         elif marker == 0xDA:  # SOS
             if sof is None:
                 raise MediaDecodeError("JPEG SOS before SOF")
-            if len(seg) < 6:
+            if len(seg) < 1:
                 raise MediaDecodeError("truncated SOS segment")
             ncomp_s = seg[0]
-            if ncomp_s != 1:
-                raise MediaDecodeError("unsupported multi-component scan")
-            dc_id, ac_id = seg[2] >> 4, seg[2] & 0xF
+            if ncomp_s != len(sof[2]):
+                raise MediaDecodeError(
+                    "unsupported JPEG scan: component count differs from frame"
+                )
+            if len(seg) < 1 + 2 * ncomp_s + 3:
+                raise MediaDecodeError("truncated SOS component list")
+            scan_tabs = {}  # cid -> (dc table id, ac table id)
+            for i in range(ncomp_s):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_tabs[cs] = (tdta >> 4, tdta & 0xF)
             scan_pos = pos + ln
             break
         pos += ln
-    w, h, qid = sof
+    w, h, comps = sof
     if w <= 0 or h <= 0:
         raise MediaDecodeError(f"bad JPEG dimensions {w}x{h}")
-    if qid not in qtables:
-        raise MediaDecodeError(f"JPEG references missing quant table {qid}")
-    dc_tab = htables.get((0, dc_id))
-    ac_tab = htables.get((1, ac_id))
-    if dc_tab is None or ac_tab is None:
-        raise MediaDecodeError("JPEG references missing huffman table")
-    q = np.array(qtables[qid], dtype=np.int64)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    # resolve per-component tables + geometry up front so a missing table
+    # fails before any entropy decoding
+    plan = []
+    for cid, hs, vs, tq in comps:
+        if hmax % hs or vmax % vs:
+            raise MediaDecodeError(
+                f"unsupported non-integer chroma upsampling ratio {hs}x{vs}"
+            )
+        if tq not in qtables:
+            raise MediaDecodeError(f"JPEG references missing quant table {tq}")
+        if cid not in scan_tabs:
+            raise MediaDecodeError(f"JPEG scan missing component {cid}")
+        dc_id, ac_id = scan_tabs[cid]
+        dc_tab = htables.get((0, dc_id))
+        ac_tab = htables.get((1, ac_id))
+        if dc_tab is None or ac_tab is None:
+            raise MediaDecodeError("JPEG references missing huffman table")
+        plan.append((hs, vs, np.array(qtables[tq], dtype=np.int64), dc_tab, ac_tab))
     reader = _BitReader(payload, scan_pos)
     m = _idct_basis()
-    img = np.zeros((bh * 8, bw * 8), dtype=np.int64)
-    pred = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = np.zeros(64, dtype=np.int64)
-            s = reader.huff(dc_tab)
-            diff = _extend(reader.bits(s), s) if s else 0
-            pred += diff
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                rs = reader.huff(ac_tab)
-                r, size = rs >> 4, rs & 0xF
-                if size == 0:
-                    if r == 15:  # ZRL: sixteen zeros
-                        k += 16
-                        if k > 63:
-                            raise MediaDecodeError("JPEG AC coefficient overrun")
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise MediaDecodeError("JPEG AC coefficient overrun")
-                zz[k] = _extend(reader.bits(size), size)
-                k += 1
-            coeff = np.zeros(64, dtype=np.float64)
-            coeff[_ZIGZAG_IDX] = (zz * q).astype(np.float64)
-            block = m.T @ coeff.reshape(8, 8) @ m
-            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.rint(block).astype(np.int64) + 128, 0, 255
-            )
-    samples = img[:h, :w]
-    total = int(samples.sum(dtype=np.int64))
-    return w, h, total / (samples.size * 255)
+
+    def read_block(dc_tab, ac_tab, q, pred: int):
+        zz = np.zeros(64, dtype=np.int64)
+        s = reader.huff(dc_tab)
+        diff = _extend(reader.bits(s), s) if s else 0
+        pred += diff
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            rs = reader.huff(ac_tab)
+            r, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if r == 15:  # ZRL: sixteen zeros
+                    k += 16
+                    if k > 63:
+                        raise MediaDecodeError("JPEG AC coefficient overrun")
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise MediaDecodeError("JPEG AC coefficient overrun")
+            zz[k] = _extend(reader.bits(size), size)
+            k += 1
+        coeff = np.zeros(64, dtype=np.float64)
+        coeff[_ZIGZAG_IDX] = (zz * q).astype(np.float64)
+        block = m.T @ coeff.reshape(8, 8) @ m
+        return np.clip(np.rint(block).astype(np.int64) + 128, 0, 255), pred
+
+    if len(comps) == 1:
+        # non-interleaved single-component scan: MCU = one block
+        hs, vs, q, dc_tab, ac_tab = plan[0]
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        img = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                block, pred = read_block(dc_tab, ac_tab, q, pred)
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        samples = img[:h, :w]
+        total = int(samples.sum(dtype=np.int64))
+        return w, h, total / (samples.size * 255)
+
+    # interleaved multi-component scan (T.81 A.2.3): per MCU, component i
+    # contributes h_i x v_i blocks in raster order; components in frame order
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.int64)
+        for hs, vs, _, _, _ in plan
+    ]
+    preds = [0] * len(plan)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hs, vs, q, dc_tab, ac_tab) in enumerate(plan):
+                for by in range(vs):
+                    for bx in range(hs):
+                        block, preds[ci] = read_block(dc_tab, ac_tab, q, preds[ci])
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    # replicate-upsample each plane to full MCU-padded resolution, then crop
+    full = []
+    for (hs, vs, _, _, _), plane in zip(plan, planes):
+        up = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(up[:h, :w])
+    rgb = _ycbcr_to_rgb(full[0], full[1], full[2])
+    total = int(rgb.sum(dtype=np.int64))
+    return w, h, total / (rgb.size * 255)
 
 
 class _BitWriter:
@@ -1091,6 +1184,120 @@ def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
                 levels = 8 * ((int(doc_id) * 31 + b * 7) % 25 - 12)
                 payloads.append(
                     encode_jpeg_gray_dc(levels.reshape(bh, bw), w, hgt)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "source": pdf["source"],
+                }
+            )
+
+    return docs.select("doc_id", "text", "source").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def encode_jpeg_color_dc(
+    y_levels: "np.ndarray",
+    cb_levels: "np.ndarray",
+    cr_levels: "np.ndarray",
+    w: int,
+    h: int,
+) -> bytes:
+    """Encode a REAL baseline 4:2:0 YCbCr color JPEG whose blocks are
+    DC-only.
+
+    ``y_levels`` is the (h//8, w//8) array of quantized luma DC levels;
+    ``cb_levels`` / ``cr_levels`` are the (h//16, w//16) chroma DC levels
+    (one chroma block per MCU at 2x2,1x1,1x1 sampling). w and h must be
+    multiples of 16 so every MCU is full. All components share the flat
+    quant table and the Annex-K luma Huffman tables (legal — table ids are
+    per-scan-component). With levels ≡ 0 (mod 8) every reconstructed block
+    is the exact constant level/8 + 128, so the decoded RGB mean is
+    analytically replayable through the fixed-point color conversion."""
+    if w % 16 or h % 16:
+        raise ValueError("color DC encoder requires dimensions ≡ 0 (mod 16)")
+    seg = bytearray(b"\xff\xd8")  # SOI
+
+    def chunk(marker: int, body: bytes) -> None:
+        seg.extend(bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body)
+
+    chunk(0xDB, bytes([0]) + bytes([1] * 64))  # DQT id 0, all ones
+    chunk(
+        0xC0,
+        bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )  # SOF0: YCbCr 4:2:0, all on quant table 0
+    chunk(0xC4, bytes([0x00]) + bytes(_JPEG_DC_LUMA_BITS) + bytes(_JPEG_DC_LUMA_VALS))
+    chunk(0xC4, bytes([0x10]) + bytes(_JPEG_AC_LUMA_BITS) + bytes(_JPEG_AC_LUMA_VALS))
+    chunk(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))  # SOS
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    ys = np.asarray(y_levels, dtype=np.int64)
+    cbs = np.asarray(cb_levels, dtype=np.int64)
+    crs = np.asarray(cr_levels, dtype=np.int64)
+
+    def emit(level: int, ci: int) -> None:
+        diff = int(level) - preds[ci]
+        preds[ci] = int(level)
+        s = int(abs(diff)).bit_length()
+        if s > 11:
+            raise ValueError(
+                f"DC DPCM diff {diff} needs magnitude category {s}; the "
+                "Annex-K DC table tops out at 11 (|diff| < 2048)"
+            )
+        code, ln = _DC_LUMA_ENC[s]
+        wtr.write(code, ln)
+        if s:
+            wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        code, ln = _AC_LUMA_ENC[0x00]  # EOB: all ACs zero
+        wtr.write(code, ln)
+
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for dy in range(2):  # 4 luma blocks per MCU, raster order
+                for dx in range(2):
+                    emit(int(ys[2 * my + dy, 2 * mx + dx]), 0)
+            emit(int(cbs[my, mx]), 1)
+            emit(int(crs[my, mx]), 2)
+    seg.extend(wtr.flush())
+    seg.extend(b"\xff\xd9")  # EOI
+    return bytes(seg)
+
+
+def synthesize_jpeg_color_media(docs: DataFrame) -> DataFrame:
+    """Fabricate REAL baseline 4:2:0 color JPEG payloads from the documents
+    fixture: dims 16·(1 + md5[0]%2) × 16·(1 + md5[1]%2); luma block b's
+    quantized DC level = 8·((doc_id·31 + b·7) % 25 − 12) (same generative
+    family as the grayscale gate, so Y = (doc_id·31 + b·7) % 25 + 116
+    exactly); chroma is constant per image with Cb−128 = doc_id·5 % 41 − 20
+    and Cr−128 = doc_id·11 % 41 − 20 — offsets small enough that the
+    fixed-point YCbCr→RGB conversion never clamps, keeping the decoded RGB
+    mean an exact integer formula the oracle can replay."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hd = hashlib.md5(text.encode()).digest()
+                w = 16 * (1 + hd[0] % 2)
+                hgt = 16 * (1 + hd[1] % 2)
+                bw, bh = w // 8, hgt // 8
+                b = np.arange(bw * bh, dtype=np.int64)
+                y_levels = (8 * ((int(doc_id) * 31 + b * 7) % 25 - 12)).reshape(bh, bw)
+                cb = 8 * (int(doc_id) * 5 % 41 - 20)
+                cr = 8 * (int(doc_id) * 11 % 41 - 20)
+                cshape = (hgt // 16, w // 16)
+                payloads.append(
+                    encode_jpeg_color_dc(
+                        y_levels,
+                        np.full(cshape, cb, dtype=np.int64),
+                        np.full(cshape, cr, dtype=np.int64),
+                        w,
+                        hgt,
+                    )
                 )
             yield pd.DataFrame(
                 {

@@ -93,6 +93,7 @@ _PRIORITY_KEYS = (
     "multimodal_bmp_features",
     "multimodal_png_features",
     "multimodal_jpeg_features",
+    "multimodal_jpeg_color",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -289,3 +289,62 @@ FROM m JOIN px USING (doc_id)
 
 QUERIES["multimodal_jpeg_features"] = multimodal_jpeg_features
 ORACLES["multimodal_jpeg_features"] = ORACLE_JPEG
+
+
+# -- Color JPEG decode gate (round 4): 3-component baseline YCbCr 4:2:0
+# through the Arrow pipeline. Payloads are genuine interleaved-MCU color
+# JPEGs (4 luma + 2 chroma DC-only blocks per MCU, per-component DPCM
+# predictors, byte-stuffed scan); the decoder runs the full multi-component
+# path — sampling-factor geometry, chroma replication upsample, and the
+# libjpeg-style fixed-point YCbCr→RGB conversion. Luma varies per block;
+# chroma is constant per image with offsets small enough that conversion
+# never clamps, so the decoded RGB mean is an exact integer formula.
+
+def multimodal_jpeg_color_features(spark: SparkSession, sf_dir: str):
+    from ..operators.multimodal import synthesize_jpeg_color_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        extract_media_features(synthesize_jpeg_color_media(docs))
+        .drop("content_md5")
+        .drop("byte_len")
+    )
+
+
+# Per block b, Y = (doc_id*31 + b*7) % 25 + 116 over 64 pixels; chroma
+# offsets cb = doc_id*5 % 41 - 20, cr = doc_id*11 % 41 - 20 are constant per
+# image, so the fixed-point channel adjustments (arithmetic-shift floor ≡
+# FLOOR(x/65536.0)) apply uniformly:
+#   mean = (3·ΣY + n·(radj + goff + badj)) / (3·n·255),  n = w·h
+ORACLE_JPEG_COLOR = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(16 * (1 + {_sql_md5_byte('text', 0)} % 2) AS INT) AS width,
+         CAST(16 * (1 + {_sql_md5_byte('text', 1)} % 2) AS INT) AS height,
+         doc_id * 5 % 41 - 20 AS cb,
+         doc_id * 11 % 41 - 20 AS cr
+  FROM documents
+),
+adj AS (
+  SELECT doc_id,
+         CAST(FLOOR((91881 * cr + 32768) / 65536.0) AS BIGINT)
+           + CAST(FLOOR((-22554 * cb - 46802 * cr + 32768) / 65536.0) AS BIGINT)
+           + CAST(FLOOR((116130 * cb + 32768) / 65536.0) AS BIGINT) AS chroma_adj
+  FROM m
+),
+px AS (
+  SELECT doc_id,
+         CAST(64 * SUM((doc_id * 31 + b * 7) % 25 + 116) AS BIGINT) AS ysum
+  FROM m, unnest(range(0, (width // 8) * (height // 8))) AS u(b)
+  GROUP BY doc_id
+)
+SELECT m.doc_id AS media_id,
+       'image' AS media_type,
+       width, height,
+       CAST(3 * px.ysum + width * height * adj.chroma_adj AS DOUBLE)
+         / (3 * width * height * 255) AS mean_intensity
+FROM m JOIN px USING (doc_id) JOIN adj USING (doc_id)
+"""
+
+QUERIES["multimodal_jpeg_color"] = multimodal_jpeg_color_features
+ORACLES["multimodal_jpeg_color"] = ORACLE_JPEG_COLOR

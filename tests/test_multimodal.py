@@ -604,3 +604,90 @@ def test_decode_jpeg_marker_walk_robustness():
 
     with pytest.raises(ValueError, match="category 12"):
         encode_jpeg_gray_dc(np.array([[-1024, 1024]], dtype=np.int64), 16, 8)
+
+
+def test_decode_jpeg_color_dc_only_exact():
+    """4:2:0 color JPEG with DC-only levels ≡ 0 (mod 8): every plane block
+    is an exact constant; decoded mean must equal the independent plane
+    reconstruction + fixed-point YCbCr→RGB conversion bit-for-bit."""
+    import numpy as np
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        _ycbcr_to_rgb,
+        decode_jpeg,
+        encode_jpeg_color_dc,
+    )
+
+    rng = np.random.default_rng(11)
+    for (w, h) in [(16, 16), (32, 16), (48, 32)]:
+        yl = (rng.integers(-100, 101, size=(h // 8, w // 8)) * 8).astype(np.int64)
+        cbl = (rng.integers(-100, 101, size=(h // 16, w // 16)) * 8).astype(np.int64)
+        crl = (rng.integers(-100, 101, size=(h // 16, w // 16)) * 8).astype(np.int64)
+        got = decode_jpeg(encode_jpeg_color_dc(yl, cbl, crl, w, h))
+        yp = np.clip(yl // 8 + 128, 0, 255).repeat(8, 0).repeat(8, 1)
+        cbp = np.clip(cbl // 8 + 128, 0, 255).repeat(16, 0).repeat(16, 1)
+        crp = np.clip(crl // 8 + 128, 0, 255).repeat(16, 0).repeat(16, 1)
+        rgb = _ycbcr_to_rgb(yp, cbp, crp)
+        assert got == (w, h, int(rgb.sum()) / (rgb.size * 255))
+
+
+def test_ycbcr_fixed_point_matches_floor_formula():
+    """The int64 arithmetic shift in _ycbcr_to_rgb must agree with the
+    FLOOR(x/65536.0) form the oracle SQL uses, across negative offsets."""
+    import numpy as np
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        _ycbcr_to_rgb,
+    )
+
+    y = np.full((41, 41), 128, dtype=np.int64)
+    cb, cr = np.meshgrid(np.arange(108, 149), np.arange(108, 149))
+    rgb = _ycbcr_to_rgb(y, cb.astype(np.int64), cr.astype(np.int64))
+    import math
+
+    for i in range(41):
+        for j in range(41):
+            cb_, cr_ = int(cb[i, j]) - 128, int(cr[i, j]) - 128
+            r = 128 + math.floor((91881 * cr_ + 32768) / 65536)
+            g = 128 + math.floor((-22554 * cb_ - 46802 * cr_ + 32768) / 65536)
+            b = 128 + math.floor((116130 * cb_ + 32768) / 65536)
+            assert (rgb[0, i, j], rgb[1, i, j], rgb[2, i, j]) == (r, g, b)
+
+
+def test_decode_jpeg_color_rejects_malformed():
+    """Scan/frame component mismatch, bad sampling factors, and truncated
+    color scans fail loudly; grayscale behavior is unchanged."""
+    import numpy as np
+    import pytest
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        MediaDecodeError,
+        decode_image,
+        decode_jpeg,
+        encode_jpeg_color_dc,
+    )
+
+    z2 = np.zeros((2, 2), dtype=np.int64)
+    z1 = np.zeros((1, 1), dtype=np.int64)
+    good = encode_jpeg_color_dc(z2, z1, z1, 16, 16)
+    assert decode_jpeg(good) == (16, 16, 128 * 3 / (3 * 255))
+    assert decode_image(good) == (16, 16, 128 / 255)
+
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(good[:-8])  # color scan cut before all MCUs decode
+
+    # frame says 3 components, scan says 1 → loud mismatch
+    sos = good.find(b"\xff\xda")
+    bad = good[:sos] + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00" + good[sos + 12 :]
+    with pytest.raises(MediaDecodeError, match="component count differs"):
+        decode_jpeg(bad)
+
+    # sampling factor 0 is out of the 1..4 range
+    sof = good.find(b"\xff\xc0")
+    mut = bytearray(good)
+    mut[sof + 11] = 0x02  # component 1 hv 0x22 -> 0x02 (h=0)
+    with pytest.raises(MediaDecodeError, match="sampling factors"):
+        decode_jpeg(bytes(mut))
+
+    with pytest.raises(ValueError, match="mod 16"):
+        encode_jpeg_color_dc(z2, z1, z1, 8, 8)
