@@ -94,6 +94,9 @@ _PRIORITY_KEYS = (
     "multimodal_png_features",
     "multimodal_jpeg_features",
     "multimodal_jpeg_color",
+    "inverted_index",
+    "keyword_search_topk",
+    "equidepth_histogram",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -515,3 +515,49 @@ WHERE abs((value - mean) / std) > {Z_THRESHOLD}
 
 QUERIES["zscore_outliers"] = zscore_outliers
 ORACLES["zscore_outliers"] = ORACLE_ZSCORE
+
+
+# -- equi-depth histogram ------------------------------------------------------
+# The optimizer-statistics build step: NTILE over the (value, event_id)
+# TOTAL order (event_id breaks double ties, so the bucket assignment is
+# deterministic and identical across engines — NTILE's floor-based bucket
+# sizing is specified identically in Spark and DuckDB). Per-bucket count,
+# min and max are copies/counts of existing doubles (no float arithmetic)
+# → hash-exact.
+#
+# Scale note: a single NTILE window is one global range-sort — the honest
+# exact form. At 100 TB the scale path is sampled boundary estimation
+# (approx_percentile / QuantileSummaries) + a broadcast bucket join; the
+# exact gate doubles as its verification oracle at test scale.
+
+HIST_BUCKETS = 8
+
+
+def equidepth_histogram(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.orderBy("value", "event_id")
+    return (
+        e.select("event_id", "value", F.ntile(HIST_BUCKETS).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+ORACLE_EQUIDEPTH = f"""
+WITH b AS (
+  SELECT event_id, value,
+         NTILE({HIST_BUCKETS}) OVER (ORDER BY value, event_id) AS bucket
+  FROM events
+)
+SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+FROM b GROUP BY bucket
+"""
+
+QUERIES["equidepth_histogram"] = equidepth_histogram
+ORACLES["equidepth_histogram"] = ORACLE_EQUIDEPTH

@@ -914,3 +914,133 @@ FROM withdf GROUP BY doc_id
 
 QUERIES["doc_novelty_score"] = doc_novelty_score
 ORACLES["doc_novelty_score"] = ORACLE_NOVELTY
+
+
+# -- inverted index build ------------------------------------------------------
+# The IR/search build step: term -> document frequency, collection frequency,
+# and a bounded posting-list prefix. At 100 TB posting lists for ubiquitous
+# terms are unboundedly long, so the gate emits the FIRST P postings by
+# doc_id via row_number ≤ P — Catalyst compiles that to WindowGroupLimit
+# with a partial (map-side) limit before the shuffle, so no executor ever
+# holds an unbounded group; df/cf still aggregate over every row.
+
+POSTING_PREFIX = 16
+
+
+def inverted_index(spark, sf_dir):
+    """Posting-list build: one corpus scan, tf groupBy (map-side combine),
+    one term-partitioned exchange reused by both window specs (df/cf with
+    an unbounded frame, posting rank ordered by doc_id)."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    wp = Window.partitionBy("term")
+    wr = Window.partitionBy("term").orderBy("doc_id")
+    ranked = tf.select(
+        "term",
+        "doc_id",
+        F.count("*").over(wp).alias("df"),
+        F.sum("tf").over(wp).alias("cf"),
+        F.row_number().over(wr).alias("rn"),
+    ).filter(F.col("rn") <= POSTING_PREFIX)
+    return ranked.groupBy("term", "df", "cf").agg(
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings")
+    )
+
+
+ORACLE_INVERTED_INDEX = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY term, doc_id
+),
+ranked AS (
+  SELECT term, doc_id,
+         COUNT(*) OVER (PARTITION BY term) AS df,
+         SUM(tf) OVER (PARTITION BY term) AS cf,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM tf
+)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+FROM ranked WHERE rn <= {POSTING_PREFIX}
+GROUP BY term, df, cf
+"""
+
+QUERIES["inverted_index"] = inverted_index
+ORACLES["inverted_index"] = ORACLE_INVERTED_INDEX
+
+
+# -- keyword retrieval ---------------------------------------------------------
+# The probe side of the inverted index: rank documents for a conjunctive-ish
+# bag-of-words query by idf-weighted term frequency. The idf weight is the
+# INTEGER (n_docs << 10) // df — floor division keeps every score an exact
+# bigint (ln()-based idf is not bit-reproducible across engines; the integer
+# weight preserves the same ordering for any fixed corpus), so the gate is
+# hash-exact. Top-k compiles to TakeOrderedAndProject (no global sort).
+
+SEARCH_TERMS = ("join", "window", "batch")
+SEARCH_K = 50
+IDF_SHIFT = 10
+
+
+def keyword_search_topk(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    qtf = tok.filter(F.col("term").isin(*SEARCH_TERMS)).groupBy(
+        "doc_id", "term"
+    ).agg(F.count("*").alias("tf"))
+    df_ = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        qtf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "w",
+            F.expr(f"CAST(shiftleft(n_docs, {IDF_SHIFT}) DIV df AS BIGINT)"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("w")).alias("score"),
+            F.count("*").alias("terms_hit"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(SEARCH_K)
+        .select("doc_id", "score", "terms_hit")
+    )
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+
+ORACLE_SEARCH = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+qtf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM t
+  WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term
+),
+dfx AS (
+  SELECT term, COUNT(*) AS df FROM qtf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (
+  SELECT qtf.doc_id,
+         SUM(qtf.tf * ((n.n_docs * {1 << IDF_SHIFT}) // dfx.df)) AS score,
+         COUNT(*) AS terms_hit
+  FROM qtf JOIN dfx USING (term) CROSS JOIN n
+  GROUP BY qtf.doc_id
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score, CAST(terms_hit AS BIGINT) AS terms_hit
+FROM s ORDER BY score DESC, doc_id LIMIT {SEARCH_K}
+"""
+
+QUERIES["keyword_search_topk"] = keyword_search_topk
+ORACLES["keyword_search_topk"] = ORACLE_SEARCH

@@ -389,3 +389,43 @@ def test_path_trigrams_single_window_node(spark, sf_dir):
     assert plan.count("Window ") + plan.count("Window[") <= 2
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
+
+
+def test_inverted_index_bounded_groups_one_exchange(spark, sf_dir):
+    """Posting prefix compiles to WindowGroupLimit (map-side partial limit —
+    no executor holds an unbounded posting group); both window specs share
+    the term-partitioned exchange: ≤ 2 hash exchanges total (tf + term)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.text import (
+        inverted_index,
+    )
+
+    plan = _plan(inverted_index(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
+
+
+def test_keyword_search_broadcasts_and_topk(spark, sf_dir):
+    """Retrieval probe: the per-term df table broadcasts (never sort-merge),
+    and top-k is TakeOrderedAndProject, never a global sort."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.text import (
+        keyword_search_topk,
+    )
+
+    plan = _plan(keyword_search_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_equidepth_histogram_is_single_window(spark, sf_dir):
+    """Exact NTILE is one global window (documented single-partition sort at
+    test scale; sampled-boundary estimation is the 100-TB path) — no joins,
+    no extra wide exchanges."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        equidepth_histogram,
+    )
+
+    plan = _plan(equidepth_histogram(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Window ") + plan.count("Window[") <= 1
