@@ -97,6 +97,7 @@ _PRIORITY_KEYS = (
     "inverted_index",
     "keyword_search_topk",
     "equidepth_histogram",
+    "pq_encode",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

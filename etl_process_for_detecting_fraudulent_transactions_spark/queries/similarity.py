@@ -753,3 +753,175 @@ def _finalize_semantic_oracle():
 
 QUERIES["semantic_dedup"] = semantic_dedup
 ORACLES["semantic_dedup"] = _finalize_semantic_oracle()
+
+
+# -- product quantization ------------------------------------------------------
+# The ANN memory-compression scale path (Jégou et al., "Product Quantization
+# for Nearest Neighbor Search"): split each vector into M subspaces, train a
+# tiny K-centroid codebook per subspace (Lloyd iterations), store each
+# vector as M small codes (here M=4 × 2 bits — at 100 TB this is the
+# difference between RAM-resident and disk-bound candidate scoring).
+#
+# Exactness discipline: k-means is famously NOT bit-reproducible in floats,
+# so the whole computation runs in FIXED-POINT INTEGERS — coordinates are
+# floor(x · 2^20) (exact: a float's 24-bit mantissa shifted into a double),
+# distances are exact bigint sums of squared diffs, argmin ties break on
+# centroid id, and centroid updates are exact floor-division means (floor of
+# a correctly-rounded double quotient equals the true floor whenever
+# |sum| < 2^53 and the divisor is small — which it is here). L iterations
+# are unrolled in both engines, so engine and oracle agree bit-for-bit —
+# same recipe that made pagerank_copurchase the first hash-exact iterative
+# gate.
+#
+# Scale shape: the codebook (M·K subvectors) broadcasts; training scans the
+# vector table L+1 times with map-side-combinable aggregations; no shuffle
+# ever carries vectors keyed by centroid. Production PQ trains on a sample —
+# the full-corpus train here is the test-scale exact form.
+
+PQ_M = 4  # subspaces
+PQ_K = 4  # centroids per subspace
+PQ_L = 2  # Lloyd iterations
+PQ_SUBDIM = 16  # 64-dim embeddings / M
+PQ_SCALE = 1 << 20
+
+
+def pq_encode(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    q = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x * PQ_SCALE).cast("bigint")
+        ).alias("qv"),
+    )
+    sub = q.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("qv", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)]
+            )
+        ).alias("m", "sv"),
+    ).localCheckpoint()
+
+    def assign(cent):
+        d = sub.join(F.broadcast(cent), "m").select(
+            "vec_id",
+            "m",
+            "cid",
+            F.aggregate(
+                F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+        )
+        return (
+            d.groupBy("vec_id", "m")
+            .agg(F.min(F.struct("dist", "cid")).alias("b"))
+            .select("vec_id", "m", F.col("b.cid").alias("cid"), F.col("b.dist").alias("dist"))
+        )
+
+    cent = sub.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").cast("int").alias("cid"), F.col("sv").alias("cv")
+    )
+    for _ in range(PQ_L):
+        best = assign(cent)
+        upd = (
+            best.join(sub, ["vec_id", "m"])
+            .select("m", "cid", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("m", "cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "m",
+                "cid",
+                "pos",
+                F.floor(F.col("s") / F.col("n")).cast("bigint").alias("c"),
+            )
+            .groupBy("m", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("m", "cid", F.transform("pc", lambda x: x["c"]).alias("ncv"))
+        )
+        # an empty cluster keeps its previous centroid (deterministic on
+        # both engines via the same LEFT JOIN + COALESCE). The M·K-row
+        # update side is hinted broadcast: this subtree feeds a broadcast
+        # build, where AQE never gets runtime stats to demote the SMJ
+        # itself.
+        cent = cent.join(F.broadcast(upd), ["m", "cid"], "left").select(
+            "m", "cid", F.coalesce("ncv", "cv").alias("cv")
+        )
+    final = assign(cent)
+    return final.groupBy("vec_id").agg(
+        *[
+            F.sum(F.when(F.col("m") == m, F.col("cid")))
+            .cast("int")
+            .alias(f"code_{m}")
+            for m in range(PQ_M)
+        ],
+        F.sum("dist").alias("quant_err"),
+    )
+
+
+def _pq_oracle() -> str:
+    """Unrolled relational k-means: q = (vec, subspace, pos, fixed-point
+    coord); per iteration an argmin CTE + a floor-mean update CTE with
+    empty-cluster COALESCE, then the final assignment pivots codes wide."""
+    q = f"""
+q AS (
+  SELECT vec_id,
+         CAST(i // {PQ_SUBDIM} AS INT) AS m,
+         CAST(i % {PQ_SUBDIM} AS INT) AS pos,
+         CAST(FLOOR(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * {PQ_SCALE}) AS BIGINT) AS v
+  FROM embeddings, unnest(range(0, {PQ_M * PQ_SUBDIM})) AS u(i)
+),
+c0 AS (
+  SELECT m, CAST(vec_id AS INT) AS cid, pos, v AS c FROM q WHERE vec_id < {PQ_K}
+)"""
+    its = []
+    prev = "c0"
+    for t in range(1, PQ_L + 1):
+        its.append(
+            f"""
+d{t} AS (
+  SELECT q.vec_id, q.m, c.cid, SUM((q.v - c.c) * (q.v - c.c)) AS dist
+  FROM q JOIN {prev} c ON q.m = c.m AND q.pos = c.pos
+  GROUP BY q.vec_id, q.m, c.cid
+),
+b{t} AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+),
+u{t} AS (
+  SELECT q.m, b.cid, q.pos,
+         CAST(FLOOR(CAST(SUM(q.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM q JOIN b{t} b ON q.vec_id = b.vec_id AND q.m = b.m
+  GROUP BY q.m, b.cid, q.pos
+),
+c{t} AS (
+  SELECT p.m, p.cid, p.pos, COALESCE(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN u{t} u ON p.m = u.m AND p.cid = u.cid AND p.pos = u.pos
+)"""
+        )
+        prev = f"c{t}"
+    fin = f"""
+df AS (
+  SELECT q.vec_id, q.m, c.cid, SUM((q.v - c.c) * (q.v - c.c)) AS dist
+  FROM q JOIN {prev} c ON q.m = c.m AND q.pos = c.pos
+  GROUP BY q.vec_id, q.m, c.cid
+),
+bf AS (
+  SELECT vec_id, m, cid, dist FROM (
+    SELECT vec_id, m, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM df
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       {", ".join(f"CAST(SUM(CASE WHEN m = {m} THEN cid END) AS INT) AS code_{m}" for m in range(PQ_M))},
+       CAST(SUM(dist) AS BIGINT) AS quant_err
+FROM bf GROUP BY vec_id"""
+    return "WITH " + q + "," + ",".join(its) + "," + fin
+
+
+QUERIES["pq_encode"] = pq_encode
+ORACLES["pq_encode"] = _pq_oracle()

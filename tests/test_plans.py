@@ -429,3 +429,16 @@ def test_equidepth_histogram_is_single_window(spark, sf_dir):
     plan = _plan(equidepth_histogram(spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("Window ") + plan.count("Window[") <= 1
+
+
+def test_pq_encode_broadcasts_codebook(spark, sf_dir):
+    """PQ training/assignment: the tiny codebook side always broadcasts —
+    no sort-merge join ever carries the vector table, and no exchange is
+    keyed by centroid id."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.similarity import (
+        pq_encode,
+    )
+
+    plan = _plan(pq_encode(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
