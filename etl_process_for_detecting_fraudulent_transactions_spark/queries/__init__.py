@@ -98,6 +98,7 @@ _PRIORITY_KEYS = (
     "keyword_search_topk",
     "equidepth_histogram",
     "pq_encode",
+    "knn_pq_adc",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -785,7 +785,11 @@ PQ_SUBDIM = 16  # 64-dim embeddings / M
 PQ_SCALE = 1 << 20
 
 
-def pq_encode(spark, sf_dir):
+def _pq_parts(spark, sf_dir):
+    """Shared PQ machinery: returns (sub, cent, final) — the per-(vector,
+    subspace) fixed-point subvectors, the trained codebook after PQ_L
+    unrolled Lloyd iterations, and the final (vec_id, m, cid, dist)
+    assignment."""
     e = _emb(spark, sf_dir)
     q = e.select(
         "vec_id",
@@ -848,6 +852,11 @@ def pq_encode(spark, sf_dir):
             "m", "cid", F.coalesce("ncv", "cv").alias("cv")
         )
     final = assign(cent)
+    return sub, cent, final
+
+
+def pq_encode(spark, sf_dir):
+    _, _, final = _pq_parts(spark, sf_dir)
     return final.groupBy("vec_id").agg(
         *[
             F.sum(F.when(F.col("m") == m, F.col("cid")))
@@ -859,10 +868,11 @@ def pq_encode(spark, sf_dir):
     )
 
 
-def _pq_oracle() -> str:
-    """Unrolled relational k-means: q = (vec, subspace, pos, fixed-point
-    coord); per iteration an argmin CTE + a floor-mean update CTE with
-    empty-cluster COALESCE, then the final assignment pivots codes wide."""
+def _pq_cte_prefix() -> str:
+    """Unrolled relational k-means shared by the PQ oracles: q = (vec,
+    subspace, pos, fixed-point coord); per iteration an argmin CTE + a
+    floor-mean update CTE with empty-cluster COALESCE; ends with the final
+    per-(vec, subspace) assignment ``bf`` and final codebook ``c{L}``."""
     q = f"""
 q AS (
   SELECT vec_id,
@@ -915,13 +925,82 @@ bf AS (
            ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
     FROM df
   ) WHERE rn = 1
-)
+)"""
+    return "WITH " + q + "," + ",".join(its) + "," + fin
+
+
+_PQ_FINAL = f"""
 SELECT vec_id,
        {", ".join(f"CAST(SUM(CASE WHEN m = {m} THEN cid END) AS INT) AS code_{m}" for m in range(PQ_M))},
        CAST(SUM(dist) AS BIGINT) AS quant_err
 FROM bf GROUP BY vec_id"""
-    return "WITH " + q + "," + ",".join(its) + "," + fin
 
 
 QUERIES["pq_encode"] = pq_encode
-ORACLES["pq_encode"] = _pq_oracle()
+ORACLES["pq_encode"] = _pq_cte_prefix() + _PQ_FINAL
+
+
+# -- PQ asymmetric-distance search --------------------------------------------
+# The probe side of product quantization (ADC, Jégou et al. §IV): each query
+# computes a tiny M×K lookup table of exact squared distances from its
+# subvectors to the trained codebook; every database vector is then scored
+# by M table lookups on its CODES — the query never touches the raw vectors
+# again. At 100 TB the code table is ~64× smaller than the vectors; the LUT
+# join broadcasts. Same fixed-point discipline as pq_encode → hash-exact.
+
+
+def knn_pq_adc(spark, sf_dir):
+    sub, cent, final = _pq_parts(spark, sf_dir)
+    lut = (
+        sub.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), "m", "sv")
+        .join(F.broadcast(cent), "m")
+        .select(
+            "query_id",
+            "m",
+            "cid",
+            F.aggregate(
+                F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+        )
+    )
+    codes = final.select("vec_id", "m", "cid")
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+ORACLE_PQ_ADC = _pq_cte_prefix() + f""",
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.cid, SUM((q.v - c.c) * (q.v - c.c)) AS d
+  FROM q JOIN c{PQ_L} c ON q.m = c.m AND q.pos = c.pos
+  WHERE q.vec_id % {QUERY_MOD} = 0
+  GROUP BY q.vec_id, c.m, c.cid
+),
+scored AS (
+  SELECT l.query_id, b.vec_id AS neighbor_id, SUM(l.d) AS adc_dist
+  FROM bf b JOIN lut l ON b.m = l.m AND b.cid = l.cid
+  WHERE l.query_id <> b.vec_id
+  GROUP BY l.query_id, b.vec_id
+)
+SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}"""
+
+QUERIES["knn_pq_adc"] = knn_pq_adc
+ORACLES["knn_pq_adc"] = ORACLE_PQ_ADC

@@ -24,3 +24,32 @@ def test_ann_recall_floor(spark, sf_dir, variant, floor):
     got = {(r.query_id, r.neighbor_id) for r in qs[variant](spark, sf_dir).collect()}
     recall = len(brute & got) / len(brute)
     assert recall >= floor, f"{variant} recall@5 {recall:.2f} < {floor}"
+
+
+def test_pq_adc_recall_floor(spark, sf_dir):
+    """PQ-ADC recall floor. M=4 × K=4 is 8 bits per vector (production PQ
+    uses K=256 → 32 bits; this config keeps the codebook oracle-unrollable)
+    and ADC ranks by L2 over un-normalized fixed-point coords while the
+    brute-force reference ranks by cosine — so the floor pins the plumbing
+    (codes differentiate vectors at all), not the ceiling."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries import all_queries
+
+    qs = all_queries()
+    brute = {(r.query_id, r.neighbor_id) for r in qs["knn_brute_force"](spark, sf_dir).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in qs["knn_pq_adc"](spark, sf_dir).collect()}
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.06, f"knn_pq_adc recall@5 {recall:.2f} < 0.06"
+
+
+def test_pq_codes_nondegenerate(spark, sf_dir):
+    """Every subspace must actually use ≥ 2 of its K codes (a collapsed
+    codebook would still be hash-consistent — this pins clustering
+    usefulness, which parity alone cannot)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.similarity import (
+        PQ_M,
+        pq_encode,
+    )
+
+    rows = pq_encode(spark, sf_dir).collect()
+    for m in range(PQ_M):
+        assert len({getattr(r, f"code_{m}") for r in rows}) >= 2

@@ -442,3 +442,15 @@ def test_pq_encode_broadcasts_codebook(spark, sf_dir):
     plan = _plan(pq_encode(spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_adc_codes_never_shuffle_vectors(spark, sf_dir):
+    """ADC probe: LUT and codebook broadcast; raw vectors are never
+    sort-merge joined; top-k per query is a window over codes only."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.similarity import (
+        knn_pq_adc,
+    )
+
+    plan = _plan(knn_pq_adc(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
