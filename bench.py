@@ -55,6 +55,11 @@ SCALE_KEYS = (
     "approx_distinct_kmv",
     "doc_novelty_score",
     "weighted_sample",
+    "inverted_index",
+    "keyword_search_topk",
+    "equidepth_histogram",
+    "pq_encode",
+    "knn_pq_adc",
 )
 # input table each scale query is throughput-bounded by (for the rows/s numerator)
 SCALE_INPUT = {
@@ -75,6 +80,11 @@ SCALE_INPUT = {
     "approx_distinct_kmv": "events",
     "doc_novelty_score": "documents",
     "weighted_sample": "documents",
+    "inverted_index": "documents",
+    "keyword_search_topk": "documents",
+    "equidepth_histogram": "events",
+    "pq_encode": "embeddings",
+    "knn_pq_adc": "embeddings",
 }
 
 
