@@ -60,6 +60,7 @@ SCALE_KEYS = (
     "equidepth_histogram",
     "pq_encode",
     "knn_pq_adc",
+    "knn_ivf_pq",
 )
 # input table each scale query is throughput-bounded by (for the rows/s numerator)
 SCALE_INPUT = {
@@ -85,6 +86,7 @@ SCALE_INPUT = {
     "equidepth_histogram": "events",
     "pq_encode": "embeddings",
     "knn_pq_adc": "embeddings",
+    "knn_ivf_pq": "embeddings",
 }
 
 

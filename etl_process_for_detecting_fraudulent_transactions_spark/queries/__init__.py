@@ -99,6 +99,7 @@ _PRIORITY_KEYS = (
     "equidepth_histogram",
     "pq_encode",
     "knn_pq_adc",
+    "knn_ivf_pq",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -1004,3 +1004,129 @@ WHERE rank <= {TOP_K}"""
 
 QUERIES["knn_pq_adc"] = knn_pq_adc
 ORACLES["knn_pq_adc"] = ORACLE_PQ_ADC
+
+
+# -- IVF-PQ: the composed 100-TB ANN shape ------------------------------------
+# knn_pq_adc scores every database vector by contract (the PQ fast scan);
+# THIS gate is the production composition (FAISS IVFPQ): a coarse quantizer
+# prunes to NPROBE inverted lists first, then ADC scores only the
+# candidates in those lists. The coarse quantizer here is id-derived
+# (vec_id % CENTROID_MOD centroids, like knn_ivf) with FIXED-POINT integer
+# L2 assignment, so every stage — pruning, codes, LUT, scores — is exact
+# integer arithmetic and the whole composition stays hash-exact.
+
+
+def knn_ivf_pq(spark, sf_dir):
+    sub, cent, final = _pq_parts(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    qfull = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x * PQ_SCALE).cast("bigint")
+        ).alias("qv"),
+    )
+    coarse = qfull.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cfull")
+    )
+    cd = qfull.crossJoin(F.broadcast(coarse)).select(
+        "vec_id",
+        "centroid_id",
+        F.aggregate(
+            F.zip_with("qv", "cfull", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("cd"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("cd", "centroid_id")
+    ranked = cd.withColumn("crank", F.row_number().over(w))
+    lists = ranked.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("centroid_id").alias("list_id")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("crank") <= NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("list_id"))
+    # each vector lives in exactly ONE list (crank == 1), so a candidate
+    # pair appears at most once — no dedup pass needed. The probe table is
+    # query-bound (n_queries × NPROBE rows) — broadcast it against the
+    # full list assignment; same for the candidate set against the codes.
+    cands = (
+        lists.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    lut = (
+        sub.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), "m", "sv")
+        .join(F.broadcast(cent), "m")
+        .select(
+            "query_id",
+            "m",
+            "cid",
+            F.aggregate(
+                F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+        )
+    )
+    scored = (
+        final.select(F.col("vec_id").alias("neighbor_id"), "m", "cid")
+        .join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "m", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    wr = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+ORACLE_IVF_PQ = _pq_cte_prefix() + f""",
+coarse AS (
+  SELECT vec_id AS centroid_id, m, pos, v FROM q WHERE vec_id % {CENTROID_MOD} = 0
+),
+cd AS (
+  SELECT q.vec_id, c.centroid_id, SUM((q.v - c.v) * (q.v - c.v)) AS cd
+  FROM q JOIN coarse c ON q.m = c.m AND q.pos = c.pos
+  GROUP BY q.vec_id, c.centroid_id
+),
+cr AS (
+  SELECT vec_id, centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd, centroid_id) AS crank
+  FROM cd
+),
+lists AS (SELECT vec_id AS neighbor_id, centroid_id AS list_id FROM cr WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id AS list_id FROM cr
+  WHERE vec_id % {QUERY_MOD} = 0 AND crank <= {NPROBE}
+),
+cands AS (
+  SELECT query_id, neighbor_id FROM probes JOIN lists USING (list_id)
+  WHERE query_id <> neighbor_id
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.cid, SUM((q.v - c.c) * (q.v - c.c)) AS d
+  FROM q JOIN c{PQ_L} c ON q.m = c.m AND q.pos = c.pos
+  WHERE q.vec_id % {QUERY_MOD} = 0
+  GROUP BY q.vec_id, c.m, c.cid
+),
+scored AS (
+  SELECT cn.query_id, cn.neighbor_id, SUM(l.d) AS adc_dist
+  FROM cands cn
+  JOIN bf b ON b.vec_id = cn.neighbor_id
+  JOIN lut l ON l.query_id = cn.query_id AND l.m = b.m AND l.cid = b.cid
+  GROUP BY cn.query_id, cn.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}"""
+
+QUERIES["knn_ivf_pq"] = knn_ivf_pq
+ORACLES["knn_ivf_pq"] = ORACLE_IVF_PQ

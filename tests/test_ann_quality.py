@@ -53,3 +53,25 @@ def test_pq_codes_nondegenerate(spark, sf_dir):
     rows = pq_encode(spark, sf_dir).collect()
     for m in range(PQ_M):
         assert len({getattr(r, f"code_{m}") for r in rows}) >= 2
+
+
+def test_ivf_pq_subset_of_adc_quality(spark, sf_dir):
+    """IVF-PQ returns a (possibly lower-recall) PRUNED version of the ADC
+    scan: every returned pair must carry the same adc_dist the full scan
+    assigns it, and per-query result counts never exceed TOP_K."""
+    from collections import Counter
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries import all_queries
+
+    qs = all_queries()
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in qs["knn_pq_adc"](spark, sf_dir).collect()
+    }
+    pruned = qs["knn_ivf_pq"](spark, sf_dir).collect()
+    per_q = Counter(r.query_id for r in pruned)
+    assert all(v <= 5 for v in per_q.values())
+    overlap = [r for r in pruned if (r.query_id, r.neighbor_id) in full]
+    assert overlap, "IVF pruning should retain some of the true ADC top-k"
+    for r in overlap:
+        assert full[(r.query_id, r.neighbor_id)] == r.adc_dist

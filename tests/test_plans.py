@@ -454,3 +454,15 @@ def test_pq_adc_codes_never_shuffle_vectors(spark, sf_dir):
     plan = _plan(knn_pq_adc(spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_pq_broadcasts_all_small_sides(spark, sf_dir):
+    """IVF-PQ composition: coarse centroids, codebook, and LUT all
+    broadcast; no sort-merge join anywhere in the pruned-scoring path."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.similarity import (
+        knn_ivf_pq,
+    )
+
+    plan = _plan(knn_ivf_pq(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
