@@ -136,3 +136,37 @@ def compact_small_files(
         if f.endswith(".parquet")
     )
     return {"files_before": before, "files_after": after, "bytes": total}
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leaving all sibling partitions untouched — the daily-restatement
+    write (re-run one day of a year-partitioned mart without rewriting or
+    even listing the other 364 days; at 100 TB a static overwrite here is
+    the difference between minutes and a full-table rewrite).
+
+    Spark's native ``partitionOverwriteMode=dynamic`` does exactly this at
+    the committer level; the session conf is scoped to the write and
+    restored afterward, so other writers keep the (safer) static default.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: merge the parquet footers of every file so
+    columns added by later appends surface (as NULL for older files).
+
+    ``mergeSchema`` costs a footer read per file — which is why it is an
+    explicit maintenance-read here and not the store default: at 100 TB the
+    footer sweep is a real listing cost, and steady-state readers should
+    pin an explicit schema instead (``ParquetStore.read(schema=...)``)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

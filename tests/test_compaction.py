@@ -57,3 +57,48 @@ def test_compaction_keeps_hive_partitions(spark, tmp_path):
         assert "/day=" in f, f
     after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
     assert after == before
+
+
+def test_overwrite_partitions_touches_only_written_days(spark, tmp_path):
+    """Dynamic partition overwrite: rewriting day 2 (+ a new day 3) must
+    leave day 1's files and rows byte-identical, replace day 2 wholesale,
+    and add day 3 — the daily-restatement contract."""
+    import os
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.storage import overwrite_partitions
+
+    path = str(tmp_path / "mart")
+    base = spark.createDataFrame(
+        [(1, "d1", 10), (2, "d1", 11), (3, "d2", 20), (4, "d2", 21)],
+        "id int, day string, v int",
+    )
+    base.write.partitionBy("day").parquet(path)
+    d1_files = sorted(os.listdir(f"{path}/day=d1"))
+
+    restate = spark.createDataFrame(
+        [(5, "d2", 99), (6, "d3", 30)], "id int, day string, v int"
+    )
+    overwrite_partitions(restate, path, ["day"])
+
+    assert sorted(os.listdir(f"{path}/day=d1")) == d1_files
+    got = {(r.id, r.day, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "d1", 10), (2, "d1", 11), (5, "d2", 99), (6, "d3", 30)}
+    # conf restored to the safer static default
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
+
+
+def test_read_evolved_merges_appended_column(spark, tmp_path):
+    """A column added by a later append surfaces via mergeSchema with NULLs
+    for pre-evolution files; a plain read of the same dir may drop it."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.storage import read_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id int, x string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 7.5)], "id int, x string, score double"
+    ).write.mode("append").parquet(path)
+
+    df = read_evolved(spark, path)
+    assert set(df.columns) == {"id", "x", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[1] is None and rows[2] == 7.5
