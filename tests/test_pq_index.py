@@ -1,0 +1,83 @@
+"""Persisted IVF-PQ index: probe parity with the in-query gate + partition
+pruning proof. Mirrors tests/test_ann_index.py for the PQ family."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from etl_process_for_detecting_fraudulent_transactions_spark.operators.pq_index import (
+    build_pq_index,
+    query_pq_index,
+)
+from etl_process_for_detecting_fraudulent_transactions_spark.queries.similarity import (
+    NPROBE,
+    QUERY_MOD,
+    _emb,
+    knn_ivf_pq,
+)
+
+
+def _build(spark, sf_dir, tmp_path) -> str:
+    path = str(tmp_path / "pq_index")
+    build_pq_index(spark, sf_dir, path)
+    return path
+
+
+def test_probe_equals_in_query_gate(spark, sf_dir, tmp_path):
+    """Probing the persisted index with the gate's own query subset must
+    reproduce the knn_ivf_pq gate rows EXACTLY (codes, coarse ranking, LUT
+    and ADC sums are all integer arithmetic — parity is equality, not
+    similarity)."""
+    path = _build(spark, sf_dir, tmp_path)
+    queries = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = {
+        (r.query_id, r.neighbor_id, r.adc_dist, r.rank)
+        for r in query_pq_index(spark, path, queries).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.adc_dist, r.rank)
+        for r in knn_ivf_pq(spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+
+def test_probe_scan_prunes_code_partitions(spark, sf_dir, tmp_path):
+    """A single-query probe must prune the codes scan to exactly its NPROBE
+    inverted lists: the codes-side FileSourceScan's PartitionFilters must
+    carry a list_id IN-list with NPROBE literals."""
+    path = _build(spark, sf_dir, tmp_path)
+    one = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    df = query_pq_index(spark, path, one)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    in_lists = [
+        m.group(1)
+        for m in re.finditer(r"PartitionFilters: \[list_id#\d+L? IN \(([^)]*)\)", plan)
+    ]
+    assert in_lists, f"no list_id IN partition filter in plan:\n{plan[:2000]}"
+    assert len(in_lists[0].split(",")) == NPROBE
+
+
+def test_external_queries_keep_self_matches(spark, sf_dir, tmp_path):
+    """exclude_self=False keeps a corpus vector that ties an external
+    query's id — the id-collision contract shared with query_lsh_index."""
+    path = _build(spark, sf_dir, tmp_path)
+    q = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    with_self = query_pq_index(spark, path, q, exclude_self=False).collect()
+    # vec 0 is its own nearest code point: identical codes → ADC dist is the
+    # pure quantization distance, minimal among its list
+    best = min(with_self, key=lambda r: (r.adc_dist, r.neighbor_id))
+    assert best.neighbor_id == 0
