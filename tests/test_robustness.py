@@ -81,3 +81,48 @@ def test_xlsx_blank_row_handling(spark):
     rows = df.collect()
     assert len(rows) == 7  # day-1 cumulative entries, blanks dropped
     assert all(r.passport is not None for r in rows)
+
+
+def test_ndjson_corrupt_lines_quarantined(spark, tmp_path):
+    """NDJSON dead-letter split: broken lines land whole in the rescue
+    column; clean rows keep their explicit types; schema is never
+    inferred (a string-typed doc_id would betray inference)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.sources.json_source import (
+        read_ndjson,
+        split_corrupt,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+        '{"doc_id": "NOT_A_NUMBER", "text": "gamma"}\n'
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    clean, bad = split_corrupt(read_ndjson(spark, str(p), schema))
+    got = {(r.doc_id, r.text) for r in clean.collect()}
+    assert got == {(1, "alpha"), (2, "beta")}
+    assert clean.schema["doc_id"].dataType.typeName() == "long"
+    bad_lines = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert any("not json" in b for b in bad_lines)
+
+
+def test_ndjson_failfast_raises(spark, tmp_path):
+    import pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.sources.json_source import (
+        read_ndjson,
+    )
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"doc_id": 1}\nnope\n')
+    schema = StructType([StructField("doc_id", LongType())])
+    with pytest.raises(Exception):
+        read_ndjson(spark, str(p), schema, mode="FAILFAST").collect()
