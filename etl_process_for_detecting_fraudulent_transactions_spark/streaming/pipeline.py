@@ -726,3 +726,60 @@ def near_dup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# -- streaming ANN serving over the persisted IVF-PQ index ---------------------
+# The online half of operators/pq_index.py: the index is built once from the
+# corpus; query vectors then ARRIVE as a stream and each micro-batch probes
+# the persisted index (coarse-rank -> partition-pruned codes scan -> ADC
+# top-k). Because a probe is per-query independent and read-only, streaming
+# results are EXACTLY the batch probe of the same queries — pinned in
+# tests/test_streaming_ann.py — and retries are idempotent by the same
+# per-batch-partition overwrite discipline as near_dup_stream.
+
+
+def _ann_probe_process_batch(
+    batch_df: DataFrame, batch_id: int, index_path: str, results_dir: str
+) -> None:
+    """One micro-batch of query vectors → top-k rows for this batch's
+    partition directory. Module-level so the retry contract is directly
+    testable (same batch ⇒ byte-identical overwrite)."""
+    from ..operators.pq_index import query_pq_index
+
+    if batch_df.isEmpty():
+        return
+    res = query_pq_index(
+        batch_df.sparkSession, index_path, batch_df, exclude_self=False
+    )
+    res.write.mode("overwrite").parquet(f"{results_dir}/batch=b{batch_id}")
+
+
+def ann_probe_stream(
+    queries_stream: DataFrame,
+    index_path: str,
+    results_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming ANN serving via ``foreachBatch``.
+
+    ``queries_stream``: streaming frame of (query_id, embedding
+    array<double>). Each micro-batch coarse-ranks its queries against the
+    broadcast centroids, prunes the codes scan to the probed inverted-list
+    partitions, ADC-scores, and overwrites its own ``batch=b<id>`` results
+    partition (idempotent retry). foreachBatch because the probe needs the
+    driver-side probed-list collect for static partition pruning — a
+    metadata collect, not data — which a pure streaming plan cannot
+    express. The index itself is read-only here; index growth is the
+    separate append path (operators/pq_index.py + near_dup_stream show
+    both halves of that discipline)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _ann_probe_process_batch(batch_df, batch_id, index_path, results_dir)
+
+    return (
+        queries_stream.writeStream.foreachBatch(process_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
