@@ -32,34 +32,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+# The exactness-critical fixed-point expressions (_quantize_full, _sq_l2,
+# _subvectors, _pq_lut) are imported from the gate module — single
+# definition, so index probes can never drift from the oracle-verified
+# gates (the same discipline ann_index.py follows for the LSH kernels).
 from ..queries.similarity import (
     CENTROID_MOD,
     NPROBE,
-    PQ_M,
-    PQ_SCALE,
-    PQ_SUBDIM,
     TOP_K,
     _emb,
+    _pq_lut,
     _pq_parts,
+    _quantize_full,
+    _sq_l2,
+    _subvectors,
 )
-
-
-def _quantize_full(vecs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, qv bigint[64]) — the shared fixed-point full-vector form."""
-    return vecs.select(
-        F.col(id_col),
-        F.transform(
-            vec_col, lambda x: F.floor(x * PQ_SCALE).cast("bigint")
-        ).alias("qv"),
-    )
-
-
-def _sq_l2(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
 
 
 def build_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -110,36 +97,26 @@ def query_pq_index(
     M lookups per candidate against the per-query LUT — the raw vectors
     are never read at probe time."""
     qfull = _quantize_full(
-        queries.select(F.col("query_id").alias("qid"), "embedding"), "qid", "embedding"
+        queries.select(F.col("query_id").alias("vec_id"), "embedding"),
+        "vec_id",
+        "embedding",
     ).localCheckpoint(eager=True)
     coarse = spark.read.parquet(f"{path}/coarse")
     cent = spark.read.parquet(f"{path}/codebook")
     cd = qfull.crossJoin(F.broadcast(coarse)).select(
-        "qid", "centroid_id", _sq_l2("qv", "cfull").alias("cd")
+        "vec_id", "centroid_id", _sq_l2("qv", "cfull").alias("cd")
     )
-    w = Window.partitionBy("qid").orderBy("cd", "centroid_id")
+    w = Window.partitionBy("vec_id").orderBy("cd", "centroid_id")
     probes = (
         cd.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= NPROBE)
-        .select(F.col("qid").alias("query_id"), F.col("centroid_id").alias("list_id"))
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("list_id")
+        )
         .localCheckpoint(eager=True)
     )
     probed = [r["list_id"] for r in probes.select("list_id").distinct().collect()]
-    lut = (
-        qfull.select(
-            F.col("qid").alias("query_id"),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.slice("qv", m * PQ_SUBDIM + 1, PQ_SUBDIM)
-                        for m in range(PQ_M)
-                    ]
-                )
-            ).alias("m", "sv"),
-        )
-        .join(F.broadcast(cent), "m")
-        .select("query_id", "m", "cid", _sq_l2("sv", "cv").alias("d"))
-    )
+    lut = _pq_lut(_subvectors(qfull), cent)
     codes = spark.read.parquet(f"{path}/codes").filter(F.col("list_id").isin(probed))
     scored = codes.join(F.broadcast(probes), "list_id")
     if exclude_self:

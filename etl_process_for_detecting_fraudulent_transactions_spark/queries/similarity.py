@@ -785,37 +785,67 @@ PQ_SUBDIM = 16  # 64-dim embeddings / M
 PQ_SCALE = 1 << 20
 
 
-def _pq_parts(spark, sf_dir):
-    """Shared PQ machinery: returns (sub, cent, final) — the per-(vector,
-    subspace) fixed-point subvectors, the trained codebook after PQ_L
-    unrolled Lloyd iterations, and the final (vec_id, m, cid, dist)
-    assignment."""
-    e = _emb(spark, sf_dir)
-    q = e.select(
-        "vec_id",
+# The three exactness-critical PQ expressions live HERE and only here —
+# the trainer, both search gates, and the persisted index
+# (operators/pq_index.py) all import them, so the hash-exact contract can
+# never desynchronize across call sites.
+
+def _quantize_full(vecs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, qv bigint[DIM]) — fixed-point full-vector form. floor(x·2^20)
+    is exact: a float's 24-bit mantissa shifted into a double."""
+    return vecs.select(
+        F.col(id_col),
         F.transform(
-            "embedding", lambda x: F.floor(x * PQ_SCALE).cast("bigint")
+            vec_col, lambda x: F.floor(x * PQ_SCALE).cast("bigint")
         ).alias("qv"),
     )
-    sub = q.select(
+
+
+def _sq_l2(a, b):
+    """Exact bigint squared-L2 fold over two bigint arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subvectors(qframe: DataFrame) -> DataFrame:
+    """(vec_id, qv) → one row per (vec_id, m) with the m-th subvector."""
+    return qframe.select(
         "vec_id",
         F.posexplode(
             F.array(
                 *[F.slice("qv", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)]
             )
         ).alias("m", "sv"),
-    ).localCheckpoint()
+    )
+
+
+def _pq_lut(subrows: DataFrame, cent: DataFrame) -> DataFrame:
+    """Per-query ADC lookup table: (vec_id, m, sv) subvector rows ×
+    broadcast codebook → (query_id, m, cid, d) exact squared distances."""
+    return (
+        subrows.select(F.col("vec_id").alias("query_id"), "m", "sv")
+        .join(F.broadcast(cent), "m")
+        .select("query_id", "m", "cid", _sq_l2("sv", "cv").alias("d"))
+    )
+
+
+def _pq_parts(spark, sf_dir):
+    """Shared PQ machinery: returns (sub, cent, final) — the per-(vector,
+    subspace) fixed-point subvectors, the trained codebook after PQ_L
+    unrolled Lloyd iterations, and the final (vec_id, m, cid, dist)
+    assignment."""
+    q = _quantize_full(_emb(spark, sf_dir), "vec_id", "embedding")
+    sub = _subvectors(q).localCheckpoint()
 
     def assign(cent):
         d = sub.join(F.broadcast(cent), "m").select(
             "vec_id",
             "m",
             "cid",
-            F.aggregate(
-                F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
-            ).alias("dist"),
+            _sq_l2("sv", "cv").alias("dist"),
         )
         return (
             d.groupBy("vec_id", "m")
@@ -951,21 +981,7 @@ ORACLES["pq_encode"] = _pq_cte_prefix() + _PQ_FINAL
 
 def knn_pq_adc(spark, sf_dir):
     sub, cent, final = _pq_parts(spark, sf_dir)
-    lut = (
-        sub.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .select(F.col("vec_id").alias("query_id"), "m", "sv")
-        .join(F.broadcast(cent), "m")
-        .select(
-            "query_id",
-            "m",
-            "cid",
-            F.aggregate(
-                F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
-            ).alias("d"),
-        )
-    )
+    lut = _pq_lut(sub.filter(F.col("vec_id") % QUERY_MOD == 0), cent)
     codes = final.select("vec_id", "m", "cid")
     scored = (
         codes.join(F.broadcast(lut), ["m", "cid"])
@@ -1018,24 +1034,12 @@ ORACLES["knn_pq_adc"] = ORACLE_PQ_ADC
 
 def knn_ivf_pq(spark, sf_dir):
     sub, cent, final = _pq_parts(spark, sf_dir)
-    e = _emb(spark, sf_dir)
-    qfull = e.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.floor(x * PQ_SCALE).cast("bigint")
-        ).alias("qv"),
-    )
+    qfull = _quantize_full(_emb(spark, sf_dir), "vec_id", "embedding")
     coarse = qfull.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cfull")
     )
     cd = qfull.crossJoin(F.broadcast(coarse)).select(
-        "vec_id",
-        "centroid_id",
-        F.aggregate(
-            F.zip_with("qv", "cfull", lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        ).alias("cd"),
+        "vec_id", "centroid_id", _sq_l2("qv", "cfull").alias("cd")
     )
     w = Window.partitionBy("vec_id").orderBy("cd", "centroid_id")
     ranked = cd.withColumn("crank", F.row_number().over(w))
@@ -1054,21 +1058,7 @@ def knn_ivf_pq(spark, sf_dir):
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
-    lut = (
-        sub.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .select(F.col("vec_id").alias("query_id"), "m", "sv")
-        .join(F.broadcast(cent), "m")
-        .select(
-            "query_id",
-            "m",
-            "cid",
-            F.aggregate(
-                F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
-            ).alias("d"),
-        )
-    )
+    lut = _pq_lut(sub.filter(F.col("vec_id") % QUERY_MOD == 0), cent)
     scored = (
         final.select(F.col("vec_id").alias("neighbor_id"), "m", "cid")
         .join(F.broadcast(cands), "neighbor_id")

@@ -148,17 +148,19 @@ def overwrite_partitions(
     the difference between minutes and a full-table rewrite).
 
     Spark's native ``partitionOverwriteMode=dynamic`` does exactly this at
-    the committer level; the session conf is scoped to the write and
-    restored afterward, so other writers keep the (safer) static default.
+    the committer level. The mode is passed as a PER-WRITE DataFrameWriter
+    option — never a session-conf mutation: a conf flip is time-scoped, not
+    writer-scoped, so a concurrent writer in the same session (e.g. a
+    streaming foreachBatch body) would silently pick up dynamic semantics
+    during the window and leave stale sibling partitions behind on what it
+    believed was a full-table overwrite.
     """
-    spark = df.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-    finally:
-        spark.conf.set(key, prev)
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
 
 
 def read_evolved(spark: SparkSession, path: str) -> DataFrame:

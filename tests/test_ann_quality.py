@@ -62,6 +62,7 @@ def test_ivf_pq_subset_of_adc_quality(spark, sf_dir):
     from collections import Counter
 
     from etl_process_for_detecting_fraudulent_transactions_spark.queries import all_queries
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.similarity import TOP_K
 
     qs = all_queries()
     full = {
@@ -70,7 +71,7 @@ def test_ivf_pq_subset_of_adc_quality(spark, sf_dir):
     }
     pruned = qs["knn_ivf_pq"](spark, sf_dir).collect()
     per_q = Counter(r.query_id for r in pruned)
-    assert all(v <= 5 for v in per_q.values())
+    assert all(v <= TOP_K for v in per_q.values())
     overlap = [r for r in pruned if (r.query_id, r.neighbor_id) in full]
     assert overlap, "IVF pruning should retain some of the true ADC top-k"
     for r in overlap:
