@@ -76,3 +76,60 @@ def test_ivf_pq_subset_of_adc_quality(spark, sf_dir):
     assert overlap, "IVF pruning should retain some of the true ADC top-k"
     for r in overlap:
         assert full[(r.query_id, r.neighbor_id)] == r.adc_dist
+
+
+def test_pq_trainer_matches_python_simulation(spark, sf_dir):
+    """The Spark PQ trainer against an independent plain-Python integer
+    k-means on the SAME fixture vectors — truth pin, not just engine/oracle
+    agreement (both engines could share a systematic bias; a third,
+    loop-free-of-Spark implementation cannot)."""
+    import math
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.similarity import (
+        PQ_K,
+        PQ_L,
+        PQ_M,
+        PQ_SCALE,
+        PQ_SUBDIM,
+        _emb,
+        pq_encode,
+    )
+
+    vecs = {
+        r.vec_id: [math.floor(v * PQ_SCALE) for v in r.embedding]
+        for r in _emb(spark, sf_dir).collect()
+    }
+
+    def sub(vid, m):
+        return vecs[vid][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    codes = {}
+    errs = {}
+    for m in range(PQ_M):
+        cent = {c: sub(c, m) for c in range(PQ_K)}
+        for _ in range(PQ_L):
+            assign = {
+                vid: min(range(PQ_K), key=lambda c: (d2(sub(vid, m), cent[c]), c))
+                for vid in vecs
+            }
+            for c in range(PQ_K):
+                members = [vid for vid, a in assign.items() if a == c]
+                if members:
+                    cent[c] = [
+                        math.floor(sum(sub(v, m)[p] for v in members) / len(members))
+                        for p in range(PQ_SUBDIM)
+                    ]
+        for vid in vecs:
+            best = min(range(PQ_K), key=lambda c: (d2(sub(vid, m), cent[c]), c))
+            codes[(vid, m)] = best
+            errs[(vid, m)] = d2(sub(vid, m), cent[best])
+
+    got = {r.vec_id: r for r in pq_encode(spark, sf_dir).collect()}
+    assert set(got) == set(vecs)
+    for vid in vecs:
+        for m in range(PQ_M):
+            assert getattr(got[vid], f"code_{m}") == codes[(vid, m)], (vid, m)
+        assert got[vid].quant_err == sum(errs[(vid, m)] for m in range(PQ_M))
