@@ -103,6 +103,7 @@ _PRIORITY_KEYS = (
     "pq_encode",
     "knn_pq_adc",
     "knn_ivf_pq",
+    "bpe_merge_step",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -1044,3 +1044,59 @@ FROM s ORDER BY score DESC, doc_id LIMIT {SEARCH_K}
 
 QUERIES["keyword_search_topk"] = keyword_search_topk
 ORACLES["keyword_search_topk"] = ORACLE_SEARCH
+
+
+# -- BPE merge-step training ---------------------------------------------------
+# The first iteration of byte-pair-encoding TRAINING (Sennrich et al.): count
+# adjacent symbol pairs across the corpus, weighted by word frequency — the
+# top pair is the merge a BPE trainer would perform. Scale shape: pair
+# generation runs over DISTINCT words (the word-frequency table, map-side
+# combinable, is orders of magnitude smaller than token occurrences at
+# 100 TB), then one pair aggregation; top-k compiles to
+# TakeOrderedAndProject. Integer counts → hash-exact.
+
+BPE_MERGE_K = 20
+
+
+def bpe_merge_step(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    wf = (
+        d.select(F.explode(_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = wf.select(
+        "wf",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(BPE_MERGE_K)
+    )
+
+
+ORACLE_BPE_MERGE = f"""
+WITH wf AS (
+  SELECT word, COUNT(*) AS wf FROM (
+    SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+),
+pairs AS (
+  SELECT substr(word, CAST(i AS INT), 2) AS pair, wf
+  FROM wf, unnest(range(1, length(word))) AS u(i)
+  WHERE length(word) >= 2
+)
+SELECT pair, CAST(SUM(wf) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT {BPE_MERGE_K}
+"""
+
+QUERIES["bpe_merge_step"] = bpe_merge_step
+ORACLES["bpe_merge_step"] = ORACLE_BPE_MERGE
