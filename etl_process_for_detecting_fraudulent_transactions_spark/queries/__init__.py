@@ -104,6 +104,9 @@ _PRIORITY_KEYS = (
     "knn_pq_adc",
     "knn_ivf_pq",
     "bpe_merge_step",
+    # -- new in r4 session 4: exact-integer BM25 + KMV sketch algebra --
+    "bm25_topk",
+    "kmv_set_ops",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

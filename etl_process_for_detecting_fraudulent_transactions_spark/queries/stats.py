@@ -561,3 +561,167 @@ FROM b GROUP BY bucket
 
 QUERIES["equidepth_histogram"] = equidepth_histogram
 ORACLES["equidepth_histogram"] = ORACLE_EQUIDEPTH
+
+
+# -- KMV sketch set algebra ----------------------------------------------------
+# The point of KMV over HLL-style sketches is CLOSED-FORM SET ALGEBRA: the K
+# smallest hashes of A union B are a subset of (KMV(A) union KMV(B)), so two
+# K-sized sketches merge into a valid K-sized sketch of the union without
+# touching raw data, and the fraction of the union sketch's members present
+# in BOTH input sketches is an unbiased Jaccard estimator (Beyer et al.,
+# SIGMOD'07). This gate runs that algebra over every unordered pair of
+# event-type cohorts: distinct-user estimates per side, for the union (via
+# the merged sketch), and for the intersection (inclusion via Jaccard x
+# union, floored to bigint) — every step integer md5 arithmetic, so the
+# whole sketch pipeline is hash-exact against the DuckDB oracle.
+#
+# Scale shape: identical to approx_distinct_kmv — the per-cohort rank-K
+# window compiles to WindowGroupLimit (map tasks emit at most K rows per
+# cohort before the shuffle); everything downstream of the sketch build
+# runs on <= K*G rows no matter how many raw events exist. The pair joins
+# are sketch-sized broadcasts by construction.
+
+_KMV_NUM = (KMV_K - 1) * 4294967296
+
+
+def _kmv_est(m_col: str, hk_col: str):
+    return F.when(F.col(m_col) < KMV_K, F.col(m_col)).otherwise(
+        F.expr(f"CAST({_KMV_NUM} DIV GREATEST({hk_col}, 1) AS BIGINT)")
+    )
+
+
+def kmv_set_ops(spark, sf_dir):
+    """Pairwise cohort overlap from merged KMV sketches (see block comment);
+    all arithmetic bigint + two single IEEE divisions (jaccard, and none
+    for the floored intersection)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    hashes = ev.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+    )
+    per = sk.groupBy("event_type").agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).alias("m")
+    )
+    a = per.select(
+        F.col("event_type").alias("type_a"),
+        F.col("hk").alias("hk_a"),
+        F.col("m").alias("m_a"),
+    )
+    b = per.select(
+        F.col("event_type").alias("type_b"),
+        F.col("hk").alias("hk_b"),
+        F.col("m").alias("m_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    ph = (
+        F.broadcast(pairs.select("type_a", "type_b"))
+        .join(
+            sk,
+            (sk["event_type"] == F.col("type_a"))
+            | (sk["event_type"] == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == F.col("type_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == F.col("type_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("h")
+    agg = (
+        ph.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.max("h").alias("hk_u"),
+            F.count(F.lit(1)).alias("m_u"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("inter_hits"),
+        )
+    )
+    out = agg.join(F.broadcast(pairs), ["type_a", "type_b"])
+    est_u = _kmv_est("m_u", "hk_u")
+    return out.select(
+        "type_a",
+        "type_b",
+        _kmv_est("m_a", "hk_a").alias("est_a"),
+        _kmv_est("m_b", "hk_b").alias("est_b"),
+        est_u.alias("est_union"),
+        F.col("inter_hits").cast("bigint").alias("inter_hits"),
+        (F.col("inter_hits") / F.lit(KMV_K)).alias("jaccard_est"),
+        (F.col("inter_hits") * est_u).cast("bigint").alias("est_intersect_raw"),
+    ).withColumn(
+        "est_intersect",
+        F.expr(f"CAST(est_intersect_raw DIV {KMV_K} AS BIGINT)"),
+    ).drop("est_intersect_raw")
+
+
+ORACLE_KMV_SET_OPS = f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashes
+),
+sk AS (SELECT event_type, h FROM ranked WHERE rn <= {KMV_K}),
+per AS (
+  SELECT event_type, MAX(h) AS hk, COUNT(*) AS m FROM sk GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, a.hk AS hk_a, a.m AS m_a,
+         b.event_type AS type_b, b.hk AS hk_b, b.m AS m_b
+  FROM per a JOIN per b ON a.event_type < b.event_type
+),
+ph AS (
+  SELECT p.type_a, p.type_b, s.h,
+         MAX(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+  GROUP BY p.type_a, p.type_b, s.h
+),
+usk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+  FROM ph
+),
+agg AS (
+  SELECT type_a, type_b, MAX(h) AS hk_u, COUNT(*) AS m_u,
+         SUM(in_a * in_b) AS inter_hits
+  FROM usk WHERE rn <= {KMV_K} GROUP BY type_a, type_b
+),
+est AS (
+  SELECT g.type_a, g.type_b,
+         CASE WHEN p.m_a < {KMV_K} THEN p.m_a
+              ELSE {_KMV_NUM} // GREATEST(p.hk_a, 1) END AS est_a,
+         CASE WHEN p.m_b < {KMV_K} THEN p.m_b
+              ELSE {_KMV_NUM} // GREATEST(p.hk_b, 1) END AS est_b,
+         CASE WHEN g.m_u < {KMV_K} THEN g.m_u
+              ELSE {_KMV_NUM} // GREATEST(g.hk_u, 1) END AS est_union,
+         g.inter_hits
+  FROM agg g JOIN pairs p USING (type_a, type_b)
+)
+SELECT type_a, type_b,
+       CAST(est_a AS BIGINT) AS est_a,
+       CAST(est_b AS BIGINT) AS est_b,
+       CAST(est_union AS BIGINT) AS est_union,
+       CAST(inter_hits AS BIGINT) AS inter_hits,
+       CAST(inter_hits AS DOUBLE) / {KMV_K} AS jaccard_est,
+       CAST((inter_hits * est_union) // {KMV_K} AS BIGINT) AS est_intersect
+FROM est
+"""
+
+QUERIES["kmv_set_ops"] = kmv_set_ops
+ORACLES["kmv_set_ops"] = ORACLE_KMV_SET_OPS

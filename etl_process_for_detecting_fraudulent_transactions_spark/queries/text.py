@@ -1100,3 +1100,109 @@ LIMIT {BPE_MERGE_K}
 
 QUERIES["bpe_merge_step"] = bpe_merge_step
 ORACLES["bpe_merge_step"] = ORACLE_BPE_MERGE
+
+
+# -- BM25 ranked retrieval -----------------------------------------------------
+# Full BM25 (Robertson et al.) over the inverted-index tf/df/dl statistics,
+# made hash-exact by rationalizing the tf-saturation term. With k1 = 6/5 and
+# b = 3/4 (the standard 1.2 / 0.75), the per-term factor
+#   tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))      where avgdl = total/N
+# multiplied through by 10*total is EXACTLY
+#   22*total*tf / (10*total*tf + 3*total + 9*dl*N)
+# -- every operand a bigint. The gate floors that ratio at 2^10 fixed point,
+# floors the idf the same way keyword_search_topk does ((N << 10) DIV df),
+# and sums exact integer products: the whole ranking is bigint arithmetic,
+# bit-identical on any engine / any partitioning. At 100 TB the fixed-point
+# shift drops (the product idf_fp * tfc_fp * tf stays under 2^63 for any
+# corpus below ~2^40 tokens at shift 10); df/dl/total come from the same
+# one-scan aggregates the index build already produces.
+
+BM25_K = 50
+BM25_SHIFT = 10
+
+
+def bm25_topk(spark, sf_dir):
+    """BM25 top-k: one corpus scan feeds dl (per-doc length) and qtf
+    (query-term tf); df and corpus totals broadcast; scoring is exact
+    integer fixed-point (see module comment); top-k compiles to
+    TakeOrderedAndProject."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    dls = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    qtf = (
+        tok.filter(F.col("term").isin(*SEARCH_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfx = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    totals = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_tokens())).alias("total_len"),
+    )
+    scored = (
+        qtf.join(dls, "doc_id")
+        .join(F.broadcast(dfx), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "idf_fp",
+            F.expr(f"CAST(shiftleft(n_docs, {BM25_SHIFT}) DIV df AS BIGINT)"),
+        )
+        .withColumn(
+            "tfc_fp",
+            F.expr(
+                f"CAST(shiftleft(22 * total_len * tf, {BM25_SHIFT}) DIV "
+                "(10 * total_len * tf + 3 * total_len + 9 * dl * n_docs) "
+                "AS BIGINT)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("idf_fp") * F.col("tfc_fp")).alias("score"),
+            F.count("*").alias("terms_hit"),
+            F.max("dl").alias("dl"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", "score", "terms_hit", "dl")
+    )
+
+
+ORACLE_BM25 = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+dls AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+qtf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM t
+  WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term
+),
+dfx AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
+totals AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(len(list_filter(str_split(text, ' '), x -> x <> ''))) AS total_len
+  FROM documents
+),
+s AS (
+  SELECT qtf.doc_id,
+         SUM(((totals.n_docs << {BM25_SHIFT}) // dfx.df)
+             * ((22 * totals.total_len * qtf.tf << {BM25_SHIFT})
+                // (10 * totals.total_len * qtf.tf + 3 * totals.total_len
+                    + 9 * dls.dl * totals.n_docs))) AS score,
+         COUNT(*) AS terms_hit,
+         MAX(dls.dl) AS dl
+  FROM qtf
+  JOIN dls USING (doc_id)
+  JOIN dfx USING (term)
+  CROSS JOIN totals
+  GROUP BY qtf.doc_id
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score,
+       CAST(terms_hit AS BIGINT) AS terms_hit, CAST(dl AS BIGINT) AS dl
+FROM s ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+QUERIES["bm25_topk"] = bm25_topk
+ORACLES["bm25_topk"] = ORACLE_BM25
