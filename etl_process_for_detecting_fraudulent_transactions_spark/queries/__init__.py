@@ -107,6 +107,8 @@ _PRIORITY_KEYS = (
     # -- new in r4 session 4: exact-integer BM25 + KMV sketch algebra --
     "bm25_topk",
     "kmv_set_ops",
+    "bfs_distance",
+    "assoc_rules",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -405,3 +405,184 @@ ORACLE_PAGERANK = ORACLE_PAGERANK_TEMPLATE.format(
 
 QUERIES["pagerank_copurchase"] = pagerank_copurchase
 ORACLES["pagerank_copurchase"] = ORACLE_PAGERANK
+
+
+# -- multi-source BFS: landmark distance labeling -----------------------------
+# The other canonical iterative graph primitive next to PageRank: hop
+# distances from a seed set (here the deterministic 1/97 landmark sample of
+# co-purchase nodes), the building block of landmark-based shortest-path
+# features and graph-locality curation signals. Distances are small exact
+# integers, so unlike float label propagation the whole recurrence is
+# engine-replayable: dist_{k+1}(v) = min(dist_k(v), 1 + min over in-edges
+# of dist_k(u)), unrolled to BFS_ITERS hops in the oracle.
+#
+# Scale shape: the classic Pregel/GraphX msg-aggregate round — one edge
+# join + one min-groupBy per hop, lineage truncated by localCheckpoint
+# (the CC/pagerank discipline). Output is the distance histogram (≤ H+1
+# rows), never a per-node collect. On a 100-TB graph the same loop runs
+# with the edge list hash-partitioned by src; the frontier never leaves
+# the cluster.
+
+BFS_ITERS = 3
+BFS_SEED_MOD = 97
+
+
+def bfs_distance(spark, sf_dir):
+    """Distance histogram after BFS_ITERS rounds of multi-source BFS from
+    the p % 97 == 0 landmark seeds over the co-purchase graph; sum_p is an
+    order-insensitive checksum of each distance class's membership."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    dirs = (
+        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        dirs.select(F.col("src").alias("p"))
+        .distinct()
+        .filter(F.col("p") % BFS_SEED_MOD == 0)
+        .withColumn("d", F.lit(0))
+    )
+    for _ in range(BFS_ITERS):
+        hop = (
+            dirs.join(dist, dirs.src == dist.p)
+            .select(F.col("dst").alias("p"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("p")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        dist.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("p").cast("bigint").alias("sum_p"),
+        )
+        .select(F.col("d").alias("dist"), "n_nodes", "sum_p")
+    )
+
+
+_bfs_iter_sql = """
+d{K} AS (
+  SELECT p, MIN(d) AS d FROM (
+    SELECT p, d FROM d{J}
+    UNION ALL
+    SELECT dirs.dst AS p, d{J}.d + 1 AS d
+    FROM dirs JOIN d{J} ON dirs.src = d{J}.p
+  ) GROUP BY p
+)"""
+
+ORACLE_BFS_TEMPLATE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_partkey % 4 = 0
+),
+edges AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+dirs AS (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL
+  SELECT pb, pa FROM edges
+),
+d0 AS (
+  SELECT DISTINCT src AS p, 0 AS d FROM dirs WHERE src % {SEED_MOD} = 0
+),
+{ITERS}
+SELECT d AS dist, COUNT(*) AS n_nodes, CAST(SUM(p) AS BIGINT) AS sum_p
+FROM d{LAST} GROUP BY d
+"""
+
+ORACLE_BFS = ORACLE_BFS_TEMPLATE.format(
+    SEED_MOD=BFS_SEED_MOD,
+    ITERS=",".join(
+        _bfs_iter_sql.format(K=k, J=k - 1) for k in range(1, BFS_ITERS + 1)
+    ),
+    LAST=BFS_ITERS,
+)
+
+QUERIES["bfs_distance"] = bfs_distance
+ORACLES["bfs_distance"] = ORACLE_BFS
+
+
+# -- association rules: market-basket co-occurrence mining --------------------
+# The Apriori-style first mining stage over order baskets: directed rules
+# a -> b ranked by joint support, with confidence (pair/cnt_a) and lift
+# (N*pair / (cnt_a*cnt_b)) — each a SINGLE IEEE division of exact bigints,
+# so both engines agree bit-for-bit. MIN_SUP pruning is applied to the
+# PAIR counts before any per-item join: at 100 TB the support threshold is
+# what bounds the candidate-pair volume (the Apriori monotonicity
+# argument); pair generation itself is basket-bounded (~deg² per order,
+# baskets are small), identical in shape to _copurchase_edges.
+
+ASSOC_MIN_SUP = 2
+ASSOC_TOP = 100
+
+
+def assoc_rules(spark, sf_dir):
+    """Top-100 directed co-purchase rules by joint support; deterministic
+    (support desc, antecedent, consequent) order; TakeOrderedAndProject."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_orders = op.select("o").distinct().count()  # bounded driver scalar
+    item = op.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
+        .groupBy(F.col("a.p").alias("ant"), F.col("b.p").alias("cons"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= ASSOC_MIN_SUP)
+    )
+    scored = (
+        pairs.join(item.select(F.col("p").alias("ant"), F.col("cnt").alias("cnt_a")), "ant")
+        .join(item.select(F.col("p").alias("cons"), F.col("cnt").alias("cnt_b")), "cons")
+        .select(
+            "ant",
+            "cons",
+            "pair_cnt",
+            (F.col("pair_cnt") / F.lit(n_orders)).alias("support"),
+            (F.col("pair_cnt") / F.col("cnt_a")).alias("confidence"),
+            (
+                (F.col("pair_cnt") * F.lit(n_orders)).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pair_cnt"), F.asc("ant"), F.asc("cons")
+    ).limit(ASSOC_TOP)
+
+
+ORACLE_ASSOC = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
+item AS (SELECT p, COUNT(*) AS cnt FROM op GROUP BY p),
+pairs AS (
+  SELECT a.p AS ant, b.p AS cons, COUNT(*) AS pair_cnt
+  FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+  GROUP BY a.p, b.p
+  HAVING COUNT(*) >= {ASSOC_MIN_SUP}
+)
+SELECT pairs.ant, pairs.cons, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+       CAST(pair_cnt AS DOUBLE) / (SELECT n_orders FROM n) AS support,
+       CAST(pair_cnt AS DOUBLE) / ia.cnt AS confidence,
+       CAST(pair_cnt * (SELECT n_orders FROM n) AS DOUBLE)
+         / CAST(ia.cnt * ib.cnt AS DOUBLE) AS lift
+FROM pairs
+JOIN item ia ON ia.p = pairs.ant
+JOIN item ib ON ib.p = pairs.cons
+ORDER BY pair_cnt DESC, ant, cons
+LIMIT {ASSOC_TOP}
+"""
+
+QUERIES["assoc_rules"] = assoc_rules
+ORACLES["assoc_rules"] = ORACLE_ASSOC
