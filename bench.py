@@ -61,6 +61,8 @@ SCALE_KEYS = (
     "pq_encode",
     "knn_pq_adc",
     "knn_ivf_pq",
+    "bm25_topk",
+    "kmv_set_ops",
 )
 # input table each scale query is throughput-bounded by (for the rows/s numerator)
 SCALE_INPUT = {
@@ -87,6 +89,8 @@ SCALE_INPUT = {
     "pq_encode": "embeddings",
     "knn_pq_adc": "embeddings",
     "knn_ivf_pq": "embeddings",
+    "bm25_topk": "documents",
+    "kmv_set_ops": "events",
 }
 
 

@@ -109,6 +109,8 @@ _PRIORITY_KEYS = (
     "kmv_set_ops",
     "bfs_distance",
     "assoc_rules",
+    "datetime_ops",
+    "regex_ops",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -733,3 +733,80 @@ FROM active GROUP BY cohort_week, week_offset
 
 QUERIES["retention_cohorts"] = retention_cohorts
 ORACLES["retention_cohorts"] = ORACLE_RETENTION
+
+
+# -- datetime scalar surface ---------------------------------------------------
+# Engine-parity sweep of the date/time function family over o_orderdate:
+# truncation, clamped month arithmetic, period extraction, day deltas, and
+# epoch-day conversion. Every expression is a narrow JVM-side Catalyst
+# scalar (no shuffle beyond the sampled scan); cross-engine trap notes:
+# Spark dayofweek is Sunday=1 while DuckDB dow is Sunday=0, so the gate
+# pins the ISO form (Spark weekday()+1 == DuckDB isodow); both engines
+# clamp month-end in add_months/INTERVAL arithmetic.
+
+def datetime_ops(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    d = F.col("o_orderdate").cast("date")  # stored as TIMESTAMP_NTZ midnight
+    return o.select(
+        "o_orderkey",
+        d.alias("o_orderdate"),
+        F.date_trunc("quarter", d).cast("date").alias("qtr_start"),
+        F.add_months(d, 3).alias("plus_3mo"),
+        F.last_day(d).alias("month_end"),
+        (F.weekday(d) + F.lit(1)).alias("isodow"),
+        F.quarter(d).alias("qtr"),
+        F.year(d).alias("yr"),
+        F.datediff(F.lit("1998-08-02").cast("date"), d).alias("days_to_ref"),
+        F.unix_date(d).alias("epoch_days"),
+    )
+
+
+ORACLE_DATETIME_OPS = """
+WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT o_orderkey, d AS o_orderdate,
+       CAST(date_trunc('quarter', d) AS DATE) AS qtr_start,
+       CAST(d + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+       last_day(d) AS month_end,
+       CAST(isodow(d) AS INT) AS isodow,
+       CAST(quarter(d) AS INT) AS qtr,
+       CAST(year(d) AS INT) AS yr,
+       CAST(date_diff('day', d, DATE '1998-08-02') AS INT) AS days_to_ref,
+       CAST(d - DATE '1970-01-01' AS INT) AS epoch_days
+FROM o
+"""
+
+QUERIES["datetime_ops"] = datetime_ops
+ORACLES["datetime_ops"] = ORACLE_DATETIME_OPS
+
+
+# -- regexp scalar surface -----------------------------------------------------
+# Pattern-function parity on the part-name text: extraction, global
+# replacement, match counting, and predicate matching. Patterns stick to
+# character classes + anchors that mean the same thing in Java regex
+# (Spark) and RE2 (DuckDB); count/replace are all-occurrence forms.
+
+def regex_ops(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_name"), "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("devoweled"),
+        F.regexp_count(F.col("p_name"), F.lit("[aeiou]")).alias("n_vowels"),
+        F.col("p_name").rlike("^[a-z]+ [a-z]+").alias("two_words"),
+    )
+
+
+ORACLE_REGEX_OPS = """
+SELECT p_partkey,
+       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+       regexp_matches(p_name, '^[a-z]+ [a-z]+') AS two_words
+FROM part
+"""
+
+QUERIES["regex_ops"] = regex_ops
+ORACLES["regex_ops"] = ORACLE_REGEX_OPS

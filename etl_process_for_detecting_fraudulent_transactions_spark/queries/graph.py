@@ -427,23 +427,18 @@ BFS_ITERS = 3
 BFS_SEED_MOD = 97
 
 
-def bfs_distance(spark, sf_dir):
-    """Distance histogram after BFS_ITERS rounds of multi-source BFS from
-    the p % 97 == 0 landmark seeds over the co-purchase graph; sum_p is an
-    order-insensitive checksum of each distance class's membership."""
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
-    dirs = (
-        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionByName(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+def _bfs_hist(dirs, seed_mod: int, iters: int):
+    """Core BFS recurrence over a directed edge frame (src, dst): seeds are
+    src % seed_mod == 0; returns the (dist, n_nodes, sum_p) histogram after
+    ``iters`` message rounds. Unit-truth-tested on a hand-built graph in
+    tests/test_graph.py."""
     dist = (
         dirs.select(F.col("src").alias("p"))
         .distinct()
-        .filter(F.col("p") % BFS_SEED_MOD == 0)
+        .filter(F.col("p") % seed_mod == 0)
         .withColumn("d", F.lit(0))
     )
-    for _ in range(BFS_ITERS):
+    for _ in range(iters):
         hop = (
             dirs.join(dist, dirs.src == dist.p)
             .select(F.col("dst").alias("p"), (F.col("d") + 1).alias("d"))
@@ -462,6 +457,19 @@ def bfs_distance(spark, sf_dir):
         )
         .select(F.col("d").alias("dist"), "n_nodes", "sum_p")
     )
+
+
+def bfs_distance(spark, sf_dir):
+    """Distance histogram after BFS_ITERS rounds of multi-source BFS from
+    the p % 97 == 0 landmark seeds over the co-purchase graph; sum_p is an
+    order-insensitive checksum of each distance class's membership."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    dirs = (
+        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    return _bfs_hist(dirs, BFS_SEED_MOD, BFS_ITERS)
 
 
 _bfs_iter_sql = """

@@ -658,12 +658,17 @@ def kmv_set_ops(spark, sf_dir):
         _kmv_est("m_b", "hk_b").alias("est_b"),
         est_u.alias("est_union"),
         F.col("inter_hits").cast("bigint").alias("inter_hits"),
-        (F.col("inter_hits") / F.lit(KMV_K)).alias("jaccard_est"),
+        # divisor m_u, not K: in the estimation regime m_u == K exactly; in
+        # the exact regime (fewer than K distinct union hashes) inter_hits
+        # IS the exact intersection and m_u the exact union, so the ratio
+        # and the floored intersection stay exact instead of collapsing
+        (F.col("inter_hits") / F.col("m_u")).alias("jaccard_est"),
         (F.col("inter_hits") * est_u).cast("bigint").alias("est_intersect_raw"),
+        F.col("m_u"),
     ).withColumn(
         "est_intersect",
-        F.expr(f"CAST(est_intersect_raw DIV {KMV_K} AS BIGINT)"),
-    ).drop("est_intersect_raw")
+        F.expr("CAST(est_intersect_raw DIV m_u AS BIGINT)"),
+    ).drop("est_intersect_raw", "m_u")
 
 
 ORACLE_KMV_SET_OPS = f"""
@@ -710,6 +715,7 @@ est AS (
               ELSE {_KMV_NUM} // GREATEST(p.hk_b, 1) END AS est_b,
          CASE WHEN g.m_u < {KMV_K} THEN g.m_u
               ELSE {_KMV_NUM} // GREATEST(g.hk_u, 1) END AS est_union,
+         g.m_u,
          g.inter_hits
   FROM agg g JOIN pairs p USING (type_a, type_b)
 )
@@ -718,8 +724,8 @@ SELECT type_a, type_b,
        CAST(est_b AS BIGINT) AS est_b,
        CAST(est_union AS BIGINT) AS est_union,
        CAST(inter_hits AS BIGINT) AS inter_hits,
-       CAST(inter_hits AS DOUBLE) / {KMV_K} AS jaccard_est,
-       CAST((inter_hits * est_union) // {KMV_K} AS BIGINT) AS est_intersect
+       CAST(inter_hits AS DOUBLE) / m_u AS jaccard_est,
+       CAST((inter_hits * est_union) // m_u AS BIGINT) AS est_intersect
 FROM est
 """
 

@@ -86,3 +86,55 @@ def test_pagerank_known_graph(spark, tmp_path):
     assert got == r
     # the degree-3 hub must outrank everything; the pendant ranks lowest
     assert max(got, key=got.get) == 8 and min(got, key=got.get) == 12
+
+
+def test_bfs_hist_known_graph(spark):
+    """BFS core vs an independent plain-Python BFS on a hand-built directed
+    graph: path 0 -> 1 -> 2 -> 3 -> 4 plus a detached seeded node 100.
+    Seeds (p % 100 == 0, present as a src): {0, 100}. After 3 rounds:
+    dist 0 = {0, 100}, 1 = {1}, 2 = {2}, 3 = {3}; node 4 unreached."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.graph import (
+        _bfs_hist,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (100, 100)]
+    dirs = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.dist: (r.n_nodes, r.sum_p) for r in _bfs_hist(dirs, 100, 3).collect()}
+
+    # independent truth: breadth-first from the seed set, 3 rounds
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    dist = {v: 0 for v in adj if v % 100 == 0}
+    for _ in range(3):
+        for v, dv in list(dist.items()):
+            for u in adj.get(v, ()):
+                if u not in dist or dist[u] > dv + 1:
+                    dist[u] = dv + 1
+    truth = {}
+    for v, dv in dist.items():
+        n, sp = truth.get(dv, (0, 0))
+        truth[dv] = (n + 1, sp + v)
+    assert got == truth == {0: (2, 100), 1: (1, 1), 2: (1, 2), 3: (1, 3)}
+
+
+def test_assoc_rules_known_baskets(spark, tmp_path):
+    """Association-rule truth on hand-built baskets: orders {A,B,C},
+    {A,B}, {A,C}, {B} over parts A=1,B=2,C=3. N=4, cnt: A=3,B=3,C=2;
+    pair (A,B)=2, (A,C)=2, (B,C)=1 (pruned by MIN_SUP=2)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.graph import (
+        assoc_rules,
+    )
+
+    rows = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 1), (3, 3), (4, 2)]
+    path = str(tmp_path / "li2")
+    spark.createDataFrame(rows, ["l_orderkey", "l_partkey"]).write.parquet(
+        f"{path}/lineitem.parquet"
+    )
+    got = {(r.ant, r.cons): r for r in assoc_rules(spark, path).collect()}
+    assert set(got) == {(1, 2), (2, 1), (1, 3), (3, 1)}
+    r = got[(1, 2)]  # A -> B: pair 2, cnt_a 3 -> conf 2/3, lift 4*2/(3*3)
+    assert r.pair_cnt == 2 and r.support == 2 / 4
+    assert r.confidence == 2 / 3 and r.lift == 8 / 9
+    r = got[(3, 1)]  # C -> A: pair 2, cnt_c 2 -> conf 1.0, lift 4*2/(2*3)
+    assert r.confidence == 1.0 and r.lift == 8 / 6

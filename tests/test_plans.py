@@ -466,3 +466,44 @@ def test_ivf_pq_broadcasts_all_small_sides(spark, sf_dir):
     plan = _plan(knn_ivf_pq(spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_broadcasts_stats_and_topk(spark, sf_dir):
+    """BM25: df and corpus totals broadcast (never a shuffle for the tiny
+    stat sides); top-k compiles to TakeOrderedAndProject, not a global
+    sort; the corpus scan count stays bounded (tok feeds dl and qtf)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.text import (
+        bm25_topk,
+    )
+
+    plan = _plan(bm25_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_set_ops_sketch_is_group_limited(spark, sf_dir):
+    """KMV algebra: the per-cohort rank<=K filter compiles to
+    WindowGroupLimit (map tasks emit at most K rows per cohort before the
+    shuffle) and nothing downstream sort-merge joins — the pair algebra is
+    sketch-sized broadcasts."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        kmv_set_ops,
+    )
+
+    plan = _plan(kmv_set_ops(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_assoc_rules_partial_agg_and_topk(spark, sf_dir):
+    """Association rules: the pair count aggregates map-side before its
+    exchange (partial_count), and the bounded rule output is
+    TakeOrderedAndProject."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.graph import (
+        assoc_rules,
+    )
+
+    plan = _plan(assoc_rules(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan

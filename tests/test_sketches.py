@@ -107,3 +107,40 @@ def test_kmv_estimate_within_relative_error(spark):
             assert approx[k] == exact[k], f"{k}: below-K must be exact"
         else:
             assert rel < bound, f"{k}: approx {approx[k]} vs {exact[k]} (rel {rel:.3f})"
+
+
+def test_kmv_set_ops_exact_regime_and_bounds(spark, sf_dir):
+    """Sketch algebra truth: at sf0.001 every cohort has < K distinct
+    users, so the merged sketch is in the EXACT regime — est_a/est_b/
+    est_union/est_intersect must equal the true distinct counts, and
+    jaccard_est the true Jaccard. (The estimator path is exercised by the
+    sf0.01 oracle-parity gate; here we pin the exact-regime identity
+    against independently computed truth.)"""
+    import duckdb
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        kmv_set_ops,
+    )
+
+    got = {(r.type_a, r.type_b): r for r in kmv_set_ops(spark, sf_dir).collect()}
+    assert len(got) == 10  # C(5,2) cohort pairs
+    truth = duckdb.sql(
+        f"""
+        WITH u AS (
+          SELECT DISTINCT event_type, user_id
+          FROM '{sf_dir}/events.parquet' WHERE user_id IS NOT NULL
+        )
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               COUNT(DISTINCT a.user_id) FILTER (a.user_id = b.user_id) AS inter,
+               COUNT(DISTINCT a.user_id) AS na, COUNT(DISTINCT b.user_id) AS nb
+        FROM u a, u b WHERE a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+        """
+    ).fetchall()
+    for ta, tb, inter, na, nb in truth:
+        r = got[(ta, tb)]
+        union = na + nb - inter
+        assert (r.est_a, r.est_b, r.est_union) == (na, nb, union)
+        assert r.est_intersect == inter
+        assert r.jaccard_est == inter / union
+        assert r.inter_hits == inter
