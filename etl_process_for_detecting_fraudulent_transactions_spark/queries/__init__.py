@@ -111,6 +111,7 @@ _PRIORITY_KEYS = (
     "assoc_rules",
     "datetime_ops",
     "regex_ops",
+    "attribution_last_touch",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

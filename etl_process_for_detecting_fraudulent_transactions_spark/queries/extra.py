@@ -810,3 +810,83 @@ FROM part
 
 QUERIES["regex_ops"] = regex_ops
 ORACLES["regex_ops"] = ORACLE_REGEX_OPS
+
+
+# -- marketing attribution ----------------------------------------------------
+# Last-touch attribution: each purchase credits the user's most recent
+# NON-purchase touch (view/click/signup/error all count as touches here)
+# within a 7-day lookback; purchases with no in-window touch fall into the
+# 'unattributed' bucket. One user-partitioned exchange carries both the
+# touch-carry window (last ignore-nulls over preceding rows) and nothing
+# else — no self-join of the fact against itself (the naive formulation),
+# which is the difference between one shuffle and an O(events x touches)
+# join at 100 TB. Revenue sums go through exact decimal (engine-identical),
+# timestamp deltas through unix_micros (the module's floor discipline).
+
+ATTRIB_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def attribution_last_touch(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    carried = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("touch_type"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    attributed = carried.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_ts").isNotNull()
+            & (
+                F.unix_micros("ts") - F.unix_micros("touch_ts")
+                <= ATTRIB_LOOKBACK_US
+            ),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("unattributed"))
+        .alias("channel"),
+        "value",
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        _dsum("value").alias("revenue"),
+    )
+
+
+ORACLE_ATTRIBUTION = f"""
+WITH carried AS (
+  SELECT user_id, ts, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+  FROM events WHERE user_id IS NOT NULL
+),
+attributed AS (
+  SELECT CASE WHEN touch_ts IS NOT NULL
+               AND epoch_us(ts) - epoch_us(touch_ts) <= {ATTRIB_LOOKBACK_US}
+              THEN touch_type ELSE 'unattributed' END AS channel,
+         value
+  FROM carried WHERE event_type = 'purchase'
+)
+SELECT channel, COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM attributed GROUP BY channel
+"""
+
+QUERIES["attribution_last_touch"] = attribution_last_touch
+ORACLES["attribution_last_touch"] = ORACLE_ATTRIBUTION

@@ -389,6 +389,15 @@ ORACLES["countmin_heavy_hitters"] = ORACLE_COUNTMIN
 KMV_K = 64
 
 
+def _kmv_hash(col):
+    """The sketch's 32-bit hash: first 8 md5 hex chars as a bigint —
+    identical integer semantics in Spark and DuckDB (and in the streaming
+    merge path, tests/test_streaming_sketch.py)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
 def approx_distinct_kmv(spark, sf_dir):
     """KMV distinct-user sketch per event type; exact below K=64 distinct
     hashes, (K-1)*2^32 DIV h_K above (floor division — identical integer
@@ -396,10 +405,9 @@ def approx_distinct_kmv(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
-    hashes = ev.select("event_type", h.alias("h")).distinct()
+    hashes = ev.select(
+        "event_type", _kmv_hash(F.col("user_id")).alias("h")
+    ).distinct()
     w = Window.partitionBy("event_type").orderBy("h")
     topk = hashes.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= KMV_K
@@ -597,10 +605,9 @@ def kmv_set_ops(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
-    hashes = ev.select("event_type", h.alias("h")).distinct()
+    hashes = ev.select(
+        "event_type", _kmv_hash(F.col("user_id")).alias("h")
+    ).distinct()
     w = Window.partitionBy("event_type").orderBy("h")
     sk = (
         hashes.withColumn("rn", F.row_number().over(w))

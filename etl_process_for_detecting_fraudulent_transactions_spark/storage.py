@@ -172,3 +172,28 @@ def read_evolved(spark: SparkSession, path: str) -> DataFrame:
     footer sweep is a real listing cost, and steady-state readers should
     pin an explicit schema instead (``ParquetStore.read(schema=...)``)."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_resilient(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """Corrupt-file-tolerant maintenance read: skip unreadable parquet files
+    instead of failing the scan.
+
+    A long-lived 100-TB mart accumulates the occasional torn file (killed
+    writer, partial upload) and ONE bad footer must not take down a repair
+    job whose purpose is to read everything else. ``ignoreCorruptFiles`` is
+    passed as a PER-READ option (the `overwrite_partitions` discipline —
+    never a session-conf flip, which would silently let every concurrent
+    reader treat corruption as skippable). Schema is REQUIRED: inference
+    reads footers, which is exactly what corrupt files break.
+
+    Steady-state reads should NOT use this — silently skipping data is a
+    repair-mode semantic; the default scan's hard failure is the correct
+    production behavior.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(path)
+    )

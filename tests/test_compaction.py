@@ -102,3 +102,31 @@ def test_read_evolved_merges_appended_column(spark, tmp_path):
     assert set(df.columns) == {"id", "x", "score"}
     rows = {r.id: r.score for r in df.collect()}
     assert rows[1] is None and rows[2] == 7.5
+
+
+def test_read_resilient_skips_torn_file(spark, tmp_path):
+    """A truncated parquet file fails the default scan but is skipped by
+    the repair-mode read; intact rows all survive."""
+    import glob
+    import os
+
+    import pytest
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.storage import read_resilient
+
+    path = str(tmp_path / "mart")
+    spark.range(100).selectExpr("id AS v").repartition(4).write.parquet(path)
+    victim = sorted(glob.glob(f"{path}/part-*.parquet"))[0]
+    keep = spark.read.parquet(path)
+    schema = keep.schema
+    lost = (
+        spark.read.parquet(victim).count()
+    )
+    with open(victim, "r+b") as fh:  # tear the footer off
+        fh.truncate(os.path.getsize(victim) // 2)
+
+    with pytest.raises(Exception):
+        spark.read.parquet(path).count()  # default scan fails hard
+    got = read_resilient(spark, path, schema)
+    assert got.count() == 100 - lost
+    assert set(r.v for r in got.collect()) <= set(range(100))
