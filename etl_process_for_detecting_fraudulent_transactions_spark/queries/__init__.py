@@ -112,6 +112,9 @@ _PRIORITY_KEYS = (
     "datetime_ops",
     "regex_ops",
     "attribution_last_touch",
+    "variant_json_ops",
+    "classifier_eval",
+    "incremental_join_view",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

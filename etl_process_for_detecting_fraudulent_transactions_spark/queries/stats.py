@@ -738,3 +738,64 @@ FROM est
 
 QUERIES["kmv_set_ops"] = kmv_set_ops
 ORACLES["kmv_set_ops"] = ORACLE_KMV_SET_OPS
+
+
+# -- incremental view maintenance for JOINS -----------------------------------
+# incremental_monthly_rollup proves single-table aggregate maintenance; this
+# gate proves JOIN-view maintenance — the other half of IVM. For a
+# materialized join view V = agg(A join B), a batch of deltas updates it
+# without touching old x old again:
+#   V_new = V_old (+) agg(dA join B_old) (+) agg(A_old join dB)
+#                 (+) agg(dA join dB)
+# (the dedup_incremental candidate identity, applied to join-aggregates).
+# Sums/counts merge as exact decimal/bigint monoids, so the incremental
+# plan's output is BIT-IDENTICAL to the full recompute — which is exactly
+# what the DuckDB oracle computes. At 100 TB the old x old join (the whole
+# table) is the term that never runs; each maintenance batch costs
+# O(delta join full + delta join delta).
+
+def incremental_join_view(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    # deterministic delta split: late orders and mod-10 customers arrive
+    # "in the new batch"
+    o_old = o.filter(F.year("o_orderdate") < 1998)
+    o_new = o.filter(F.year("o_orderdate") >= 1998)
+    c_old = c.filter(F.col("c_custkey") % 10 != 0)
+    c_new = c.filter(F.col("c_custkey") % 10 == 0)
+
+    def part(o_, c_):
+        return (
+            o_.join(c_, o_["o_custkey"] == c_["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    merged = (
+        part(o_old, c_old)          # V_old
+        .unionByName(part(o_new, c_old))  # dA join B_old
+        .unionByName(part(o_old, c_new))  # A_old join dB
+        .unionByName(part(o_new, c_new))  # dA join dB
+        .groupBy("c_nationkey")
+        .agg(F.sum("rev").alias("rev"), F.sum("n").alias("n_orders"))
+    )
+    return merged.select(
+        "c_nationkey",
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+    )
+
+
+ORACLE_INCR_JOIN_VIEW = """
+SELECT c_nationkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+QUERIES["incremental_join_view"] = incremental_join_view
+ORACLES["incremental_join_view"] = ORACLE_INCR_JOIN_VIEW

@@ -1206,3 +1206,86 @@ FROM s ORDER BY score DESC, doc_id LIMIT {BM25_K}
 
 QUERIES["bm25_topk"] = bm25_topk
 ORACLES["bm25_topk"] = ORACLE_BM25
+
+
+# -- classifier evaluation metrics --------------------------------------------
+# The evaluation half every quality/langid classifier needs: per-class
+# tp/fp/fn, precision, recall, F1 over a (labeled, predicted) frame — here
+# the langid gate's own predictions against the documents ground truth.
+# The micro-shape trick that keeps it hash-exact: F1 = 2tp/(2tp+fp+fn)
+# = 2tp/(label_n + pred_n) — ONE division of exact integers, no p*r/(p+r)
+# float chain; precision/recall are likewise single divisions. Three
+# bounded groupBys over the prediction frame (per-class counts), full-outer
+# class union — output is O(classes), never O(docs).
+
+def classifier_eval(spark, sf_dir):
+    pred = lang_id_markers(spark, sf_dir)
+    label_n = pred.groupBy(F.col("labeled_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("label_n")
+    )
+    pred_n = pred.groupBy(F.col("predicted_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("pred_n")
+    )
+    tp = (
+        pred.filter(F.col("labeled_lang") == F.col("predicted_lang"))
+        .groupBy(F.col("labeled_lang").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    j = (
+        label_n.join(pred_n, "cls", "full_outer")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("label_n", F.lit(0)).alias("label_n"),
+            F.coalesce("pred_n", F.lit(0)).alias("pred_n"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    guard = lambda num, den: F.when(den > 0, num / den)  # noqa: E731
+    return j.select(
+        "cls",
+        F.col("tp").cast("bigint").alias("tp"),
+        (F.col("pred_n") - F.col("tp")).cast("bigint").alias("fp"),
+        (F.col("label_n") - F.col("tp")).cast("bigint").alias("fn"),
+        guard(F.col("tp"), F.col("pred_n")).alias("precision"),
+        guard(F.col("tp"), F.col("label_n")).alias("recall"),
+        guard(F.lit(2) * F.col("tp"), F.col("label_n") + F.col("pred_n")).alias(
+            "f1"
+        ),
+    )
+
+
+ORACLE_CLASSIFIER_EVAL = f"""
+WITH t AS (
+  SELECT doc_id, lang, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+c AS (SELECT doc_id, lang, {_marker_counts} FROM t),
+p AS (SELECT lang AS labeled_lang, {_pred} AS predicted_lang FROM c),
+label_n AS (SELECT labeled_lang AS cls, COUNT(*) AS label_n FROM p GROUP BY 1),
+pred_n AS (SELECT predicted_lang AS cls, COUNT(*) AS pred_n FROM p GROUP BY 1),
+tp AS (
+  SELECT labeled_lang AS cls, COUNT(*) AS tp FROM p
+  WHERE labeled_lang = predicted_lang GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(label_n.cls, pred_n.cls) AS cls,
+         COALESCE(label_n, 0) AS label_n,
+         COALESCE(pred_n, 0) AS pred_n,
+         COALESCE(tp, 0) AS tp
+  FROM label_n
+  FULL OUTER JOIN pred_n ON label_n.cls = pred_n.cls
+  LEFT JOIN tp ON COALESCE(label_n.cls, pred_n.cls) = tp.cls
+)
+SELECT cls, CAST(tp AS BIGINT) AS tp,
+       CAST(pred_n - tp AS BIGINT) AS fp,
+       CAST(label_n - tp AS BIGINT) AS fn,
+       CASE WHEN pred_n > 0 THEN CAST(tp AS DOUBLE) / pred_n END AS precision,
+       CASE WHEN label_n > 0 THEN CAST(tp AS DOUBLE) / label_n END AS recall,
+       CASE WHEN label_n + pred_n > 0
+            THEN CAST(2 * tp AS DOUBLE) / (label_n + pred_n) END AS f1
+FROM j
+"""
+
+QUERIES["classifier_eval"] = classifier_eval
+ORACLES["classifier_eval"] = ORACLE_CLASSIFIER_EVAL

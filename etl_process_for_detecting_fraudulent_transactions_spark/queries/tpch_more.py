@@ -426,3 +426,45 @@ ORACLES = {
     "tpch_q22_dormant_customers": ORACLE_TPCH_Q22,
     "json_props_stats": ORACLE_JSON_PROPS,
 }
+
+
+# -- VariantType semi-structured surface --------------------------------------
+# The modern (Spark 4) half of the JSON story next to json_props_stats'
+# classic get_json_object: ``parse_json`` shreds the string ONCE into the
+# binary Variant encoding and every ``variant_get`` is a typed path read —
+# at 100 TB the difference between re-tokenizing the JSON per extraction
+# and one parse feeding N typed reads (plus columnar shredding when
+# persisted). The gate also round-trips through an explicit-schema
+# ``from_json`` and pins both extraction routes equal in-plan (k_variant
+# = k_struct for every row), so the two surfaces can't drift apart
+# silently. DuckDB's native JSON reads replay the semantics exactly.
+
+def variant_json_ops(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    k_variant = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    k_struct = F.from_json("props", "k BIGINT").getField("k")
+    return ev.select(
+        "event_id",
+        "event_type",
+        k_variant.alias("k_variant"),
+        k_struct.alias("k_struct"),
+        (k_variant == k_struct).alias("routes_agree"),
+        # a missing path yields SQL NULL (is_variant_null is for explicit
+        # JSON nulls — a distinction worth the trap note)
+        F.expr("variant_get(parse_json(props), '$.missing') IS NULL").alias(
+            "missing_is_null"
+        ),
+    )
+
+
+ORACLE_VARIANT = """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_variant,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+       TRUE AS routes_agree,
+       TRUE AS missing_is_null
+FROM events WHERE event_id % 7 = 0
+"""
+
+QUERIES["variant_json_ops"] = variant_json_ops
+ORACLES["variant_json_ops"] = ORACLE_VARIANT
