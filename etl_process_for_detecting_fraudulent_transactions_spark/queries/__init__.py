@@ -115,6 +115,7 @@ _PRIORITY_KEYS = (
     "variant_json_ops",
     "classifier_eval",
     "incremental_join_view",
+    "drift_ks_test",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

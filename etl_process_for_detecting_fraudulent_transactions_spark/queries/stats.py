@@ -613,6 +613,12 @@ def kmv_set_ops(spark, sf_dir):
         hashes.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KMV_K)
         .select("event_type", "h")
+        # the sketch is <= K rows per cohort and feeds SIX consumers
+        # (per-side stats x2, the pair spine, the union build, the final
+        # join); without materialization Catalyst re-derives the corpus
+        # scan + window per consumer (7 FileScans measured) — caching the
+        # sketch makes the raw data cost exactly one scan at any scale
+        .cache()
     )
     per = sk.groupBy("event_type").agg(
         F.max("h").alias("hk"), F.count(F.lit(1)).alias("m")
@@ -799,3 +805,82 @@ GROUP BY c_nationkey
 
 QUERIES["incremental_join_view"] = incremental_join_view
 ORACLES["incremental_join_view"] = ORACLE_INCR_JOIN_VIEW
+
+
+# -- distribution drift: exact two-sample KS ----------------------------------
+# Drift monitoring between two data periods (the ML-pipeline health check):
+# the two-sample Kolmogorov-Smirnov statistic per event type, computed
+# EXACTLY. KS = max |F1(v) - F2(v)| over observed points; with c1,c2 the
+# tie-inclusive cumulative counts and n1,n2 the period sizes, the sup is
+# max |c1*n2 - c2*n1| / (n1*n2) — an integer max followed by ONE division,
+# so both engines agree bit-for-bit (no per-point float CDF subtraction).
+# Tie-inclusiveness comes free: the default window frame with ORDER BY
+# value is RANGE-to-current-row (peers included) in Spark AND DuckDB.
+# One value-ordered window per type (a single exchange), O(types) output.
+
+def drift_ks_test(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # deterministic period split: first half of event ids = baseline
+    p0 = F.when(F.col("event_id") % 2 == 0, 1).otherwise(0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value")
+    cum = ev.select(
+        "event_type",
+        "value",
+        F.sum(p0).over(w).alias("c1"),
+        F.sum(1 - p0).over(w).alias("c2"),
+    )
+    wt = Window.partitionBy("event_type")
+    scored = cum.select(
+        "event_type",
+        F.max("c1").over(wt).alias("n1"),
+        F.max("c2").over(wt).alias("n2"),
+        "c1",
+        "c2",
+    )
+    return (
+        scored.groupBy("event_type", "n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            ).alias("ks_num")
+        )
+        .select(
+            "event_type",
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            F.col("ks_num").cast("bigint").alias("ks_num"),
+            (F.col("ks_num") / (F.col("n1") * F.col("n2"))).alias("ks_stat"),
+        )
+    )
+
+
+ORACLE_DRIFT_KS = """
+WITH ev AS (
+  SELECT event_type, value,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS p0
+  FROM events WHERE value IS NOT NULL
+),
+cum AS (
+  SELECT event_type, value,
+         SUM(p0) OVER (PARTITION BY event_type ORDER BY value) AS c1,
+         SUM(1 - p0) OVER (PARTITION BY event_type ORDER BY value) AS c2
+  FROM ev
+),
+tot AS (
+  SELECT event_type,
+         MAX(c1) OVER (PARTITION BY event_type) AS n1,
+         MAX(c2) OVER (PARTITION BY event_type) AS n2,
+         c1, c2
+  FROM cum
+)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_num,
+       CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE) / (n1 * n2) AS ks_stat
+FROM tot GROUP BY event_type, n1, n2
+"""
+
+QUERIES["drift_ks_test"] = drift_ks_test
+ORACLES["drift_ks_test"] = ORACLE_DRIFT_KS

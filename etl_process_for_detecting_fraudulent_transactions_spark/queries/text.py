@@ -1128,7 +1128,9 @@ def bm25_topk(spark, sf_dir):
     TakeOrderedAndProject."""
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
-    dls = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # per-doc length via size() — a narrow scan-side projection (no explode,
+    # no exchange), unlike the tok groupBy it replaced
+    dls = d.select("doc_id", F.size(_tokens()).alias("dl"))
     qtf = (
         tok.filter(F.col("term").isin(*SEARCH_TERMS))
         .groupBy("doc_id", "term")

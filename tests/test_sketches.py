@@ -144,3 +144,34 @@ def test_kmv_set_ops_exact_regime_and_bounds(spark, sf_dir):
         assert r.est_intersect == inter
         assert r.jaccard_est == inter / union
         assert r.inter_hits == inter
+
+
+def test_drift_ks_known_distributions(spark, tmp_path):
+    """Exact-KS truth on hand-built samples vs an independent plain-Python
+    sup-of-CDF-difference computation (tie handling included)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        drift_ks_test,
+    )
+
+    # period0 (even ids): [1,2,2,9]; period1 (odd ids): [2,3,3,9]
+    vals = {0: 1.0, 2: 2.0, 4: 2.0, 6: 9.0, 1: 2.0, 3: 3.0, 5: 3.0, 7: 9.0}
+    rows = [(i, "t", v) for i, v in vals.items()]
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(rows, ["event_id", "event_type", "value"]).write.parquet(
+        f"{path}/events.parquet"
+    )
+    got = drift_ks_test(spark, path).collect()[0]
+
+    a = sorted(v for i, v in vals.items() if i % 2 == 0)
+    b = sorted(v for i, v in vals.items() if i % 2 == 1)
+    pts = sorted(set(a + b))
+    ks_num = max(
+        abs(
+            sum(1 for x in a if x <= p) * len(b)
+            - sum(1 for x in b if x <= p) * len(a)
+        )
+        for p in pts
+    )
+    assert (got.n1, got.n2, got.ks_num) == (len(a), len(b), ks_num)
+    assert got.ks_stat == ks_num / (len(a) * len(b))
+    assert ks_num == 8  # at v=2: F1=3/4, F2=1/4 -> |3*4 - 1*4| = 8
