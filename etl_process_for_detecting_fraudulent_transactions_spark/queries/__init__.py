@@ -116,6 +116,7 @@ _PRIORITY_KEYS = (
     "classifier_eval",
     "incremental_join_view",
     "drift_ks_test",
+    "trend_slope_ols",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

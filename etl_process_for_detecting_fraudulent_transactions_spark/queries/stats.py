@@ -884,3 +884,98 @@ FROM tot GROUP BY event_type, n1, n2
 
 QUERIES["drift_ks_test"] = drift_ks_test
 ORACLES["drift_ks_test"] = ORACLE_DRIFT_KS
+
+
+# -- per-group OLS trend (exact fixed-point form) -----------------------------
+# Regression-as-aggregation: per event type, the least-squares slope of
+# value over event time. The closed form is a ratio of exact sums —
+#   slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+# The hash-exactness trap here is NOT the sums (those are exact integers
+# once y is scaled by 10^4 and x is whole seconds): it is the final
+# decimal->double cast, where engines disagree by 1 ulp on >2^53 values.
+# So the gate never casts the big numbers: the slope ships as an exact
+# fixed-point bigint — sign(num) * (|num| * 10^12 DIV den) — truncation
+# on non-negative operands is floor in BOTH engines, and the float form
+# derives from the bigint by one exact division by 10^12. The intercept
+# is reported at the centroid (mean_y = Sy/n, values < 2^53 — safe), the
+# parameterization centering makes natural. One map-side-combinable
+# groupBy: regression over a 100-TB fact is a single scan + G-row
+# shuffle, never a per-group sort. tests/test_ml.py pins the formula
+# against a numpy/applyInPandas implementation (the batch Arrow-UDF
+# surface check).
+
+TREND_EPOCH_S = 1704067200  # 2024-01-01, near the event-time centroid
+
+_TREND_FP = 10**12
+
+
+def trend_slope_ols(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = (F.unix_micros("ts") / F.lit(1_000_000)).cast("bigint") - F.lit(
+        TREND_EPOCH_S
+    )
+    y4 = (F.col("value").cast("decimal(18,4)") * 10000).cast("bigint")
+    agg = ev.select(
+        "event_type", x.alias("x"), y4.alias("y4")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y4").alias("sy4"),
+        # per-row products fit a long; the SUMS do not -> decimal accumulate
+        F.sum((F.col("x") * F.col("y4")).cast("decimal(38,0)")).alias("sxy4"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    sxd = F.col("sx").cast("decimal(38,0)")
+    num = F.col("n") * F.col("sxy4") - sxd * F.col("sy4")
+    den = F.col("n") * F.col("sxx") - sxd * sxd
+    scored = agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "sy4",
+        num.alias("num"),
+        den.alias("den"),
+    )
+    mag = F.expr(f"CAST(abs(num) * {_TREND_FP} DIV den AS BIGINT)")
+    slope_fp = F.when(F.col("num") >= 0, mag).otherwise(-mag)
+    return scored.select(
+        "event_type",
+        "n",
+        slope_fp.alias("slope_fp_e12"),
+        (slope_fp.cast("double") / F.lit(float(_TREND_FP))).alias("slope"),
+        (F.col("sy4").cast("double") / (F.col("n") * 10000)).alias("mean_y"),
+    )
+
+
+ORACLE_TREND = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) - {TREND_EPOCH_S} AS x,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y4
+  FROM events WHERE value IS NOT NULL
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y4) AS sy4,
+         SUM(CAST(x AS HUGEINT) * y4) AS sxy4,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM ev GROUP BY event_type
+),
+nd AS (
+  SELECT event_type, n, sy4,
+         n * sxy4 - CAST(sx AS HUGEINT) * sy4 AS num,
+         n * sxx - CAST(sx AS HUGEINT) * sx AS den
+  FROM agg
+),
+fp AS (
+  SELECT event_type, n, sy4,
+         CASE WHEN num >= 0 THEN CAST(abs(num) * {_TREND_FP} // den AS BIGINT)
+              ELSE -CAST(abs(num) * {_TREND_FP} // den AS BIGINT) END AS slope_fp_e12
+  FROM nd
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, slope_fp_e12,
+       CAST(slope_fp_e12 AS DOUBLE) / {float(_TREND_FP)} AS slope,
+       CAST(sy4 AS DOUBLE) / (n * 10000) AS mean_y
+FROM fp
+"""
+
+QUERIES["trend_slope_ols"] = trend_slope_ols
+ORACLES["trend_slope_ols"] = ORACLE_TREND

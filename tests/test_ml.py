@@ -79,3 +79,64 @@ def test_mllib_minhash_recall(spark, sf_dir):
     assert exact_strong, "fixture should contain strong near-dups"
     missed = exact_strong - got
     assert not missed, f"LSH missed strong pairs: {missed}"
+
+
+def test_trend_slope_applyinpandas_parity(spark):
+    """Batch applyInPandas (the grouped Arrow-UDF surface) computes the OLS
+    fixed-point slope with plain Python integers per group — and must match
+    the Catalyst aggregate gate EXACTLY, integer for integer. Covers both
+    the UDF surface and an independent truth for the gate's algebra."""
+    import os
+
+    import pandas as pd
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        TREND_EPOCH_S,
+        _TREND_FP,
+        trend_slope_ols,
+    )
+    from tests.conftest import TESTDATA
+
+    sf_dir = os.path.join(TESTDATA, "sf0.001")
+    from pyspark.sql import functions as F
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries._io import (
+        load_table,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            ((F.unix_micros("ts") / F.lit(1_000_000)).cast("bigint") - F.lit(TREND_EPOCH_S)).alias("x"),
+            (F.col("value").cast("decimal(18,4)") * 10000).cast("bigint").alias("y4"),
+        )
+    )
+
+    def ols(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = [int(v) for v in pdf["x"]]
+        ys = [int(v) for v in pdf["y4"]]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        mag = (abs(num) * _TREND_FP) // den
+        fp = mag if num >= 0 else -mag
+        return pd.DataFrame(
+            {"event_type": [pdf["event_type"].iloc[0]], "n": [n], "slope_fp_e12": [fp]}
+        )
+
+    got = {
+        r.event_type: (r.n, r.slope_fp_e12)
+        for r in ev.groupBy("event_type")
+        .applyInPandas(ols, "event_type string, n long, slope_fp_e12 long")
+        .collect()
+    }
+    want = {
+        r.event_type: (r.n, r.slope_fp_e12)
+        for r in trend_slope_ols(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) == 5
