@@ -117,6 +117,7 @@ _PRIORITY_KEYS = (
     "incremental_join_view",
     "drift_ks_test",
     "trend_slope_ols",
+    "auc_mann_whitney",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -979,3 +979,77 @@ FROM fp
 
 QUERIES["trend_slope_ols"] = trend_slope_ols
 ORACLES["trend_slope_ols"] = ORACLE_TREND
+
+
+# -- exact AUC (Mann-Whitney) -------------------------------------------------
+# Ranking-model evaluation: AUC computed EXACTLY as the Mann-Whitney U
+# statistic with tie-averaged ranks, kept integer throughout. With
+# min-ranks from rank() and per-score tie counts, the doubled average rank
+# r2 = 2*rank + (ties-1) is an integer; U2 = sum(r2 over positives)
+# - nP*(nP+1) and AUC = U2 / (2*nP*nN) — ONE division of exact bigints.
+# Grouped per event type so the rank windows are cohort-partitioned (no
+# global sort — the partitioned window is a single exchange); labels are
+# the deterministic holdout split (event_id % 3 == 0), score is the event
+# value: the gate pins the METRIC's engine semantics, not a model.
+
+def auc_mann_whitney(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    lab = ev.select(
+        "event_type",
+        F.col("value").alias("score"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("label"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("score")
+    wt = Window.partitionBy("event_type", "score")
+    ranked = lab.select(
+        "event_type",
+        "label",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("r2"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum(F.col("label") * F.col("r2")).alias("sum_r2_pos"),
+        F.sum("label").alias("n_pos"),
+        F.sum(1 - F.col("label")).alias("n_neg"),
+    )
+    u2 = F.col("sum_r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return agg.select(
+        "event_type",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        u2.cast("bigint").alias("u2"),
+        (u2 / (2 * F.col("n_pos") * F.col("n_neg"))).alias("auc"),
+    )
+
+
+ORACLE_AUC = """
+WITH lab AS (
+  SELECT event_type, value AS score,
+         CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS label
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, label,
+         2 * RANK() OVER (PARTITION BY event_type ORDER BY score)
+           + COUNT(*) OVER (PARTITION BY event_type, score) - 1 AS r2
+  FROM lab
+),
+agg AS (
+  SELECT event_type,
+         SUM(label * r2) AS sum_r2_pos,
+         SUM(label) AS n_pos,
+         SUM(1 - label) AS n_neg
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(sum_r2_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       CAST(sum_r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+         / (2 * n_pos * n_neg) AS auc
+FROM agg
+"""
+
+QUERIES["auc_mann_whitney"] = auc_mann_whitney
+ORACLES["auc_mann_whitney"] = ORACLE_AUC

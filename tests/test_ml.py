@@ -140,3 +140,33 @@ def test_trend_slope_applyinpandas_parity(spark):
         for r in trend_slope_ols(spark, sf_dir).collect()
     }
     assert got == want and len(got) == 5
+
+
+def test_auc_known_values_with_ties(spark, tmp_path):
+    """Exact-AUC truth on a hand-built score set (ties included) vs an
+    independent plain-Python pairwise computation:
+    AUC = (wins + 0.5*ties) / (nP*nN)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        auc_mann_whitney,
+    )
+
+    # event_id%3==0 -> positive. scores: pos {0:0.9, 3:0.5, 6:0.5},
+    # neg {1:0.8, 2:0.5, 4:0.1, 5:0.3}
+    rows = [
+        (0, "t", 0.9), (3, "t", 0.5), (6, "t", 0.5),
+        (1, "t", 0.8), (2, "t", 0.5), (4, "t", 0.1), (5, "t", 0.3),
+    ]
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(rows, ["event_id", "event_type", "value"]).write.parquet(
+        f"{path}/events.parquet"
+    )
+    got = auc_mann_whitney(spark, path).collect()[0]
+
+    pos = [0.9, 0.5, 0.5]
+    neg = [0.8, 0.5, 0.1, 0.3]
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert (got.n_pos, got.n_neg) == (3, 4)
+    assert got.u2 == 2 * wins + ties
+    assert got.auc == auc == (8 + 0.5 * 2) / 12
