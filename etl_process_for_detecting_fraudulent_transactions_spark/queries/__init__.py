@@ -118,6 +118,8 @@ _PRIORITY_KEYS = (
     "drift_ks_test",
     "trend_slope_ols",
     "auc_mann_whitney",
+    # -- new in r4 session 5 --
+    "gap_islands",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -143,11 +143,66 @@ GROUP BY window_start, event_type
 """
 
 
+def gap_islands(spark, sf_dir):
+    """Gaps-and-islands: per-user runs of CONSECUTIVE activity days over the
+    events table (the retention/streak shape every analytics engine is asked
+    for). The island key is the classic ``day - row_number() days`` trick —
+    constant within a consecutive run, distinct across runs — so no self
+    join and no iteration. All four stages (distinct day set, run-id
+    window, streak rollup, per-user rollup) cluster on ``user_id``, and
+    hash-partitioning on user_id alone satisfies every one of their
+    clustering requirements (subset rule) — so the explicit repartition
+    below is the ONLY exchange in the plan (4 without it: distinct keys
+    on (user_id, day) and each stage re-shuffles). Every output is an
+    exact integer (day counts), so the gate hashes identically across
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    days = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .repartition("user_id")
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = days.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = runs.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("streak_len").cast("bigint").alias("active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("streak_len").cast("bigint").alias("longest_streak"),
+    )
+
+
+ORACLE_GAP_ISLANDS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), runs AS (
+  SELECT user_id,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS island
+  FROM days
+), streaks AS (
+  SELECT user_id, island, COUNT(*) AS streak_len
+  FROM runs GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(streak_len) AS BIGINT) AS active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(streak_len) AS BIGINT) AS longest_streak
+FROM streaks GROUP BY user_id
+"""
+
+
 QUERIES = {
     "resample_ffill": resample_ffill,
     "hopping_window_stats": hopping_window_stats,
+    "gap_islands": gap_islands,
 }
 ORACLES = {
     "resample_ffill": ORACLE_RESAMPLE_FFILL,
     "hopping_window_stats": ORACLE_HOPPING_WINDOW,
+    "gap_islands": ORACLE_GAP_ISLANDS,
 }

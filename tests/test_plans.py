@@ -507,3 +507,16 @@ def test_assoc_rules_partial_agg_and_topk(spark, sf_dir):
     plan = _plan(assoc_rules(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
+
+
+def test_gap_islands_single_exchange_no_joins(spark, sf_dir):
+    """Gaps-and-islands: hash-partitioning on user_id alone satisfies the
+    distinct, the run-id window, and both rollups (subset rule) — one
+    exchange total, no join, no iteration."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.timeseries import (
+        gap_islands,
+    )
+
+    plan = _plan(gap_islands(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Join" not in plan
