@@ -120,6 +120,7 @@ _PRIORITY_KEYS = (
     "auc_mann_whitney",
     # -- new in r4 session 5 --
     "gap_islands",
+    "chi2_independence",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -1053,3 +1053,90 @@ FROM agg
 
 QUERIES["auc_mann_whitney"] = auc_mann_whitney
 ORACLES["auc_mann_whitney"] = ORACLE_AUC
+
+
+# -- exact chi-squared independence test --------------------------------------
+# Feature-association measurement (the feature-selection / drift companion
+# to drift_ks_test): Pearson chi-squared for lang x source over documents,
+# kept EXACT end to end. Per cell, (O - E)^2/E is rationalized to
+# (O*T - R*C)^2 / (R*C*T); the numerator is scaled by 10^6 and
+# floor-divided as integers — Spark's DECIMAL(38,0) `div` and DuckDB's
+# HUGEINT `//` produce the identical integral quotient (both truncate;
+# operands are nonnegative), so the summed statistic hashes bit-for-bit.
+# Marginals come from window sums OVER THE CELL TABLE (|langs|x|sources|
+# rows), so the corpus is scanned once and shuffled once (the cell
+# groupBy); everything after is arithmetic on a structurally tiny frame.
+
+def chi2_independence(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    wr = Window.partitionBy("lang")
+    wc = Window.partitionBy("source")
+    wt = Window.partitionBy()
+    m = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(wr).alias("r"),
+        F.sum("o").over(wc).alias("c"),
+        F.sum("o").over(wt).alias("t"),
+        (
+            (F.size(F.collect_set("lang").over(wt)) - 1)
+            * (F.size(F.collect_set("source").over(wt)) - 1)
+        ).cast("bigint").alias("dof"),
+    )
+    scored = m.selectExpr(
+        "lang",
+        "source",
+        "o",
+        "CAST(CAST(r AS DECIMAL(38,0)) * c * 1000000 AS DECIMAL(38,0))"
+        " div CAST(t AS DECIMAL(38,0)) AS e_micro",
+        "CAST(CAST(o*t - r*c AS DECIMAL(38,0)) * CAST(o*t - r*c AS DECIMAL(38,0))"
+        " * 1000000 AS DECIMAL(38,0))"
+        " div CAST(CAST(r AS DECIMAL(38,0)) * c * t AS DECIMAL(38,0)) AS cell_chi2_micro",
+        "dof",
+    )
+    wtot = Window.partitionBy()
+    return scored.select(
+        "lang",
+        "source",
+        "o",
+        "e_micro",
+        "cell_chi2_micro",
+        F.sum("cell_chi2_micro").over(wtot).alias("chi2_micro"),
+        "dof",
+    )
+
+
+ORACLE_CHI2 = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+), m AS (
+  SELECT lang, source, o,
+         SUM(o) OVER (PARTITION BY lang) AS r,
+         SUM(o) OVER (PARTITION BY source) AS c,
+         SUM(o) OVER () AS t,
+         CAST((COUNT(DISTINCT lang) OVER () - 1)
+              * (COUNT(DISTINCT source) OVER () - 1) AS BIGINT) AS dof
+  FROM cells
+), scored AS (
+  SELECT lang, source, o,
+         CAST(CAST(r AS HUGEINT) * c * 1000000 // CAST(t AS HUGEINT) AS BIGINT)
+           AS e_micro,
+         CAST(CAST(o*t - r*c AS HUGEINT) * CAST(o*t - r*c AS HUGEINT) * 1000000
+              // (CAST(r AS HUGEINT) * c * t) AS BIGINT) AS cell_chi2_micro,
+         dof
+  FROM m
+)
+SELECT lang, source, o, e_micro, cell_chi2_micro,
+       SUM(cell_chi2_micro) OVER () AS chi2_micro, dof
+FROM scored
+"""
+
+QUERIES["chi2_independence"] = chi2_independence
+ORACLES["chi2_independence"] = ORACLE_CHI2

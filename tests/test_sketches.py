@@ -175,3 +175,44 @@ def test_drift_ks_known_distributions(spark, tmp_path):
     assert (got.n1, got.n2, got.ks_num) == (len(a), len(b), ks_num)
     assert got.ks_stat == ks_num / (len(a) * len(b))
     assert ks_num == 8  # at v=2: F1=3/4, F2=1/4 -> |3*4 - 1*4| = 8
+
+
+def test_chi2_independence_known_table(spark, tmp_path):
+    """Exact-chi2 truth on a hand-built contingency table vs an independent
+    plain-Python float computation: every scaled integer cell is
+    floor(10^6 * exact rational), so the summed statistic is within
+    n_cells * 1e-6 of the float chi-squared (and never above it)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        chi2_independence,
+    )
+
+    # 2x3 table: rows en/fr, cols a/b/c
+    counts = {("en", "a"): 10, ("en", "b"): 20, ("en", "c"): 30,
+              ("fr", "a"): 25, ("fr", "b"): 15, ("fr", "c"): 5}
+    rows = [
+        (i, lang, src)
+        for i, ((lang, src), n) in enumerate(counts.items())
+        for _ in range(n)
+    ]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "lang", "source"]).write.parquet(
+        f"{path}/documents.parquet"
+    )
+    out = chi2_independence(spark, path).collect()
+
+    t = sum(counts.values())
+    r = {"en": 60, "fr": 45}
+    c = {"a": 35, "b": 35, "c": 35}
+    chi2_float = sum(
+        (o - r[l] * c[s] / t) ** 2 / (r[l] * c[s] / t)
+        for (l, s), o in counts.items()
+    )
+    got = out[0]
+    assert got.dof == (2 - 1) * (3 - 1)
+    assert len(out) == 6
+    assert all(row.chi2_micro == got.chi2_micro for row in out)
+    assert 0 <= chi2_float - got.chi2_micro / 1e6 < 6e-6
+    for row in out:
+        o, l, s = counts[(row.lang, row.source)], row.lang, row.source
+        assert row.o == o
+        assert row.e_micro == (r[l] * c[s] * 10**6) // t
