@@ -121,6 +121,7 @@ _PRIORITY_KEYS = (
     # -- new in r4 session 5 --
     "gap_islands",
     "chi2_independence",
+    "ewma_anomaly",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -206,3 +206,90 @@ ORACLES = {
     "hopping_window_stats": ORACLE_HOPPING_WINDOW,
     "gap_islands": ORACLE_GAP_ISLANDS,
 }
+
+
+# -- fixed-point EWMA anomaly scan --------------------------------------------
+# The one time-series shape a Catalyst window CANNOT express: a per-series
+# SEQUENTIAL recurrence (s_i depends on s_{i-1}, not on a frame of input
+# rows). This is the documented use case for grouped applyInPandas: the
+# recurrence runs as an Arrow-batched per-group kernel. Exactness comes
+# from fixed-point integers — x is the daily value total in millis,
+# alpha = 3/16, s_i = (3*x_i + 13*s_{i-1}) intdiv 16 — so Spark's Python
+# kernel and DuckDB's RECURSIVE CTE replay the identical integer sequence
+# (all operands nonnegative: floor == truncate in every engine).
+#
+# Scale: the recurrence depth is CALENDAR days — scale-free — and the
+# fact-scale work (the daily aggregate) is one ordinary shuffle, so the
+# sequential part never grows with data volume. For genuinely long series,
+# float EWMA is an associative affine scan (compose (a,b) of s -> a*s + b
+# per segment); the truncating fixed-point form trades that associativity
+# for bit-exact replay, the right trade while depth is calendar-bounded.
+
+_EWMA_OUT_SCHEMA = (
+    "event_type string, n_days bigint, ewma_final_milli bigint, "
+    "n_anomalies bigint"
+)
+
+
+def ewma_anomaly(spark, sf_dir):
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+
+    def _scan(key, pdf):
+        xs = pdf.sort_values("day")["x"].tolist()
+        s, anom = xs[0], 0
+        for x in xs[1:]:
+            if abs(x - s) * 5 > s:
+                anom += 1
+            s = (3 * x + 13 * s) // 16
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": key[0],
+                    "n_days": len(xs),
+                    "ewma_final_milli": s,
+                    "n_anomalies": anom,
+                }
+            ]
+        )
+
+    return daily.groupBy("event_type").applyInPandas(_scan, _EWMA_OUT_SCHEMA)
+
+
+ORACLE_EWMA = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+), rec AS (
+  SELECT event_type, rn, x AS s, CAST(0 AS BIGINT) AS anom
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT seq.event_type, seq.rn,
+         (3 * seq.x + 13 * rec.s) // 16,
+         rec.anom + CASE WHEN ABS(seq.x - rec.s) * 5 > rec.s
+                         THEN 1 ELSE 0 END
+  FROM rec JOIN seq
+    ON seq.event_type = rec.event_type AND seq.rn = rec.rn + 1
+)
+SELECT event_type,
+       CAST(MAX(rn) AS BIGINT) AS n_days,
+       arg_max(s, rn) AS ewma_final_milli,
+       CAST(MAX(anom) AS BIGINT) AS n_anomalies
+FROM rec GROUP BY event_type
+"""
+
+QUERIES["ewma_anomaly"] = ewma_anomaly
+ORACLES["ewma_anomaly"] = ORACLE_EWMA

@@ -216,3 +216,40 @@ def test_chi2_independence_known_table(spark, tmp_path):
         o, l, s = counts[(row.lang, row.source)], row.lang, row.source
         assert row.o == o
         assert row.e_micro == (r[l] * c[s] * 10**6) // t
+
+
+def test_ewma_anomaly_known_series(spark, tmp_path):
+    """Fixed-point EWMA recurrence truth on a hand-built daily series vs an
+    independent plain-Python replay (anomaly checked against s BEFORE the
+    update, exactly as the gate and its recursive-CTE oracle do)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.timeseries import (
+        ewma_anomaly,
+    )
+
+    import datetime as dt
+
+    # one event per day -> daily x = floor(value*1000)
+    vals = [10.0, 10.0, 10.0, 50.0, 10.0, 10.0]  # day 4 spikes, day 5 dips
+    rows = [
+        (i, dt.datetime(2024, 1, i + 1, 12, 0, 0), 7, "t", v)
+        for i, v in enumerate(vals)
+    ]
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).write.parquet(f"{path}/events.parquet")
+
+    got = ewma_anomaly(spark, path).collect()[0]
+
+    xs = [int(v * 1000 // 1) for v in vals]
+    s, anom = xs[0], 0
+    for x in xs[1:]:
+        if abs(x - s) * 5 > s:
+            anom += 1
+        s = (3 * x + 13 * s) // 16
+    assert (got.n_days, got.ewma_final_milli, got.n_anomalies) == (
+        len(xs), s, anom,
+    )
+    # spike day, return-to-baseline day, and the day after (EWMA still
+    # elevated at 16093 milli while x is back to 10000)
+    assert anom == 3
