@@ -122,6 +122,7 @@ _PRIORITY_KEYS = (
     "gap_islands",
     "chi2_independence",
     "ewma_anomaly",
+    "minhash_containment",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -958,3 +958,94 @@ JOIN sig sb ON sb.doc_id = p.doc_b
 
 QUERIES["dedup_signature_est"] = dedup_signature_est
 ORACLES["dedup_signature_est"] = ORACLE_SIGNATURE_EST
+
+
+# -- directed containment (doc-in-doc) ----------------------------------------
+# Broder's CONTAINMENT c(A in B) = |A∩B| / |A| — the asymmetric companion
+# to Jaccard, the right measure for "is this doc substantially inside that
+# one" (contamination, quote/boilerplate inclusion, partial copies). Both
+# directions of every banded-minhash candidate pair are scored exactly
+# over the shingle sets; the threshold test is the integer cross-multiply
+# i*10 >= 6*n_inner (containment >= 0.6) so the cut is engine-exact, and
+# the emitted score is ONE IEEE division. Candidate recall is the banded
+# generator's (tuned for Jaccard): a high-containment pair whose Jaccard
+# is tiny (small doc inside a huge one) can be missed — the dedicated
+# scale refinement is banding over the SMALLER set's signature alone,
+# which the shared generator approximates here because shingle-set sizes
+# are near-uniform in this corpus. Exact verify => oracle-checkable, same
+# contract as every near-dup gate.
+
+CONTAIN_T_NUM, CONTAIN_T_DEN = 6, 10  # containment >= 0.6
+
+
+def minhash_containment(spark, sf_dir):
+    arr = _shingle_arrays(spark, sf_dir)
+    cand = _minhash_band_candidates(arr)
+    a = arr.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    b = arr.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    pairs = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("i", F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint"))
+        .withColumn("na", F.size("shs_a").cast("bigint"))
+        .withColumn("nb", F.size("shs_b").cast("bigint"))
+    )
+    ab = pairs.select(
+        F.col("doc_a").alias("inner_doc"),
+        F.col("doc_b").alias("outer_doc"),
+        "i",
+        F.col("na").alias("n_inner"),
+    )
+    ba = pairs.select(
+        F.col("doc_b").alias("inner_doc"),
+        F.col("doc_a").alias("outer_doc"),
+        "i",
+        F.col("nb").alias("n_inner"),
+    )
+    return (
+        ab.unionByName(ba)
+        .filter(F.col("i") * CONTAIN_T_DEN >= F.lit(CONTAIN_T_NUM) * F.col("n_inner"))
+        .select(
+            "inner_doc",
+            "outer_doc",
+            "i",
+            "n_inner",
+            (F.col("i") / F.col("n_inner")).alias("containment"),
+        )
+    )
+
+
+ORACLE_CONTAINMENT = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sig AS ({_SIG_SQL}),
+banded AS ({_band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT doc_a, doc_b, COUNT(*) AS i
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+  GROUP BY doc_a, doc_b
+),
+dirs AS (
+  SELECT doc_a AS inner_doc, doc_b AS outer_doc, i, sa.n AS n_inner
+  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+  UNION ALL
+  SELECT doc_b, doc_a, i, sb.n
+  FROM inter JOIN sizes sb ON doc_b = sb.doc_id
+)
+SELECT CAST(inner_doc AS BIGINT) AS inner_doc,
+       CAST(outer_doc AS BIGINT) AS outer_doc,
+       CAST(i AS BIGINT) AS i,
+       CAST(n_inner AS BIGINT) AS n_inner,
+       i / n_inner AS containment
+FROM dirs
+WHERE i * {CONTAIN_T_DEN} >= {CONTAIN_T_NUM} * n_inner
+"""
+
+QUERIES["minhash_containment"] = minhash_containment
+ORACLES["minhash_containment"] = ORACLE_CONTAINMENT
