@@ -1309,3 +1309,61 @@ def synthesize_jpeg_color_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id", "text", "source").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+# -- perceptual hashing (aHash) -----------------------------------------------
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("hash_hi", LongType()),
+        StructField("hash_lo", LongType()),
+        StructField("n_set", LongType()),
+    ]
+)
+
+
+def perceptual_hash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """aHash perceptual fingerprint over REAL decoded rasters: decode the P6
+    payload, grayscale each pixel as the channel SUM (0..765 — no float
+    luma weights, so every engine replays it), nearest-neighbor-sample a
+    ``grid x grid`` cell raster with the exact ``(k*src)//grid`` index math
+    of ``resize_nearest``, and set bit i iff ``cell_i * grid^2 >= total``
+    (the average test cross-multiplied into integers). The 64 bits pack
+    big-endian into two 32-bit halves (``hash_hi``/``hash_lo``) so the
+    values stay positive bigints in any engine.
+
+    Near-dup image search then reduces to hamming distance on the packed
+    halves — ``bit_count(xor)`` exactly as the simhash gate does for text;
+    at scale the hashes band into buckets the same way."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _maxval, raster = decode_ppm_raster(bytes(p))
+                arr = (
+                    np.frombuffer(raster, dtype=np.uint8)
+                    .reshape(h, w, 3)
+                    .astype(np.int64)
+                )
+                g = arr.sum(axis=2)
+                sy = (np.arange(grid, dtype=np.int64) * h) // grid
+                sx = (np.arange(grid, dtype=np.int64) * w) // grid
+                cells = g[sy][:, sx].reshape(-1)
+                total = int(cells.sum())
+                bits = (cells * (grid * grid) >= total).astype(np.int64)
+                half = (grid * grid) // 2
+                hi = int(sum(int(b) << (half - 1 - i) for i, b in enumerate(bits[:half])))
+                lo = int(sum(int(b) << (half - 1 - i) for i, b in enumerate(bits[half:])))
+                rows.append((mid, w, h, hi, lo, int(bits.sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "hash_hi", "hash_lo", "n_set",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=PHASH_SCHEMA)

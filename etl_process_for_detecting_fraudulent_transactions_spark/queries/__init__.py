@@ -123,6 +123,7 @@ _PRIORITY_KEYS = (
     "chi2_independence",
     "ewma_anomaly",
     "minhash_containment",
+    "multimodal_phash",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

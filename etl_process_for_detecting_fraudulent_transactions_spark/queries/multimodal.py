@@ -348,3 +348,55 @@ FROM m JOIN px USING (doc_id) JOIN adj USING (doc_id)
 
 QUERIES["multimodal_jpeg_color"] = multimodal_jpeg_color_features
 ORACLES["multimodal_jpeg_color"] = ORACLE_JPEG_COLOR
+
+
+def multimodal_phash(spark: SparkSession, sf_dir: str):
+    """aHash perceptual fingerprints over real decoded PPM payloads — the
+    image-dedup companion to the text simhash gate. The decode + grayscale
+    + 8x8 nearest sample + average-threshold bit pack runs in the real
+    Arrow kernel (operators/multimodal.py:perceptual_hash); the oracle
+    replays every integer (sample indices, channel-sum grayscale, the
+    cross-multiplied >= mean test, big-endian bit packing) analytically
+    from the deterministic payload formula."""
+    from ..operators.multimodal import perceptual_hash, synthesize_ppm_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return perceptual_hash(synthesize_ppm_media(docs))
+
+
+# cell i (row-major on the 8x8 grid): source pixel index p =
+# ((i//8)*h//8)*w + ((i%8)*w//8); grayscale = channel sum of raster bytes
+# 3p, 3p+1, 3p+2 with byte j = (doc_id*31 + j*7) % 256; bit = g*64 >= total.
+ORACLE_PHASH = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(4 + {_sql_md5_byte('text', 0)} % 13 AS BIGINT) AS w,
+         CAST(4 + {_sql_md5_byte('text', 1)} % 13 AS BIGINT) AS h
+  FROM documents
+),
+g AS (
+  SELECT doc_id, w, h, i,
+         (doc_id*31 + (3*((((i//8)*h)//8)*w + ((i%8)*w)//8))*7) % 256
+       + (doc_id*31 + (3*((((i//8)*h)//8)*w + ((i%8)*w)//8) + 1)*7) % 256
+       + (doc_id*31 + (3*((((i//8)*h)//8)*w + ((i%8)*w)//8) + 2)*7) % 256 AS gv
+  FROM m, unnest(range(0, 64)) AS u(i)
+),
+tot AS (SELECT doc_id, SUM(gv) AS total FROM g GROUP BY doc_id),
+bits AS (
+  SELECT g.doc_id, w, h, i,
+         CASE WHEN gv * 64 >= total THEN 1 ELSE 0 END AS b
+  FROM g JOIN tot USING (doc_id)
+)
+SELECT doc_id AS media_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(CASE WHEN i < 32 THEN b << (31 - i) ELSE 0 END) AS BIGINT)
+         AS hash_hi,
+       CAST(SUM(CASE WHEN i >= 32 THEN b << (63 - i) ELSE 0 END) AS BIGINT)
+         AS hash_lo,
+       CAST(SUM(b) AS BIGINT) AS n_set
+FROM bits GROUP BY doc_id
+"""
+
+QUERIES["multimodal_phash"] = multimodal_phash
+ORACLES["multimodal_phash"] = ORACLE_PHASH

@@ -691,3 +691,30 @@ def test_decode_jpeg_color_rejects_malformed():
 
     with pytest.raises(ValueError, match="mod 16"):
         encode_jpeg_color_dc(z2, z1, z1, 8, 8)
+
+
+def test_perceptual_hash_known_images(spark):
+    """aHash kernel truth on hand-built rasters: a constant image sets every
+    bit (g*64 >= total is equality everywhere); a half-black/half-white
+    image sets exactly the bright half, big-endian packed."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        perceptual_hash,
+    )
+
+    flat = _ppm(8, 8, [7] * (3 * 64))
+    # top 4 rows black, bottom 4 rows white -> bits 0..31 = 0, 32..63 = 1
+    split = _ppm(8, 8, [0] * (3 * 32) + [255] * (3 * 32))
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(flat), "s"), (2, "image", bytearray(split), "s")],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in perceptual_hash(media).collect()}
+
+    assert (got[1].hash_hi, got[1].hash_lo, got[1].n_set) == (2**32 - 1, 2**32 - 1, 64)
+    assert (got[2].hash_hi, got[2].hash_lo, got[2].n_set) == (0, 2**32 - 1, 32)
+    # hamming distance via xor bit_count on the packed halves = 32
+    h = bin(got[1].hash_hi ^ got[2].hash_hi).count("1") + bin(
+        got[1].hash_lo ^ got[2].hash_lo
+    ).count("1")
+    assert h == 32
