@@ -63,9 +63,19 @@ SCALE_KEYS = (
     "knn_ivf_pq",
     "bm25_topk",
     "kmv_set_ops",
+    "auc_mann_whitney",
+    "gap_islands",
+    "ewma_anomaly",
+    "chi2_independence",
+    "multimodal_phash",
 )
 # input table each scale query is throughput-bounded by (for the rows/s numerator)
 SCALE_INPUT = {
+    "auc_mann_whitney": "events",
+    "gap_islands": "events",
+    "ewma_anomaly": "events",
+    "chi2_independence": "documents",
+    "multimodal_phash": "documents",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",
