@@ -124,6 +124,8 @@ _PRIORITY_KEYS = (
     "ewma_anomaly",
     "minhash_containment",
     "multimodal_phash",
+    "ohlc_bars",
+    "twap_daily",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

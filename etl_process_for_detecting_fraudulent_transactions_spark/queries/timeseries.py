@@ -293,3 +293,129 @@ FROM rec GROUP BY event_type
 
 QUERIES["ewma_anomaly"] = ewma_anomaly
 ORACLES["ewma_anomaly"] = ORACLE_EWMA
+
+
+# -- OHLC bars ----------------------------------------------------------------
+
+def ohlc_bars(spark, sf_dir):
+    """Candlestick (open/high/low/close) bars per (event_type, day) — the
+    financial/TSDB downsampling rollup. Open/close are the values at the
+    first/last event of the bar under the unique (ts, event_id) order, so
+    the pick is deterministic in both engines; doubles are SELECTED (never
+    summed), and the volume column goes through exact decimal — everything
+    hashes bit-for-bit. One exchange: the row_number windows and the final
+    aggregate all cluster on (event_type, day)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("event_type", "day")
+    wa = w.orderBy("ts", "event_id")
+    wd = w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    marked = ev.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return marked.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("volume"),
+    )
+
+
+ORACLE_OHLC = """
+WITH marked AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value,
+         row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, day,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume
+FROM marked GROUP BY event_type, day
+"""
+
+
+# -- time-weighted average --------------------------------------------------
+
+def twap_daily(spark, sf_dir):
+    """Time-weighted average value per (event_type, day) — each observation
+    weighted by its holding interval to the NEXT event of the same series
+    that day (the last observation carries no interval and drops out, as
+    in the oracle). Exactness: values scale to integer millis, intervals
+    are integer microseconds, and the weighted sum accumulates in
+    DECIMAL(38,0) (the bigint products reach ~5e16 and sum past 2^63) —
+    ONE division at the end. The oracle routes its HUGEINT sum through
+    VARCHAR before the double cast: wsum exceeds 2^53, where DuckDB's
+    native hugeint->double can double-round 1 ulp off Spark's
+    correctly-rounded BigInteger conversion (the round-3 audit class). One exchange: lead window and aggregate share
+    the (event_type, day) clustering."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("x_milli"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    iv = ev.select(
+        "event_type",
+        "day",
+        "x_milli",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return iv.groupBy("event_type", "day").agg(
+        F.sum(F.col("x_milli").cast("decimal(38,0)") * F.col("dur_us"))
+        .cast("decimal(38,0)")
+        .alias("wsum"),
+        F.sum("dur_us").cast("bigint").alias("total_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+    ).select(
+        "event_type",
+        "day",
+        (F.col("wsum").cast("double") / (F.col("total_us") * 1000)).alias("twap"),
+        "total_us",
+        "n_intervals",
+    )
+
+
+ORACLE_TWAP = """
+WITH iv AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS x_milli,
+         epoch_us(lead(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                 ORDER BY ts, event_id)) - epoch_us(ts)
+           AS dur_us
+  FROM events
+)
+SELECT event_type, day,
+       -- VARCHAR-routed cast: DuckDB's HUGEINT->DOUBLE is a multiply-add
+       -- that can double-round past 2^53 (wsum ~2.4e16 at sf0.1); string
+       -- parse is correctly rounded in both engines (the round-3 decimal
+       -- audit recipe), matching Spark's BigInteger.doubleValue().
+       CAST(CAST(SUM(CAST(x_milli AS HUGEINT) * dur_us) AS VARCHAR) AS DOUBLE)
+         / (CAST(SUM(dur_us) AS BIGINT) * 1000) AS twap,
+       CAST(SUM(dur_us) AS BIGINT) AS total_us,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM iv WHERE dur_us IS NOT NULL
+GROUP BY event_type, day
+"""
+
+QUERIES["ohlc_bars"] = ohlc_bars
+ORACLES["ohlc_bars"] = ORACLE_OHLC
+QUERIES["twap_daily"] = twap_daily
+ORACLES["twap_daily"] = ORACLE_TWAP
