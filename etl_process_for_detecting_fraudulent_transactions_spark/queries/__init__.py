@@ -126,6 +126,7 @@ _PRIORITY_KEYS = (
     "multimodal_phash",
     "ohlc_bars",
     "twap_daily",
+    "decision_stump_train",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -1140,3 +1140,124 @@ FROM scored
 
 QUERIES["chi2_independence"] = chi2_independence
 ORACLES["chi2_independence"] = ORACLE_CHI2
+
+
+# -- decision-stump training (exact Gini split) -------------------------------
+# One round of tree learning made engine-exact: the best single threshold
+# split of `value` (binned to integer units) predicting the deterministic
+# holdout label, per event_type cohort. Minimizing weighted Gini impurity
+# is equivalent to MAXIMIZING S = (posL^2+negL^2)/nL + (posR^2+negR^2)/nR;
+# S is evaluated in fixed point — each term scaled by 10^12 and
+# floor-divided (DECIMAL(38,0) div == HUGEINT // on nonneg operands, the
+# chi2 recipe) — so the argmax and every emitted number are exact integers
+# in both engines (ties broken by lowest threshold). Candidate thresholds
+# come from cumulative window sums over the per-(type, bin) histogram:
+# NO per-threshold rescan of the fact table — the classic
+# sort-once/scan-once split-finding shape, clustered on event_type so the
+# histogram, the cumulative window, and the argmax share one exchange.
+
+_STUMP_K = 10**12
+
+
+def decision_stump_train(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    lab = ev.select(
+        "event_type",
+        F.floor("value").cast("bigint").alias("bin"),
+        (F.col("event_id") % 3 == 0).cast("bigint").alias("label"),
+    ).repartition("event_type")
+    hist = lab.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("label").alias("pos")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(wcum).alias("n_l"),
+        F.sum("pos").over(wcum).alias("pos_l"),
+        F.sum("cnt").over(wtot).alias("n"),
+        F.sum("pos").over(wtot).alias("npos"),
+    ).filter(F.col("n_l") < F.col("n"))
+    scored = cum.selectExpr(
+        "event_type",
+        "bin",
+        "n_l",
+        "pos_l",
+        "n - n_l AS n_r",
+        "npos - pos_l AS pos_r",
+        f"""CAST((CAST(pos_l AS DECIMAL(38,0)) * pos_l
+              + CAST(n_l - pos_l AS DECIMAL(38,0)) * (n_l - pos_l))
+             * {_STUMP_K} AS DECIMAL(38,0)) div CAST(n_l AS DECIMAL(38,0))
+          + CAST((CAST(npos - pos_l AS DECIMAL(38,0)) * (npos - pos_l)
+              + CAST((n - n_l) - (npos - pos_l) AS DECIMAL(38,0))
+                * ((n - n_l) - (npos - pos_l)))
+             * {_STUMP_K} AS DECIMAL(38,0)) div CAST(n - n_l AS DECIMAL(38,0))
+          AS split_score""",
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.col("split_score").desc(), F.col("bin")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("bin").alias("threshold"),
+            F.col("n_l").cast("bigint").alias("n_left"),
+            F.col("pos_l").cast("bigint").alias("pos_left"),
+            F.col("n_r").cast("bigint").alias("n_right"),
+            F.col("pos_r").cast("bigint").alias("pos_right"),
+            F.col("split_score").cast("bigint").alias("split_score"),
+        )
+    )
+
+
+ORACLE_STUMP = f"""
+WITH lab AS (
+  SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS bin,
+         CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS label
+  FROM events WHERE value IS NOT NULL
+), hist AS (
+  SELECT event_type, bin, COUNT(*) AS cnt, SUM(label) AS pos
+  FROM lab GROUP BY event_type, bin
+), cum AS (
+  SELECT event_type, bin,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS n_l,
+         SUM(pos) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS pos_l,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n,
+         SUM(pos) OVER (PARTITION BY event_type) AS npos
+  FROM hist
+), scored AS (
+  SELECT event_type, bin, n_l, pos_l, n - n_l AS n_r, npos - pos_l AS pos_r,
+         (CAST(pos_l AS HUGEINT) * pos_l
+            + CAST(n_l - pos_l AS HUGEINT) * (n_l - pos_l)) * {_STUMP_K}
+           // CAST(n_l AS HUGEINT)
+       + (CAST(npos - pos_l AS HUGEINT) * (npos - pos_l)
+            + CAST((n - n_l) - (npos - pos_l) AS HUGEINT)
+              * ((n - n_l) - (npos - pos_l))) * {_STUMP_K}
+           // CAST(n - n_l AS HUGEINT)
+           AS split_score
+  FROM cum WHERE n_l < n
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY split_score DESC, bin) AS rn
+  FROM scored
+)
+SELECT event_type, bin AS threshold,
+       CAST(n_l AS BIGINT) AS n_left, CAST(pos_l AS BIGINT) AS pos_left,
+       CAST(n_r AS BIGINT) AS n_right, CAST(pos_r AS BIGINT) AS pos_right,
+       CAST(split_score AS BIGINT) AS split_score
+FROM best WHERE rn = 1
+"""
+
+QUERIES["decision_stump_train"] = decision_stump_train
+ORACLES["decision_stump_train"] = ORACLE_STUMP

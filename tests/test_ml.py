@@ -170,3 +170,45 @@ def test_auc_known_values_with_ties(spark, tmp_path):
     assert (got.n_pos, got.n_neg) == (3, 4)
     assert got.u2 == 2 * wins + ties
     assert got.auc == auc == (8 + 0.5 * 2) / 12
+
+
+def test_decision_stump_known_split(spark, tmp_path):
+    """Stump truth on a hand-built set vs an independent plain-Python
+    exhaustive split search (same fixed-point score, same tie rule)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        decision_stump_train,
+    )
+
+    # positives (event_id%3==0) cluster at low values -> best split ~ value<=3
+    data = [  # (event_id, value)
+        (0, 1.2), (3, 2.1), (6, 3.0), (9, 2.9), (12, 8.5),
+        (1, 7.1), (2, 8.3), (4, 9.0), (5, 3.4), (7, 7.7), (8, 9.9),
+    ]
+    rows = [(i, "t", v) for i, v in data]
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(rows, ["event_id", "event_type", "value"]).write.parquet(
+        f"{path}/events.parquet"
+    )
+    got = decision_stump_train(spark, path).collect()[0]
+
+    K = 10**12
+    pts = [(int(v), 1 if i % 3 == 0 else 0) for i, v in data]
+    bins = sorted({b for b, _ in pts})
+    n, npos = len(pts), sum(l for _, l in pts)
+    best = None
+    for t in bins:
+        nl = sum(1 for b, _ in pts if b <= t)
+        if nl == n:
+            continue
+        pl = sum(l for b, l in pts if b <= t)
+        nr, pr = n - nl, npos - pl
+        s = ((pl * pl + (nl - pl) * (nl - pl)) * K) // nl + (
+            (pr * pr + (nr - pr) * (nr - pr)) * K
+        ) // nr
+        if best is None or s > best[0] or (s == best[0] and t < best[1]):
+            best = (s, t, nl, pl, nr, pr)
+    assert (got.split_score, got.threshold, got.n_left, got.pos_left,
+            got.n_right, got.pos_right) == best
+    # bins <=2 are purely positive (3/3); including bin 3 admits a negative
+    # and scores lower (7.73e12 vs 8e12)
+    assert got.threshold == 2
