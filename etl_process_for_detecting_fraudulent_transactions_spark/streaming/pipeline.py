@@ -783,3 +783,82 @@ def ann_probe_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# -- online EWMA anomaly detection --------------------------------------------
+
+EWMA_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("x_milli", LongType()),
+        StructField("s_prev_milli", LongType()),
+    ]
+)
+
+# state: (s_milli, n_seen) — two longs per series, O(1) forever
+EWMA_STATE_SCHEMA = StructType(
+    [StructField("s", LongType()), StructField("n", LongType())]
+)
+
+
+def ewma_stream(ev: DataFrame) -> DataFrame:
+    """Online per-event EWMA anomaly detection: the fixed-point recurrence
+    of the batch ``ewma_anomaly`` gate (alpha = 3/16, integer millis,
+    truncating div — nonnegative operands) run per event over a stream,
+    per event_type series, via ``applyInPandasWithState``. State is TWO
+    longs (current smoothed value, count); an output row is emitted for
+    every event deviating >20% from the running EWMA (the integer
+    cross-multiplied |x - s|*5 > s test), carrying the pre-update EWMA so
+    consumers can reconstruct the decision.
+
+    Same ordering contract as the other stateful streams: each batch sorts
+    by (ts, event_id); cross-batch order comes from the replayed file
+    cadence. Exact-replay equivalence against an independent plain-Python
+    recurrence is pinned in tests/test_streaming.py."""
+    filtered = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("x_milli"),
+        )
+    )
+
+    def scan(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        s, n = state.get if state.exists else (0, 0)
+        out = []
+        batch = [pdf for pdf in pdfs]
+        if batch:
+            allrows = pd.concat(batch).sort_values(
+                ["ts_us", "event_id"], kind="mergesort"
+            )
+            for r in allrows.itertuples():
+                x = int(r.x_milli)
+                if n > 0:
+                    if abs(x - s) * 5 > s:
+                        out.append((key[0], int(r.event_id), x, s))
+                    s = (3 * x + 13 * s) // 16
+                else:
+                    s = x
+                n += 1
+        state.update((s, n))
+        state.setTimeoutDuration(6 * 60 * 60 * 1000)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["event_type", "event_id", "x_milli", "s_prev_milli"]
+            )
+
+    return filtered.groupBy("event_type").applyInPandasWithState(
+        scan,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -615,3 +615,63 @@ def test_funnel_stream_out_of_order_divergence(spark, tmp_path):
     # nullable-output contract: unreached steps are NULL, not 0
     assert rows[0].t_click_us is None and rows[0].t_purchase_us is None, rows
     assert rows[1].t_purchase_us is None, rows
+
+
+def test_ewma_stream_matches_python_replay(spark, tmp_path):
+    """The online EWMA stream on an ordered replay emits EXACTLY the anomaly
+    set of an independent plain-Python run of the same fixed-point
+    recurrence over the (ts, event_id)-ordered events."""
+    from tests.conftest import TESTDATA
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries._io import (
+        load_table,
+    )
+    from etl_process_for_detecting_fraudulent_transactions_spark.streaming.pipeline import (
+        ewma_stream,
+    )
+
+    sf_dir = os.path.join(TESTDATA, "sf0.001")
+    landing = str(tmp_path / "landing")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    ev.orderBy("ts", "event_id").coalesce(1).write.parquet(landing)
+
+    stream = spark.readStream.schema(spark.read.parquet(landing).schema).parquet(
+        landing
+    )
+    q = (
+        ewma_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ewma"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_sink_stable(spark, q, "SELECT COUNT(*) AS n FROM ewma_stream_out")
+    got = {
+        (r.event_type, r.event_id): (r.x_milli, r.s_prev_milli)
+        for r in spark.sql("SELECT * FROM ewma_stream_out").collect()
+    }
+    assert got, "stream emitted nothing"
+
+    rows = sorted(
+        (
+            (r.ts, r.event_id, r.event_type, r.value)
+            for r in ev.collect()
+            if r.value is not None
+        ),
+    )
+    want, state = {}, {}
+    for ts, eid, etype, v in rows:
+        x = int(v * 1000 // 1)
+        s, n = state.get(etype, (0, 0))
+        if n > 0:
+            if abs(x - s) * 5 > s:
+                want[(etype, eid)] = (x, s)
+            s = (3 * x + 13 * s) // 16
+        else:
+            s = x
+        state[etype] = (s, n + 1)
+    assert got == want
