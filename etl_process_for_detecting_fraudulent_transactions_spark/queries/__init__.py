@@ -127,6 +127,7 @@ _PRIORITY_KEYS = (
     "ohlc_bars",
     "twap_daily",
     "decision_stump_train",
+    "interval_union",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

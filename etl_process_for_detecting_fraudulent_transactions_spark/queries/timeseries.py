@@ -419,3 +419,91 @@ QUERIES["ohlc_bars"] = ohlc_bars
 ORACLES["ohlc_bars"] = ORACLE_OHLC
 QUERIES["twap_daily"] = twap_daily
 ORACLES["twap_daily"] = ORACLE_TWAP
+
+
+# -- interval union (overlap merge) -------------------------------------------
+
+def interval_union(spark, sf_dir):
+    """Merge overlapping intervals per user and measure covered time — the
+    classic sweep-line union (billing/busy-time/uptime analytics). Each
+    event spans [ts, ts + value seconds]; an interval starts a NEW island
+    iff its start exceeds the running max end of every earlier interval
+    (a 1-preceding-bounded cumulative max window), island ids are the
+    running sum of those flags, and covered time sums the per-island
+    spans. Everything is integer microseconds under the unique
+    (start, event_id) total order, so both engines produce the identical
+    merge. All stages cluster on user_id — the gap_islands subset-rule
+    shape — so the explicit repartition is the plan's only exchange."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("start_us"),
+        (
+            F.unix_micros("ts")
+            + F.floor("value").cast("bigint") * 1_000_000
+        ).alias("end_us"),
+    ).repartition("user_id")
+    w = Window.partitionBy("user_id").orderBy("start_us", "event_id")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = iv.select(
+        "user_id",
+        "event_id",
+        "start_us",
+        "end_us",
+        F.when(
+            F.col("start_us") > F.coalesce(F.max("end_us").over(wprev), F.lit(-1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    ).withColumn("island", F.sum("new_island").over(wcum))
+    islands = marked.groupBy("user_id", "island").agg(
+        F.min("start_us").alias("i_start"),
+        F.max("end_us").alias("i_end"),
+        F.count(F.lit(1)).alias("i_n"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("i_n").cast("bigint").alias("n_intervals"),
+        F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        F.sum(F.col("i_end") - F.col("i_start")).cast("bigint").alias("covered_us"),
+        F.max("i_end").cast("bigint").alias("last_end_us"),
+    )
+
+
+ORACLE_INTERVAL_UNION = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS start_us,
+         epoch_us(ts) + CAST(FLOOR(value) AS BIGINT) * 1000000 AS end_us
+  FROM events WHERE value IS NOT NULL
+), marked AS (
+  SELECT user_id, event_id, start_us, end_us,
+         CASE WHEN start_us > COALESCE(
+                MAX(end_us) OVER (PARTITION BY user_id
+                                  ORDER BY start_us, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), islanded AS (
+  SELECT user_id, start_us, end_us,
+         SUM(new_island) OVER (PARTITION BY user_id
+                               ORDER BY start_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+), islands AS (
+  SELECT user_id, island, MIN(start_us) AS i_start, MAX(end_us) AS i_end,
+         COUNT(*) AS i_n
+  FROM islanded GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(i_n) AS BIGINT) AS n_intervals,
+       CAST(COUNT(*) AS BIGINT) AS n_merged,
+       CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us,
+       CAST(MAX(i_end) AS BIGINT) AS last_end_us
+FROM islands GROUP BY user_id
+"""
+
+QUERIES["interval_union"] = interval_union
+ORACLES["interval_union"] = ORACLE_INTERVAL_UNION

@@ -253,3 +253,32 @@ def test_ewma_anomaly_known_series(spark, tmp_path):
     # spike day, return-to-baseline day, and the day after (EWMA still
     # elevated at 16093 milli while x is back to 10000)
     assert anom == 3
+
+
+def test_interval_union_known_intervals(spark, tmp_path):
+    """Interval-merge truth on hand-built overlapping/touching/disjoint
+    spans: [0,10] + [5,12] merge (overlap), [12,20] merges too (touching
+    start == running max end is NOT a new island), [25,30] is disjoint."""
+    import datetime as dt
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.timeseries import (
+        interval_union,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [  # (event_id, start_offset_s, duration_s)
+        (1, 0, 10), (2, 5, 7), (3, 12, 8), (4, 25, 5),
+    ]
+    data = [
+        (eid, base + dt.timedelta(seconds=off), 42, "t", float(dur))
+        for eid, off, dur in rows
+    ]
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(
+        data, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).write.parquet(f"{path}/events.parquet")
+
+    got = interval_union(spark, path).collect()[0]
+    # islands: [0,20] (three intervals chain) and [25,30]
+    assert (got.n_intervals, got.n_merged) == (4, 2)
+    assert got.covered_us == (20 + 5) * 1_000_000
