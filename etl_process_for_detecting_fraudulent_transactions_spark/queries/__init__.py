@@ -128,6 +128,7 @@ _PRIORITY_KEYS = (
     "twap_daily",
     "decision_stump_train",
     "interval_union",
+    "record_linkage_fs",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

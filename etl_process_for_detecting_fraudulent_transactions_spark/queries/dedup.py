@@ -1049,3 +1049,98 @@ WHERE i * {CONTAIN_T_DEN} >= {CONTAIN_T_NUM} * n_inner
 
 QUERIES["minhash_containment"] = minhash_containment
 ORACLES["minhash_containment"] = ORACLE_CONTAINMENT
+
+
+# -- Fellegi-Sunter record-linkage scoring ------------------------------------
+# Entity resolution's decision layer on top of the blocked fuzzy-candidate
+# machinery: each blocked pair gets an AGREEMENT VECTOR over independent
+# field comparisons, each field contributes its log-odds weight
+# (round(8*ln(m/u)) — in production the m/u probabilities come from EM
+# over the blocked pairs; here they are configured literals so the gate
+# pins the scoring/decision engine semantics, not the estimator), and the
+# summed score thresholds into link / possible / nonlink. All weights and
+# comparisons are exact integers — the classic Fellegi-Sunter (1969)
+# decision rule, engine-exact.
+
+_FS_W = {
+    "name_strong": 24,   # levenshtein <= 1
+    "name_weak": 8,      # levenshtein 2..3
+    "seg_agree": 5,
+    "seg_disagree": -3,
+    "bal_agree": 11,     # same 1000-unit account-balance band
+    "bal_disagree": -2,
+}
+_FS_LINK_T, _FS_POSSIBLE_T = 35, 15
+
+
+def record_linkage_fs(spark, sf_dir):
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_custkey") % 3 == 0)  # fuzzy_name_pairs block sizing
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 3)
+        )
+        .filter(F.col("dist") >= 0)
+    )
+    name_w = F.when(F.col("dist") <= 1, F.lit(_FS_W["name_strong"])).otherwise(
+        F.lit(_FS_W["name_weak"])
+    )
+    seg_w = F.when(
+        F.col("a.c_mktsegment") == F.col("b.c_mktsegment"),
+        F.lit(_FS_W["seg_agree"]),
+    ).otherwise(F.lit(_FS_W["seg_disagree"]))
+    bal_w = F.when(
+        F.floor(F.col("a.c_acctbal") / 1000) == F.floor(F.col("b.c_acctbal") / 1000),
+        F.lit(_FS_W["bal_agree"]),
+    ).otherwise(F.lit(_FS_W["bal_disagree"]))
+    scored = pairs.select(
+        F.col("a.c_custkey").alias("k1"),
+        F.col("b.c_custkey").alias("k2"),
+        F.col("dist").cast("int").alias("dist"),
+        (name_w + seg_w + bal_w).cast("int").alias("score"),
+    )
+    return scored.withColumn(
+        "decision",
+        F.when(F.col("score") >= _FS_LINK_T, "link")
+        .when(F.col("score") >= _FS_POSSIBLE_T, "possible")
+        .otherwise("nonlink"),
+    )
+
+
+ORACLE_FS = f"""
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 3 = 0
+), pairs AS (
+  SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+         levenshtein(a.c_name, b.c_name) AS dist,
+         CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+              THEN {_FS_W["name_strong"]} ELSE {_FS_W["name_weak"]} END
+       + CASE WHEN a.c_mktsegment = b.c_mktsegment
+              THEN {_FS_W["seg_agree"]} ELSE {_FS_W["seg_disagree"]} END
+       + CASE WHEN FLOOR(a.c_acctbal / 1000) = FLOOR(b.c_acctbal / 1000)
+              THEN {_FS_W["bal_agree"]} ELSE {_FS_W["bal_disagree"]} END
+           AS score
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 3
+)
+SELECT CAST(k1 AS BIGINT) AS k1, CAST(k2 AS BIGINT) AS k2,
+       CAST(dist AS INT) AS dist, CAST(score AS INT) AS score,
+       CASE WHEN score >= {_FS_LINK_T} THEN 'link'
+            WHEN score >= {_FS_POSSIBLE_T} THEN 'possible'
+            ELSE 'nonlink' END AS decision
+FROM pairs
+"""
+
+QUERIES["record_linkage_fs"] = record_linkage_fs
+ORACLES["record_linkage_fs"] = ORACLE_FS
