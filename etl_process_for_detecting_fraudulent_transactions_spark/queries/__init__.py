@@ -49,16 +49,14 @@ from . import (
 #      the r1 failures fixed in r2), then the dedup core; with the 16 new/
 #      changed keys ahead of them (11 never driver-checked + 5 changed-but-
 #      r3-green), the ~50-query window keeps ~11 of these.
-# Final first-50 mix after session 3's seven new gates (jpeg_color, the
-# IR pair, equidepth, and the PQ trio) joined the head
-# (tools/rotation_check.py): 19 never + 26 r1-stale + 4 r3 + 1 r2. The new
-# gates displace window_distribution_funcs / window_rank_topn (r1
-# evidence) to positions 51-52 — named r5 debt alongside the r2-stale
-# text_token_stats / text_quality / train_test_split / stratified_sample
-# and the doc_* / embedding_hof / grouping_sets / timeseries / quality
-# leftovers — all keep local parity coverage in tests/test_oracle_parity.py
-# every session, and the whole registry was rehearsed green at sf0.01 (and
-# at sf0.1 in session 2) this round.
+# Final first-50 mix after sessions 3-5 (tools/rotation_check.py): 43
+# never-driver-checked + 4 r3 + 2 r1 + 1 r2. Session 5 added 11 gates
+# (auc/gap_islands/chi2/ewma/containment/phash/ohlc/twap/stump/interval/
+# record_linkage), displacing 26 r1-stale relational/tpch keys past
+# position 50 — named r5 debt (all were green in r1, all keep local
+# parity coverage in tests/test_oracle_parity.py, and the whole registry
+# is rehearsed green at sf0.01 — most gates also at sf0.001 and sf0.1 —
+# every session).
 _MODULES = (
     relational,
     extra,
