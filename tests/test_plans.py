@@ -520,3 +520,25 @@ def test_gap_islands_single_exchange_no_joins(spark, sf_dir):
     plan = _plan(gap_islands(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "Join" not in plan
+
+
+def test_session5_gates_single_exchange_no_joins(spark, sf_dir):
+    """Session-5 window-family gates each cluster their whole chain on one
+    key: at most ONE hash exchange, zero joins. (chi2's extra
+    SinglePartition exchange runs over the |langs|x|sources| cell frame —
+    structurally tiny — and is allowed.)"""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        auc_mann_whitney,
+        decision_stump_train,
+    )
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.timeseries import (
+        interval_union,
+        ohlc_bars,
+        twap_daily,
+    )
+
+    for fn in (interval_union, ohlc_bars, twap_daily, decision_stump_train,
+               auc_mann_whitney):
+        plan = _plan(fn(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") <= 1, fn.__name__
+        assert "Join" not in plan, fn.__name__
