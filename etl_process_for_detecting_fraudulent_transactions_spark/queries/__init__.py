@@ -127,6 +127,7 @@ _PRIORITY_KEYS = (
     "decision_stump_train",
     "interval_union",
     "record_linkage_fs",
+    "bloom_filter_probe",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

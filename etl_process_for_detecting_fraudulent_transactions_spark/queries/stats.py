@@ -1261,3 +1261,123 @@ FROM best WHERE rn = 1
 
 QUERIES["decision_stump_train"] = decision_stump_train
 ORACLES["decision_stump_train"] = ORACLE_STUMP
+
+
+# -- engine-replayable Bloom filter -------------------------------------------
+# The membership sketch made oracle-checkable, same recipe that made the
+# count-min and KMV sketches exact: every bit position comes from md5
+# arithmetic both engines replay bit-for-bit. Build: the blacklist's
+# distinct users each set K=3 bits of an m=1024-bit filter stored as 32
+# x 32-bit words (bit values stay below 2^31, so 1<<bit is plain bigint
+# arithmetic everywhere — no sign traps); words aggregate via bit_or, a
+# mergeable map-side-combinable monoid (the 100-TB build is one narrow
+# groupBy over K rows per key). Probe: every distinct event user checks
+# its 3 bits against the BROADCAST word table — the classic pre-join
+# filter structure; Spark's own runtime bloom injection is pinned in
+# tests/test_plans.py, this gate pins the STRUCTURE's exactness and its
+# false-positive accounting against ground truth.
+
+BLOOM_M, BLOOM_K = 1024, 3
+
+
+def _bloom_pos(col, j):
+    """Bit position j for a key: md5 of 'j:key', first 8 hex chars mod m."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % BLOOM_M
+    )
+
+
+def bloom_filter_probe(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.select("user_id").distinct()
+    black = users.filter(F.col("user_id") % 17 == 0)
+
+    pos = black.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("user_id"), j) for j in range(BLOOM_K)])
+        ).alias("pos")
+    )
+    words = pos.selectExpr(
+        "CAST(pos / 32 AS BIGINT) AS word_idx",
+        "CAST(shiftleft(1, CAST(pos % 32 AS INT)) AS BIGINT) AS mask",
+    ).groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
+
+    probes = users.select(
+        "user_id",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("user_id"), j) for j in range(BLOOM_K)])
+        ).alias("pos"),
+    ).selectExpr(
+        "user_id",
+        "CAST(pos / 32 AS BIGINT) AS word_idx",
+        "CAST(shiftleft(1, CAST(pos % 32 AS INT)) AS BIGINT) AS mask",
+    )
+    hits = (
+        probes.join(F.broadcast(words), "word_idx", "left")
+        .withColumn(
+            "bit_set",
+            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask")) != 0).cast("int"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("bit_set").alias("n_bits"))
+        .withColumn("maybe", (F.col("n_bits") == BLOOM_K).cast("int"))
+        .withColumn("actual", (F.col("user_id") % 17 == 0).cast("int"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probed"),
+        F.sum("maybe").cast("bigint").alias("n_maybe"),
+        F.sum("actual").cast("bigint").alias("n_member"),
+        F.sum(F.col("maybe") * (1 - F.col("actual"))).cast("bigint").alias("n_false_pos"),
+        F.sum((1 - F.col("maybe")) * F.col("actual")).cast("bigint").alias("n_false_neg"),
+    ).withColumn(
+        "fp_rate",
+        F.col("n_false_pos") / (F.col("n_probed") - F.col("n_member")),
+    )
+
+
+_BLOOM_POS_SQL = (
+    "(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8))"
+    f"::UBIGINT::BIGINT % {BLOOM_M})"
+)
+
+ORACLE_BLOOM = f"""
+WITH users AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+), pos AS (
+  SELECT unnest([{", ".join(_BLOOM_POS_SQL.format(j=j) for j in range(BLOOM_K))}]) AS pos
+  FROM users WHERE user_id % 17 = 0
+), words AS (
+  SELECT pos // 32 AS word_idx, bit_or(1 << (pos % 32)) AS word
+  FROM pos GROUP BY pos // 32
+), probes AS (
+  SELECT user_id,
+         unnest([{", ".join(_BLOOM_POS_SQL.format(j=j) for j in range(BLOOM_K))}]) AS pos
+  FROM users
+), hits AS (
+  SELECT p.user_id,
+         SUM(CASE WHEN COALESCE(w.word, 0) & (1 << (p.pos % 32)) <> 0
+                  THEN 1 ELSE 0 END) AS n_bits,
+         MAX(CASE WHEN p.user_id % 17 = 0 THEN 1 ELSE 0 END) AS actual
+  FROM probes p LEFT JOIN words w ON p.pos // 32 = w.word_idx
+  GROUP BY p.user_id
+), cls AS (
+  SELECT user_id, CASE WHEN n_bits = {BLOOM_K} THEN 1 ELSE 0 END AS maybe, actual
+  FROM hits
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+       CAST(SUM(actual) AS BIGINT) AS n_member,
+       CAST(SUM(maybe * (1 - actual)) AS BIGINT) AS n_false_pos,
+       CAST(SUM((1 - maybe) * actual) AS BIGINT) AS n_false_neg,
+       CAST(SUM(maybe * (1 - actual)) AS BIGINT)
+         / (COUNT(*) - SUM(actual)) AS fp_rate
+FROM cls
+"""
+
+QUERIES["bloom_filter_probe"] = bloom_filter_probe
+ORACLES["bloom_filter_probe"] = ORACLE_BLOOM
