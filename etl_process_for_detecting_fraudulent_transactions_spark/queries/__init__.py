@@ -128,6 +128,7 @@ _PRIORITY_KEYS = (
     "interval_union",
     "record_linkage_fs",
     "bloom_filter_probe",
+    "heavy_hitters_exact_rescan",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -1381,3 +1381,99 @@ FROM cls
 
 QUERIES["bloom_filter_probe"] = bloom_filter_probe
 ORACLES["bloom_filter_probe"] = ORACLE_BLOOM
+
+
+# -- two-pass heavy hitters: sketch candidates + exact rescan ------------------
+# The production shape for exact heavy hitters at scale: pass 1 builds the
+# CMS (mergeable, map-side) and nominates every key whose estimate clears
+# the threshold; pass 2 exactly counts ONLY the candidates. Because CMS
+# never underestimates, the candidate set is a SUPERSET of the true heavy
+# hitters, so the rescan output is provably exact — the gate emits both
+# the exact count and the sketch estimate, and their gap audits the
+# sketch's overestimate on real data. The threshold is relative (count *
+# n_users >= 2 * n_total, i.e. 2x the mean rate) and integer
+# cross-multiplied, so no scale-specific literals.
+
+def heavy_hitters_exact_rescan(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    keys = e.select(F.col("user_id").cast("string").alias("k"))
+    cells = (
+        keys.select(
+            F.posexplode(
+                F.array(*[_cms_bucket(r, F.col("k")) for r in range(CMS_D)])
+            ).alias("row", "bucket")
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = e.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    users = e.select("user_id").distinct().withColumn(
+        "k", F.col("user_id").cast("string")
+    )
+    est = (
+        users.select(
+            "user_id",
+            F.posexplode(
+                F.array(*[_cms_bucket(r, F.col("k")) for r in range(CMS_D)])
+            ).alias("row", "bucket"),
+        )
+        .join(F.broadcast(cells), ["row", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    cand = est.crossJoin(F.broadcast(totals)).filter(
+        F.col("est_count") * F.col("n_users") >= 2 * F.col("n_total")
+    )
+    exact = (
+        e.join(F.broadcast(cand.select("user_id")), "user_id", "semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        exact.join(cand, "user_id")
+        .filter(F.col("exact_count") * F.col("n_users") >= 2 * F.col("n_total"))
+        .select(
+            "user_id",
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            F.col("est_count").cast("bigint").alias("est_count"),
+            (F.col("est_count") - F.col("exact_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )
+
+
+ORACLE_HH_RESCAN = f"""
+WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM e),
+cells_raw AS ({_CMS_CELL_SELECTS}),
+cells AS (SELECT row, bucket, COUNT(*) AS cnt FROM cells_raw GROUP BY row, bucket),
+totals AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT user_id) AS n_users FROM e),
+probes AS (SELECT DISTINCT user_id, CAST(user_id AS VARCHAR) AS k FROM e),
+probe_cells AS ({_CMS_PROBE_SELECTS}),
+est AS (
+  SELECT p.user_id, MIN(c.cnt) AS est_count
+  FROM probe_cells p JOIN cells c USING (row, bucket)
+  GROUP BY p.user_id
+),
+cand AS (
+  SELECT est.user_id, est.est_count FROM est, totals
+  WHERE est.est_count * totals.n_users >= 2 * totals.n_total
+),
+exact AS (
+  SELECT e.user_id, COUNT(*) AS exact_count
+  FROM e JOIN cand USING (user_id) GROUP BY e.user_id
+)
+SELECT exact.user_id,
+       CAST(exact.exact_count AS BIGINT) AS exact_count,
+       CAST(cand.est_count AS BIGINT) AS est_count,
+       CAST(cand.est_count - exact.exact_count AS BIGINT) AS overestimate
+FROM exact JOIN cand USING (user_id), totals
+WHERE exact.exact_count * totals.n_users >= 2 * totals.n_total
+"""
+
+QUERIES["heavy_hitters_exact_rescan"] = heavy_hitters_exact_rescan
+ORACLES["heavy_hitters_exact_rescan"] = ORACLE_HH_RESCAN
