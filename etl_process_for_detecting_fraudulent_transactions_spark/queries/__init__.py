@@ -129,6 +129,7 @@ _PRIORITY_KEYS = (
     "record_linkage_fs",
     "bloom_filter_probe",
     "heavy_hitters_exact_rescan",
+    "table_checksum",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

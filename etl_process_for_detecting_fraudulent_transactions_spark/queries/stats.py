@@ -1477,3 +1477,63 @@ WHERE exact.exact_count * totals.n_users >= 2 * totals.n_total
 
 QUERIES["heavy_hitters_exact_rescan"] = heavy_hitters_exact_rescan
 ORACLES["heavy_hitters_exact_rescan"] = ORACLE_HH_RESCAN
+
+
+# -- order-independent table checksum -----------------------------------------
+# The anti-entropy / replication-verification primitive: a table
+# fingerprint that any engine, any partitioning, any row order reproduces
+# — per-row 32-bit md5 over a canonical '|'-joined rendering of the key
+# columns (integers and strings only: float rendering is engine-specific,
+# which is WHY checksums canonicalize), then SUM and BIT_XOR as
+# order-independent mergeable monoids. Two replicas compare (n, sum, xor)
+# per group and ship only mismatched groups — grouped here by
+# o_orderpriority so the gate shows the per-shard comparison shape.
+
+def table_checksum(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.col("o_orderpriority"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        o.select(F.col("o_orderpriority").alias("shard"), h.alias("h"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("h").cast("bigint").alias("checksum_sum"),
+            F.bit_xor("h").cast("bigint").alias("checksum_xor"),
+        )
+    )
+
+
+ORACLE_CHECKSUM = """
+WITH h AS (
+  SELECT o_orderpriority AS shard,
+         ('0x' || substr(md5(
+            CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+            || '|' || o_orderstatus || '|' || o_orderpriority
+          ), 1, 8))::UBIGINT::BIGINT AS h
+  FROM orders
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(h) AS BIGINT) AS checksum_sum,
+       CAST(bit_xor(h) AS BIGINT) AS checksum_xor
+FROM h GROUP BY shard
+"""
+
+QUERIES["table_checksum"] = table_checksum
+ORACLES["table_checksum"] = ORACLE_CHECKSUM
