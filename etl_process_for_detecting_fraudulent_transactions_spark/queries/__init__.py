@@ -130,6 +130,7 @@ _PRIORITY_KEYS = (
     "bloom_filter_probe",
     "heavy_hitters_exact_rescan",
     "table_checksum",
+    "resample_interpolate",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -507,3 +507,126 @@ FROM islands GROUP BY user_id
 
 QUERIES["interval_union"] = interval_union
 ORACLES["interval_union"] = ORACLE_INTERVAL_UNION
+
+
+def resample_interpolate(spark, sf_dir):
+    """Linear-interpolation gap fill — the companion to ``resample_ffill``'s
+    LOCF: a missing day takes prev + (next - prev) * (gap position / gap
+    length) between its nearest observed neighbors; leading/trailing gaps
+    (no neighbor on one side) stay NULL. Neighbor values/days come from
+    bounded ``last/first(ignorenulls)`` windows over the dense spine; the
+    interpolation expression is written IDENTICALLY in both engines (one
+    int/int division, one multiply, one add on correctly-rounded doubles),
+    so results hash bit-for-bit. Same scale shape as resample_ffill: the
+    spine is calendar-bounded, the daily aggregate is the only fact-scale
+    shuffle, fill windows parallelize per series."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_SPINE_START).cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit(_SPINE_END).cast("timestamp"))
+    )
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("day", "o_orderdate").alias("day"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("rev")
+    )
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(_SPINE_START).cast("timestamp"),
+                F.lit(_SPINE_END).cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    prios = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("prio"))
+        .distinct()
+    )
+    spine = prios.crossJoin(F.broadcast(days))
+
+    wb = (
+        Window.partitionBy("prio")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("prio")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    g = (
+        spine.join(daily, ["prio", "day"], "left")
+        .withColumn("prev_v", F.last("rev", ignorenulls=True).over(wb))
+        .withColumn(
+            "prev_day",
+            F.last(
+                F.when(F.col("rev").isNotNull(), F.col("day")), ignorenulls=True
+            ).over(wb),
+        )
+        .withColumn("next_v", F.first("rev", ignorenulls=True).over(wf))
+        .withColumn(
+            "next_day",
+            F.first(
+                F.when(F.col("rev").isNotNull(), F.col("day")), ignorenulls=True
+            ).over(wf),
+        )
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        F.datediff("day", "prev_day") / F.datediff("next_day", "prev_day")
+    )
+    return g.select(
+        "prio",
+        "day",
+        F.when(F.col("rev").isNotNull(), F.col("rev"))
+        .otherwise(interp)
+        .alias("revenue"),
+        F.when(F.col("rev").isNull(), 1).otherwise(0).alias("was_gap"),
+    )
+
+
+ORACLE_RESAMPLE_INTERP = f"""
+WITH days AS (
+  SELECT gs AS day
+  FROM generate_series(TIMESTAMP '{_SPINE_START}', TIMESTAMP '{_SPINE_END}',
+                       INTERVAL 1 DAY) t(gs)
+), prios AS (
+  SELECT DISTINCT o_orderpriority AS prio FROM orders
+), daily AS (
+  SELECT o_orderpriority AS prio, date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_SPINE_START}'
+    AND o_orderdate <= TIMESTAMP '{_SPINE_END}'
+  GROUP BY 1, 2
+), g AS (
+  SELECT prio, day, rev,
+         last_value(rev IGNORE NULLS) OVER (
+           PARTITION BY prio ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER (
+           PARTITION BY prio ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+         first_value(rev IGNORE NULLS) OVER (
+           PARTITION BY prio ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER (
+           PARTITION BY prio ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+  FROM prios CROSS JOIN days LEFT JOIN daily USING (prio, day)
+)
+SELECT prio, day,
+       CASE WHEN rev IS NOT NULL THEN rev
+            ELSE prev_v + (next_v - prev_v)
+                 * (CAST(date_diff('day', prev_day, day) AS INT)
+                    / CAST(date_diff('day', prev_day, next_day) AS INT))
+       END AS revenue,
+       CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS was_gap
+FROM g
+"""
+
+QUERIES["resample_interpolate"] = resample_interpolate
+ORACLES["resample_interpolate"] = ORACLE_RESAMPLE_INTERP
