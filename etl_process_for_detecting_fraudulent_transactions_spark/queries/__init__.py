@@ -131,6 +131,7 @@ _PRIORITY_KEYS = (
     "heavy_hitters_exact_rescan",
     "table_checksum",
     "resample_interpolate",
+    "poisson_bootstrap",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

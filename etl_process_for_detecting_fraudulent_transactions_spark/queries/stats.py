@@ -1537,3 +1537,89 @@ FROM h GROUP BY shard
 
 QUERIES["table_checksum"] = table_checksum
 ORACLES["table_checksum"] = ORACLE_CHECKSUM
+
+
+# -- Poisson bootstrap ---------------------------------------------------------
+# THE distributed bootstrap: classical resampling needs n draws over the
+# whole dataset per replicate (a global operation), but Poisson(1)
+# per-row weights approximate multinomial resampling with NO coordination
+# — each row independently contributes weight w ~ Poisson(1) to each
+# replicate, so B replicates are one scan-side explode. Determinism:
+# the weight comes from an md5-derived uniform in [0, 10000) cut at the
+# scaled Poisson(1) CDF thresholds (3679|7358|9197|9810|9963 -> w in
+# 0..5, the >5 Poisson tail mass (~1e-4) is truncated to 5 — documented), so
+# both engines draw the IDENTICAL pseudo-sample. Values go through
+# integer millis; each replicate emits exact (n, sum) and ONE division.
+
+BOOT_B = 32
+_POIS_CUT = (3679, 7358, 9197, 9810, 9963)
+
+
+def _boot_w(col, b):
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{b}:"), col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    w = F.lit(5)
+    for k in range(len(_POIS_CUT) - 1, -1, -1):
+        w = F.when(u < _POIS_CUT[k], k).otherwise(w)
+    return w
+
+
+def poisson_bootstrap(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        F.col("event_id").cast("string").alias("k"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("x_milli"),
+    )
+    reps = base.select(
+        "event_type",
+        "x_milli",
+        F.posexplode(
+            F.array(*[_boot_w(F.col("k"), b) for b in range(BOOT_B)])
+        ).alias("rep", "w"),
+    )
+    return reps.groupBy("event_type", "rep").agg(
+        F.sum("w").cast("bigint").alias("n_drawn"),
+        F.sum(F.col("w") * F.col("x_milli")).cast("bigint").alias("sum_milli"),
+    ).withColumn(
+        "mean_milli", F.col("sum_milli") / F.col("n_drawn")
+    )
+
+
+def _sql_boot_w(b: int) -> str:
+    u = (
+        f"(('0x' || substr(md5('{b}:' || k), 1, 8))::UBIGINT::BIGINT % 10000)"
+    )
+    return (
+        f"CASE WHEN {u} < 3679 THEN 0 WHEN {u} < 7358 THEN 1"
+        f" WHEN {u} < 9197 THEN 2 WHEN {u} < 9810 THEN 3"
+        f" WHEN {u} < 9963 THEN 4 ELSE 5 END"
+    )
+
+
+_BOOT_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT event_type, x_milli, {b} AS rep, {_sql_boot_w(b)} AS w FROM base"
+    for b in range(BOOT_B)
+)
+
+ORACLE_BOOTSTRAP = f"""
+WITH base AS (
+  SELECT event_type, CAST(event_id AS VARCHAR) AS k,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS x_milli
+  FROM events WHERE value IS NOT NULL
+), reps AS ({_BOOT_SELECTS})
+SELECT event_type, rep,
+       CAST(SUM(w) AS BIGINT) AS n_drawn,
+       CAST(SUM(w * x_milli) AS BIGINT) AS sum_milli,
+       CAST(SUM(w * x_milli) AS BIGINT) / CAST(SUM(w) AS BIGINT) AS mean_milli
+FROM reps GROUP BY event_type, rep
+"""
+
+QUERIES["poisson_bootstrap"] = poisson_bootstrap
+ORACLES["poisson_bootstrap"] = ORACLE_BOOTSTRAP

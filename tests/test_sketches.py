@@ -282,3 +282,38 @@ def test_interval_union_known_intervals(spark, tmp_path):
     # islands: [0,20] (three intervals chain) and [25,30]
     assert (got.n_intervals, got.n_merged) == (4, 2)
     assert got.covered_us == (20 + 5) * 1_000_000
+
+
+def test_poisson_bootstrap_weight_distribution(spark, sf_dir):
+    """The hash-derived Poisson(1) weights must (a) reproduce the CDF cuts —
+    replicate draw totals within 4 sigma of n (Poisson sum concentrates) —
+    and (b) give replicate means that bracket the true mean (the CI
+    property the bootstrap exists for)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        BOOT_B,
+        poisson_bootstrap,
+    )
+
+    rows = poisson_bootstrap(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").dropna(subset=["value"])
+    import pyspark.sql.functions as F
+
+    truth = {
+        r.event_type: (r.n, r.s)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("s"),
+        )
+        .collect()
+    }
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for etype, reps in by_type.items():
+        n, s = truth[etype]
+        assert len(reps) == BOOT_B
+        for r in reps:  # Poisson(1) sum over n rows: mean n, sd sqrt(n)
+            assert abs(r.n_drawn - n) < 4 * n**0.5 + 10
+        means = sorted(r.mean_milli for r in reps)
+        assert means[0] <= s / n <= means[-1]
