@@ -132,6 +132,7 @@ _PRIORITY_KEYS = (
     "table_checksum",
     "resample_interpolate",
     "poisson_bootstrap",
+    "pareto_frontier",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

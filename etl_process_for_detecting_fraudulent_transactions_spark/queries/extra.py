@@ -890,3 +890,64 @@ FROM attributed GROUP BY channel
 
 QUERIES["attribution_last_touch"] = attribution_last_touch
 ORACLES["attribution_last_touch"] = ORACLE_ATTRIBUTION
+
+
+# -- skyline / Pareto frontier -------------------------------------------------
+
+def pareto_frontier(spark, sf_dir):
+    """2-D skyline (Pareto frontier) per order priority: the orders not
+    DOMINATED within their group — no other order both cheaper-or-equal
+    and newer-or-equal (one strictly). The classic sort-based skyline:
+    order by (price asc, date desc, key) and keep a row iff its date
+    strictly exceeds the running max date over all PRECEDING rows — a
+    1-preceding-bounded window max, no self join (the naive dominance
+    query is a quadratic inequality self-join). Exactness: price stays
+    DECIMAL, dates compare as timestamps, the unique key breaks ties —
+    the same total order in both engines selects the same frontier.
+
+    Scale: the skyline needs a total order PER GROUP (partition-parallel
+    across groups); for a single giant group the scale path is
+    partition-local skylines + a skyline-of-skylines merge (the same
+    partial/final shape as any monoid aggregate, since local
+    non-dominance is necessary for global non-dominance)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("price").asc(), F.col("odate").desc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        o.withColumn("best_prior", F.max("odate").over(w))
+        .filter(F.col("best_prior").isNull() | (F.col("odate") > F.col("best_prior")))
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("price").cast("double").alias("price"),
+            "odate",
+        )
+    )
+
+
+ORACLE_PARETO = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS price, o_orderdate AS odate
+  FROM orders
+), marked AS (
+  SELECT *, MAX(odate) OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY price ASC, odate DESC, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prior
+  FROM o
+)
+SELECT o_orderpriority, o_orderkey, CAST(price AS DOUBLE) AS price, odate
+FROM marked WHERE best_prior IS NULL OR odate > best_prior
+"""
+
+QUERIES["pareto_frontier"] = pareto_frontier
+ORACLES["pareto_frontier"] = ORACLE_PARETO

@@ -317,3 +317,45 @@ def test_poisson_bootstrap_weight_distribution(spark, sf_dir):
             assert abs(r.n_drawn - n) < 4 * n**0.5 + 10
         means = sorted(r.mean_milli for r in reps)
         assert means[0] <= s / n <= means[-1]
+
+
+def test_pareto_frontier_equals_naive_dominance(spark, sf_dir):
+    """The sort-based skyline equals the DEFINITION: rows with no dominator
+    (cheaper-or-equal AND newer-or-equal, one strict) — checked via the
+    naive quadratic anti-join the operator exists to avoid."""
+    import pyspark.sql.functions as F
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.extra import (
+        pareto_frontier,
+    )
+
+    got = {
+        (r.o_orderpriority, r.o_orderkey)
+        for r in pareto_frontier(spark, sf_dir).collect()
+    }
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+            F.col("o_orderdate").alias("odate"),
+        )
+    )
+    a, b = o.alias("a"), o.alias("b")
+    dominated = a.join(
+        b,
+        (F.col("a.o_orderpriority") == F.col("b.o_orderpriority"))
+        & (F.col("b.price") <= F.col("a.price"))
+        & (F.col("b.odate") >= F.col("a.odate"))
+        & (
+            (F.col("b.price") < F.col("a.price"))
+            | (F.col("b.odate") > F.col("a.odate"))
+        ),
+        "semi",
+    )
+    want = {
+        (r.o_orderpriority, r.o_orderkey)
+        for r in o.subtract(dominated).select("o_orderpriority", "o_orderkey").collect()
+    }
+    assert got == want and got
