@@ -133,6 +133,7 @@ _PRIORITY_KEYS = (
     "resample_interpolate",
     "poisson_bootstrap",
     "pareto_frontier",
+    "null_ops",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

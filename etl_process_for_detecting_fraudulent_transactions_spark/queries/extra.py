@@ -951,3 +951,70 @@ FROM marked WHERE best_prior IS NULL OR odate > best_prior
 
 QUERIES["pareto_frontier"] = pareto_frontier
 ORACLES["pareto_frontier"] = ORACLE_PARETO
+
+
+# -- NULL-semantics surface ----------------------------------------------------
+
+def null_ops(spark, sf_dir):
+    """NULL-handling engine parity: NULLIF blanking, COALESCE defaults, and
+    — the cross-engine trap worth pinning — a NULL-SAFE equality join
+    (Spark ``<=>`` == DuckDB ``IS NOT DISTINCT FROM``): NULL keys MATCH
+    each other instead of dropping, unlike ``=``. The nullable key is made
+    RARE (key % 97) because null-safe joins cross-product their null
+    groups — the semantics gate documents exactly that hazard. All
+    outputs are exact counts/integer sums."""
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("key"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        F.when(F.col("c_custkey") % 97 == 0, F.lit(None))
+        .otherwise(F.floor("c_acctbal"))
+        .cast("bigint")
+        .alias("v"),
+    )
+    a = base.filter(F.col("key") % 2 == 0).select(
+        F.col("key").alias("ka"), F.col("v").alias("va")
+    )
+    b = base.filter(F.col("key") % 3 == 0).select(
+        F.col("key").alias("kb"), F.col("v").alias("vb")
+    )
+    joined = a.join(b, F.col("va").eqNullSafe(F.col("vb")))
+    pair_stats = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("va").isNull().cast("int")).cast("bigint").alias("n_null_pairs"),
+    )
+    base_stats = base.agg(
+        F.sum(F.col("seg").isNull().cast("int")).cast("bigint").alias("n_blanked"),
+        F.sum(F.coalesce(F.col("v"), F.lit(-1))).cast("bigint").alias("coalesce_sum"),
+        F.count("v").cast("bigint").alias("n_v_nonnull"),
+    )
+    return pair_stats.crossJoin(base_stats)
+
+
+ORACLE_NULL_OPS = """
+WITH base AS (
+  SELECT c_custkey AS key,
+         NULLIF(c_mktsegment, 'BUILDING') AS seg,
+         CAST(CASE WHEN c_custkey % 97 = 0 THEN NULL
+                   ELSE FLOOR(c_acctbal) END AS BIGINT) AS v
+  FROM customer
+), a AS (SELECT key AS ka, v AS va FROM base WHERE key % 2 = 0),
+b AS (SELECT key AS kb, v AS vb FROM base WHERE key % 3 = 0),
+joined AS (SELECT * FROM a JOIN b ON va IS NOT DISTINCT FROM vb),
+pair_stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN va IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_pairs
+  FROM joined
+), base_stats AS (
+  SELECT CAST(SUM(CASE WHEN seg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_blanked,
+         CAST(SUM(COALESCE(v, -1)) AS BIGINT) AS coalesce_sum,
+         CAST(COUNT(v) AS BIGINT) AS n_v_nonnull
+  FROM base
+)
+SELECT * FROM pair_stats CROSS JOIN base_stats
+"""
+
+QUERIES["null_ops"] = null_ops
+ORACLES["null_ops"] = ORACLE_NULL_OPS
