@@ -134,6 +134,7 @@ _PRIORITY_KEYS = (
     "poisson_bootstrap",
     "pareto_frontier",
     "null_ops",
+    "linkpred_common_neighbors",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

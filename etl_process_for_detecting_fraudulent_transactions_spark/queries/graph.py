@@ -594,3 +594,87 @@ LIMIT {ASSOC_TOP}
 
 QUERIES["assoc_rules"] = assoc_rules
 ORACLES["assoc_rules"] = ORACLE_ASSOC
+
+
+# -- link prediction: common-neighbor scores -----------------------------------
+
+def linkpred_common_neighbors(spark, sf_dir):
+    """Link prediction over the co-purchase graph: for node pairs NOT yet
+    connected, count common neighbors (open wedges grouped by endpoints)
+    and score neighborhood Jaccard cn/(da+db-cn) — the classic
+    common-neighbors / Jaccard predictors. Plan: wedges enumerate from
+    each center's adjacency (the triangle machinery WITHOUT the close),
+    existing edges leave via anti join, degrees attach by two key joins,
+    top-100 by (cn, pair) compiles to TakeOrderedAndProject. Counts and
+    degrees are exact integers; Jaccard is one IEEE division."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    adj = edges.union(
+        edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    )
+    deg = adj.groupBy("pa").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = adj.alias("a"), adj.alias("b")
+    cand = (
+        a.join(b, (F.col("a.pa") == F.col("b.pa")) & (F.col("a.pb") < F.col("b.pb")))
+        .select(F.col("a.pb").alias("p1"), F.col("b.pb").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    open_pairs = cand.join(
+        edges,
+        (cand.p1 == edges.pa) & (cand.p2 == edges.pb),
+        "anti",
+    )
+    da = deg.select(F.col("pa").alias("p1"), F.col("deg").alias("da"))
+    db = deg.select(F.col("pa").alias("p2"), F.col("deg").alias("db"))
+    return (
+        open_pairs.join(da, "p1")
+        .join(db, "p2")
+        .select(
+            "p1",
+            "p2",
+            "cn",
+            F.col("da").cast("bigint").alias("da"),
+            F.col("db").cast("bigint").alias("db"),
+            (F.col("cn") / (F.col("da") + F.col("db") - F.col("cn"))).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy(F.col("cn").desc(), "p1", "p2")
+        .limit(100)
+    )
+
+
+ORACLE_LINKPRED = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_partkey % 4 = 0
+),
+edges AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+adj AS (
+  SELECT pa, pb FROM edges UNION ALL SELECT pb, pa FROM edges
+),
+deg AS (SELECT pa AS p, COUNT(*) AS deg FROM adj GROUP BY pa),
+cand AS (
+  SELECT a.pb AS p1, b.pb AS p2, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM adj a JOIN adj b ON a.pa = b.pa AND a.pb < b.pb
+  GROUP BY a.pb, b.pb
+),
+open_pairs AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.pa = c.p1 AND e.pb = c.p2)
+)
+SELECT p1, p2, cn,
+       CAST(d1.deg AS BIGINT) AS da, CAST(d2.deg AS BIGINT) AS db,
+       cn / (d1.deg + d2.deg - cn) AS jaccard
+FROM open_pairs
+JOIN deg d1 ON d1.p = p1
+JOIN deg d2 ON d2.p = p2
+ORDER BY cn DESC, p1, p2
+LIMIT 100
+"""
+
+QUERIES["linkpred_common_neighbors"] = linkpred_common_neighbors
+ORACLES["linkpred_common_neighbors"] = ORACLE_LINKPRED
