@@ -68,6 +68,15 @@ SCALE_KEYS = (
     "ewma_anomaly",
     "chi2_independence",
     "multimodal_phash",
+    "interval_union",
+    "ohlc_bars",
+    "twap_daily",
+    "decision_stump_train",
+    "bloom_filter_probe",
+    "heavy_hitters_exact_rescan",
+    "table_checksum",
+    "poisson_bootstrap",
+    "pareto_frontier",
 )
 # input table each scale query is throughput-bounded by (for the rows/s numerator)
 SCALE_INPUT = {
@@ -76,6 +85,15 @@ SCALE_INPUT = {
     "ewma_anomaly": "events",
     "chi2_independence": "documents",
     "multimodal_phash": "documents",
+    "interval_union": "events",
+    "ohlc_bars": "events",
+    "twap_daily": "events",
+    "decision_stump_train": "events",
+    "bloom_filter_probe": "events",
+    "heavy_hitters_exact_rescan": "events",
+    "table_checksum": "orders",
+    "poisson_bootstrap": "events",
+    "pareto_frontier": "orders",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",
@@ -141,6 +159,7 @@ def _scale_union_dir(spark, sf_dir: str, k: int, out_dir: str) -> str:
         "documents": ("doc_id", 1_000_000),
         "embeddings": ("vec_id", 1_000_000),
         "events": ("event_id", 100_000_000),
+        "orders": ("o_orderkey", 100_000_000),
     }
     for table, (key, stride) in specs.items():
         src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
