@@ -1556,9 +1556,18 @@ _POIS_CUT = (3679, 7358, 9197, 9810, 9963)
 
 
 def _boot_w(col, b):
+    # one md5 yields 32 hex chars = FOUR independent 8-char uniforms, so
+    # replicate b draws from segment b%4 of md5((b//4) || ':' || key) —
+    # 4x fewer hashes than one md5 per replicate (md5 cost dominates the
+    # 10x-tier scan; measured 12.8 -> ~4 s)
+    g, seg = b // 4, b % 4
     u = (
         F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{b}:"), col.cast("string"))), 1, 8),
+            F.substring(
+                F.md5(F.concat(F.lit(f"{g}:"), col.cast("string"))),
+                seg * 8 + 1,
+                8,
+            ),
             16,
             10,
         ).cast("bigint")
@@ -1577,24 +1586,49 @@ def poisson_bootstrap(spark, sf_dir):
         F.col("event_id").cast("string").alias("k"),
         F.floor(F.col("value") * 1000).cast("bigint").alias("x_milli"),
     )
-    reps = base.select(
-        "event_type",
-        "x_milli",
-        F.posexplode(
-            F.array(*[_boot_w(F.col("k"), b) for b in range(BOOT_B)])
-        ).alias("rep", "w"),
+    # all B replicates aggregate in ONE wide pass (2B aggregate
+    # expressions over the fact rows, map-side combinable) instead of a
+    # posexplode to B x N rows — the exploded form shuffled/aggregated
+    # 32x the input and measured ~4x slower at the 10x tier; the tiny
+    # (types x 2B) result unpivots AFTER the aggregate
+    ws = base.withColumn(
+        "ws", F.array(*[_boot_w(F.col("k"), b) for b in range(BOOT_B)])
     )
-    return reps.groupBy("event_type", "rep").agg(
-        F.sum("w").cast("bigint").alias("n_drawn"),
-        F.sum(F.col("w") * F.col("x_milli")).cast("bigint").alias("sum_milli"),
-    ).withColumn(
-        "mean_milli", F.col("sum_milli") / F.col("n_drawn")
+    aggs = []
+    for b in range(BOOT_B):
+        w = F.col("ws")[b]
+        aggs.append(F.sum(w).cast("bigint").alias(f"n{b}"))
+        aggs.append(
+            F.sum(w * F.col("x_milli")).cast("bigint").alias(f"s{b}")
+        )
+    wide = ws.groupBy("event_type").agg(*aggs)
+    reps = wide.select(
+        "event_type",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"n{b}").alias("n"), F.col(f"s{b}").alias("s")
+                    )
+                    for b in range(BOOT_B)
+                ]
+            )
+        ).alias("rep", "ns"),
+    )
+    return reps.select(
+        "event_type",
+        "rep",
+        F.col("ns.n").alias("n_drawn"),
+        F.col("ns.s").alias("sum_milli"),
+        (F.col("ns.s") / F.col("ns.n")).alias("mean_milli"),
     )
 
 
 def _sql_boot_w(b: int) -> str:
+    g, seg = b // 4, b % 4
     u = (
-        f"(('0x' || substr(md5('{b}:' || k), 1, 8))::UBIGINT::BIGINT % 10000)"
+        f"(('0x' || substr(md5('{g}:' || k), {seg * 8 + 1}, 8))"
+        "::UBIGINT::BIGINT % 10000)"
     )
     return (
         f"CASE WHEN {u} < 3679 THEN 0 WHEN {u} < 7358 THEN 1"
