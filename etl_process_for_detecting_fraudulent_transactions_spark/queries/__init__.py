@@ -135,6 +135,7 @@ _PRIORITY_KEYS = (
     "pareto_frontier",
     "null_ops",
     "linkpred_common_neighbors",
+    "weighted_median",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

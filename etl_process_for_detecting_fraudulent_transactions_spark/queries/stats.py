@@ -1657,3 +1657,74 @@ FROM reps GROUP BY event_type, rep
 
 QUERIES["poisson_bootstrap"] = poisson_bootstrap
 ORACLES["poisson_bootstrap"] = ORACLE_BOOTSTRAP
+
+
+# -- exact weighted median ------------------------------------------------------
+# Weighted percentile selection — the aggregation built-ins don't cover it
+# (percentile() is unweighted; approx variants are engine-specific). The
+# lower weighted median is the FIRST value, in value order, whose running
+# weight reaches half the total — an integer comparison (2*cumw >= total)
+# over one cumulative window, then a rank-1 pick. Weights are the doc
+# char counts (exact ints); the selected value is an input double, never
+# arithmetic, so everything hashes bit-for-bit. Per-lang partitions keep
+# the sort group-parallel; the scale path for a single giant group is the
+# histogram/sketch boundary pass (operators/histogram.py).
+
+def weighted_median(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("bigint").alias("w"),
+        (F.length("text") / F.greatest(F.size(F.split("text", " ")), F.lit(1)))
+        .alias("v"),
+    )
+    wc = (
+        Window.partitionBy("lang")
+        .orderBy("v", "w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("lang")
+    marked = d.select(
+        "lang",
+        "v",
+        "w",
+        F.sum("w").over(wc).alias("cumw"),
+        F.sum("w").over(wt).alias("total"),
+    ).filter(2 * F.col("cumw") >= F.col("total"))
+    wpick = Window.partitionBy("lang").orderBy("v", "w")
+    return (
+        marked.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "lang",
+            F.col("v").alias("weighted_median"),
+            F.col("cumw").cast("bigint").alias("cum_weight"),
+            F.col("total").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
+ORACLE_WMEDIAN = """
+WITH d AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS w,
+         length(text) / GREATEST(len(str_split(text, ' ')), 1) AS v
+  FROM documents
+), marked AS (
+  SELECT lang, v, w,
+         SUM(w) OVER (PARTITION BY lang ORDER BY v, w
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         SUM(w) OVER (PARTITION BY lang) AS total
+  FROM d
+), hits AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY v, w) AS rn
+  FROM marked WHERE 2 * cumw >= total
+)
+SELECT lang, v AS weighted_median,
+       CAST(cumw AS BIGINT) AS cum_weight,
+       CAST(total AS BIGINT) AS total_weight
+FROM hits WHERE rn = 1
+"""
+
+QUERIES["weighted_median"] = weighted_median
+ORACLES["weighted_median"] = ORACLE_WMEDIAN
