@@ -136,6 +136,7 @@ _PRIORITY_KEYS = (
     "null_ops",
     "linkpred_common_neighbors",
     "weighted_median",
+    "cusum_anomaly",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

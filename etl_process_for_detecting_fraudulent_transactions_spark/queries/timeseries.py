@@ -630,3 +630,109 @@ FROM g
 
 QUERIES["resample_interpolate"] = resample_interpolate
 ORACLES["resample_interpolate"] = ORACLE_RESAMPLE_INTERP
+
+
+# -- CUSUM change-point detection ----------------------------------------------
+
+_CUSUM_OUT = (
+    "event_type string, n_days bigint, mu_milli bigint, "
+    "n_alarms bigint, max_cusum bigint, final_cusum bigint"
+)
+
+
+def cusum_anomaly(spark, sf_dir):
+    """One-sided CUSUM change detection per series — the sequential
+    companion to ``ewma_anomaly`` (same grouped-applyInPandas /
+    recursive-CTE-oracle recipe): s_i = max(0, s_{i-1} + x_i - mu - k)
+    over the daily integer-milli series, with target mu = the series'
+    own mean daily total (floor), slack k = mu/20, alarm when s exceeds
+    h = mu/2. Every operand is a nonnegative-floored integer, so Spark's
+    Python kernel and DuckDB's recursive CTE replay the identical
+    sequence. Two passes over a calendar-bounded series: the daily
+    aggregate (fact-scale, one shuffle) and the scale-free recurrence."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    wt = Window.partitionBy("event_type")
+    withmu = daily.withColumn("sum_x", F.sum("x").over(wt)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wt)
+    ).selectExpr(
+        "event_type", "day", "x",
+        # exact integral division — a double-divide + cast would round vs
+        # truncate differently across engines
+        "CAST(sum_x div cnt AS BIGINT) AS mu",
+    )
+
+    def _scan(key, pdf):
+        pdf = pdf.sort_values("day")
+        mu = int(pdf["mu"].iloc[0])
+        k, h = mu // 20, mu // 2
+        s = alarms = mx = 0
+        for x in pdf["x"]:
+            s = max(0, s + int(x) - mu - k)
+            if s > h:
+                alarms += 1
+            mx = max(mx, s)
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": key[0],
+                    "n_days": len(pdf),
+                    "mu_milli": mu,
+                    "n_alarms": alarms,
+                    "max_cusum": mx,
+                    "final_cusum": s,
+                }
+            ]
+        )
+
+    return withmu.groupBy("event_type").applyInPandas(_scan, _CUSUM_OUT)
+
+
+ORACLE_CUSUM = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), mu AS (
+  SELECT event_type,
+         CAST(SUM(x) // COUNT(*) AS BIGINT) AS mu
+  FROM daily GROUP BY event_type
+), seq AS (
+  SELECT d.event_type, d.x, m.mu,
+         row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+  FROM daily d JOIN mu m ON d.event_type = m.event_type
+), rec AS (
+  SELECT event_type, rn, mu,
+         GREATEST(0, x - mu - mu // 20) AS s,
+         CAST(CASE WHEN GREATEST(0, x - mu - mu // 20) > mu // 2
+                   THEN 1 ELSE 0 END AS BIGINT) AS alarms,
+         GREATEST(0, x - mu - mu // 20) AS mx
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT seq.event_type, seq.rn, rec.mu,
+         GREATEST(0, rec.s + seq.x - rec.mu - rec.mu // 20),
+         rec.alarms + CASE WHEN GREATEST(0, rec.s + seq.x - rec.mu
+                                               - rec.mu // 20) > rec.mu // 2
+                           THEN 1 ELSE 0 END,
+         GREATEST(rec.mx,
+                  GREATEST(0, rec.s + seq.x - rec.mu - rec.mu // 20))
+  FROM rec JOIN seq
+    ON seq.event_type = rec.event_type AND seq.rn = rec.rn + 1
+)
+SELECT event_type,
+       CAST(MAX(rn) AS BIGINT) AS n_days,
+       CAST(MAX(mu) AS BIGINT) AS mu_milli,
+       CAST(MAX(alarms) AS BIGINT) AS n_alarms,
+       CAST(MAX(mx) AS BIGINT) AS max_cusum,
+       arg_max(s, rn) AS final_cusum
+FROM rec GROUP BY event_type
+"""
+
+QUERIES["cusum_anomaly"] = cusum_anomaly
+ORACLES["cusum_anomaly"] = ORACLE_CUSUM

@@ -359,3 +359,39 @@ def test_pareto_frontier_equals_naive_dominance(spark, sf_dir):
         for r in o.subtract(dominated).select("o_orderpriority", "o_orderkey").collect()
     }
     assert got == want and got
+
+
+def test_cusum_known_series(spark, tmp_path):
+    """CUSUM recurrence truth on a hand-built shifted series vs an
+    independent plain-Python replay: a sustained level shift accumulates
+    past the threshold; the pre-shift regime never alarms."""
+    import datetime as dt
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.timeseries import (
+        cusum_anomaly,
+    )
+
+    vals = [10.0] * 6 + [14.0] * 6  # sustained +40% shift at day 7
+    rows = [
+        (i, dt.datetime(2024, 1, i + 1, 12, 0, 0), 7, "t", v)
+        for i, v in enumerate(vals)
+    ]
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).write.parquet(f"{path}/events.parquet")
+
+    got = cusum_anomaly(spark, path).collect()[0]
+
+    xs = [int(v * 1000 // 1) for v in vals]
+    mu = sum(xs) // len(xs)
+    k, h = mu // 20, mu // 2
+    s = alarms = mx = 0
+    for x in xs:
+        s = max(0, s + x - mu - k)
+        if s > h:
+            alarms += 1
+        mx = max(mx, s)
+    assert (got.n_days, got.mu_milli, got.n_alarms, got.max_cusum,
+            got.final_cusum) == (len(xs), mu, alarms, mx, s)
+    assert alarms >= 2  # the shift is detected and stays alarmed
