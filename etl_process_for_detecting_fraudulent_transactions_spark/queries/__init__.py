@@ -137,6 +137,7 @@ _PRIORITY_KEYS = (
     "linkpred_common_neighbors",
     "weighted_median",
     "cusum_anomaly",
+    "kcore_peel",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

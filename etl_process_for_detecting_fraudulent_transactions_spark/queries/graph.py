@@ -678,3 +678,94 @@ LIMIT 100
 
 QUERIES["linkpred_common_neighbors"] = linkpred_common_neighbors
 ORACLES["linkpred_common_neighbors"] = ORACLE_LINKPRED
+
+
+# -- k-core peeling (fixed rounds) ----------------------------------------------
+
+KCORE_K, KCORE_ROUNDS = 3, 3
+
+
+def kcore_peel(spark, sf_dir):
+    """Iterated degree pruning toward the k-core (k=3): each round drops
+    every node with degree < k and induces the surviving subgraph; after
+    R rounds the survivors over-approximate the true k-core (full peeling
+    iterates to fixpoint — the CC/pagerank driver-loop recipe — but a
+    FIXED round count keeps the oracle expressible as unrolled CTEs, the
+    bfs_distance trade). Emits (round, n_nodes, n_edges) per round, all
+    exact counts. Spark plan: per round one degree aggregate + two
+    semi joins to induce the subgraph; at 100 TB each round is
+    edge-linear and the round count is the contract."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    rows = []
+    cur = edges
+    for rnd in range(KCORE_ROUNDS + 1):
+        deg = (
+            cur.select(F.col("pa").alias("p"))
+            .union(cur.select(F.col("pb").alias("p")))
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        n_nodes = deg.count()
+        n_edges = cur.count()
+        rows.append((rnd, n_nodes, n_edges))
+        if rnd == KCORE_ROUNDS:
+            break
+        surv = deg.filter(F.col("deg") >= KCORE_K).select("p")
+        cur = (
+            cur.join(surv.withColumnRenamed("p", "pa"), "pa", "semi")
+            .join(surv.withColumnRenamed("p", "pb"), "pb", "semi")
+            .select("pa", "pb")
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        rows, "round int, n_nodes bigint, n_edges bigint"
+    )
+
+
+def _kcore_round_sql(i: int) -> str:
+    prev = f"edges{i - 1}" if i > 0 else "edges"
+    return f"""deg{i} AS (
+  SELECT p, COUNT(*) AS deg FROM (
+    SELECT pa AS p FROM {prev} UNION ALL SELECT pb FROM {prev}
+  ) GROUP BY p
+),
+surv{i} AS (SELECT p FROM deg{i} WHERE deg >= {KCORE_K}),
+edges{i} AS (
+  SELECT pa, pb FROM {prev}
+  WHERE pa IN (SELECT p FROM surv{i}) AND pb IN (SELECT p FROM surv{i})
+)"""
+
+
+ORACLE_KCORE = (
+    """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_partkey % 4 = 0
+),
+edges AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+"""
+    + ",\n".join(_kcore_round_sql(i) for i in range(KCORE_ROUNDS))
+    + f""",
+degF AS (
+  SELECT p, COUNT(*) AS deg FROM (
+    SELECT pa AS p FROM edges{KCORE_ROUNDS - 1}
+    UNION ALL SELECT pb FROM edges{KCORE_ROUNDS - 1}
+  ) GROUP BY p
+)
+SELECT 0 AS round,
+       CAST((SELECT COUNT(*) FROM deg0) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges
+UNION ALL
+SELECT 1, (SELECT COUNT(*) FROM deg1), (SELECT COUNT(*) FROM edges0)
+UNION ALL
+SELECT 2, (SELECT COUNT(*) FROM deg2), (SELECT COUNT(*) FROM edges1)
+UNION ALL
+SELECT 3, (SELECT COUNT(*) FROM degF), (SELECT COUNT(*) FROM edges2)
+"""
+)
+
+QUERIES["kcore_peel"] = kcore_peel
+ORACLES["kcore_peel"] = ORACLE_KCORE
