@@ -138,6 +138,7 @@ _PRIORITY_KEYS = (
     "weighted_median",
     "cusum_anomaly",
     "kcore_peel",
+    "series_correlation",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -736,3 +736,94 @@ FROM rec GROUP BY event_type
 
 QUERIES["cusum_anomaly"] = cusum_anomaly
 ORACLES["cusum_anomaly"] = ORACLE_CUSUM
+
+
+# -- correlation between two series ---------------------------------------------
+
+def series_correlation(spark, sf_dir):
+    """Pearson correlation between the click and purchase daily-total
+    series, engine-exact: corr needs a square root, which is not
+    hash-reproducible as a chained float — so the gate emits the exact
+    integer pieces (num = n*Sxy - Sx*Sy and both variance terms) plus
+    r^2 scaled by 10^6 as ONE integral division of exact decimals, and
+    the sign separately (sign(num) recovers r's direction; r itself is
+    derivable by any consumer). Daily totals floor-divide to integer
+    seconds-units first — keeps num^2 inside DECIMAL(38,0) up to ~100x
+    this corpus (documented bound). Joining the two series on day is a
+    30-row join; the fact-scale work is the daily aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+            .cast("bigint")
+            .alias("tot")
+        )
+        .selectExpr("event_type", "day", "CAST(tot div 1000 AS BIGINT) AS v")
+    )
+    x = daily.filter(F.col("event_type") == "click").select(
+        "day", F.col("v").alias("x")
+    )
+    y = daily.filter(F.col("event_type") == "purchase").select(
+        "day", F.col("v").alias("y")
+    )
+    j = x.join(y, "day")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        "CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0)) AS num",
+        "CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0)) AS var_x",
+        "CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0)) AS var_y",
+        """CAST(
+             CAST(CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))
+               * CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))
+               * 1000000 AS DECIMAL(38,0))
+             div
+             CAST(CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0))
+               * CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))
+               AS DECIMAL(38,0))
+           AS BIGINT) AS r2_micro""",
+        "CAST(SIGN(CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))) AS INT) AS r_sign",
+    )
+
+
+ORACLE_SERIES_CORR = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+              // 1000 AS BIGINT) AS v
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+), x AS (SELECT day, v AS x FROM daily WHERE event_type = 'click'),
+y AS (SELECT day, v AS y FROM daily WHERE event_type = 'purchase'),
+j AS (SELECT * FROM x JOIN y USING (day)),
+agg AS (
+  SELECT COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR)::DECIMAL(38,0) AS num,
+       CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR)::DECIMAL(38,0) AS var_x,
+       CAST(n * syy - CAST(sy AS HUGEINT) * sy AS VARCHAR)::DECIMAL(38,0) AS var_y,
+       CAST((n * sxy - CAST(sx AS HUGEINT) * sy)
+            * (n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+            // ((n * sxx - CAST(sx AS HUGEINT) * sx)
+                * (n * syy - CAST(sy AS HUGEINT) * sy)) AS BIGINT) AS r2_micro,
+       CAST(SIGN(n * sxy - CAST(sx AS HUGEINT) * sy) AS INT) AS r_sign
+FROM agg
+"""
+
+QUERIES["series_correlation"] = series_correlation
+ORACLES["series_correlation"] = ORACLE_SERIES_CORR
