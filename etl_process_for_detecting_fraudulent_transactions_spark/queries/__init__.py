@@ -139,6 +139,7 @@ _PRIORITY_KEYS = (
     "cusum_anomaly",
     "kcore_peel",
     "series_correlation",
+    "join_size_estimate",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

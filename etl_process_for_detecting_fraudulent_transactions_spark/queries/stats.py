@@ -1728,3 +1728,90 @@ FROM hits WHERE rn = 1
 
 QUERIES["weighted_median"] = weighted_median
 ORACLES["weighted_median"] = ORACLE_WMEDIAN
+
+
+# -- CM-sketch join-size estimation ---------------------------------------------
+# The query-optimizer primitive: estimate |R ⋈ S| on a key WITHOUT joining,
+# as the count-min inner product min_r Σ_b cms_R[r][b]·cms_S[r][b] (AGMS/
+# CM estimator — an upper bound in expectation, exact when no bucket
+# collisions). Both sketches reuse the gate family's md5 bucket recipe, so
+# the estimate is engine-exact; the gate emits the TRUE join size beside
+# it, making the estimator's overestimate auditable on real data. At
+# 100 TB the two sketch builds are map-side aggregates over each input
+# and the dot product touches D*W cells — the whole estimate never
+# shuffles either table.
+
+def join_size_estimate(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    r = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    s = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+
+    def _cells(df):
+        return (
+            df.select(
+                F.posexplode(
+                    F.array(*[_cms_bucket(row, F.col("k")) for row in range(CMS_D)])
+                ).alias("row", "bucket")
+            )
+            .groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    prod = (
+        _cells(r)
+        .withColumnRenamed("cnt", "cr")
+        .join(_cells(s).withColumnRenamed("cnt", "cs"), ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("cr").cast("decimal(38,0)") * F.col("cs")).alias("dot"))
+        .agg(F.min("dot").cast("bigint").alias("est_join_size"))
+    )
+    true_sz = (
+        r.groupBy("k").agg(F.count(F.lit(1)).alias("nr"))
+        .join(s.groupBy("k").agg(F.count(F.lit(1)).alias("ns")), "k")
+        .agg(
+            F.sum(F.col("nr").cast("decimal(38,0)") * F.col("ns"))
+            .cast("bigint")
+            .alias("true_join_size")
+        )
+    )
+    return prod.crossJoin(true_sz).selectExpr(
+        "est_join_size",
+        "true_join_size",
+        "CAST(est_join_size - true_join_size AS BIGINT) AS overestimate",
+    )
+
+
+ORACLE_JOIN_SIZE = f"""
+WITH r AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+  WHERE user_id IS NOT NULL AND event_type = 'click'
+), s AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+  WHERE user_id IS NOT NULL AND event_type = 'purchase'
+),
+rc_raw AS ({" UNION ALL ".join(f"SELECT {row} AS row, {_sql_cms_bucket(row, 'k')} AS bucket FROM r" for row in range(CMS_D))}),
+sc_raw AS ({" UNION ALL ".join(f"SELECT {row} AS row, {_sql_cms_bucket(row, 'k')} AS bucket FROM s" for row in range(CMS_D))}),
+rc AS (SELECT row, bucket, COUNT(*) AS cr FROM rc_raw GROUP BY 1, 2),
+sc AS (SELECT row, bucket, COUNT(*) AS cs FROM sc_raw GROUP BY 1, 2),
+prod AS (
+  SELECT CAST(MIN(dot) AS BIGINT) AS est_join_size FROM (
+    SELECT rc.row, SUM(CAST(cr AS HUGEINT) * cs) AS dot
+    FROM rc JOIN sc USING (row, bucket) GROUP BY rc.row
+  )
+),
+tru AS (
+  SELECT CAST(SUM(CAST(nr AS HUGEINT) * ns) AS BIGINT) AS true_join_size
+  FROM (SELECT k, COUNT(*) AS nr FROM r GROUP BY k) a
+  JOIN (SELECT k, COUNT(*) AS ns FROM s GROUP BY k) b USING (k)
+)
+SELECT est_join_size, true_join_size,
+       CAST(est_join_size - true_join_size AS BIGINT) AS overestimate
+FROM prod CROSS JOIN tru
+"""
+
+QUERIES["join_size_estimate"] = join_size_estimate
+ORACLES["join_size_estimate"] = ORACLE_JOIN_SIZE
