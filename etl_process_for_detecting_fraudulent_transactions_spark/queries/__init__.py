@@ -140,6 +140,7 @@ _PRIORITY_KEYS = (
     "kcore_peel",
     "series_correlation",
     "join_size_estimate",
+    "column_profile",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

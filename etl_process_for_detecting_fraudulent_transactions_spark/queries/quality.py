@@ -195,3 +195,78 @@ FROM u GROUP BY table_col
 
 QUERIES["data_skew_profile"] = data_skew_profile
 ORACLES["data_skew_profile"] = ORACLE_SKEW_PROFILE
+
+
+# -- ANALYZE-style column profile ------------------------------------------------
+
+_PROFILE_COLS = (
+    # (name, canonical-string expression — ints cast directly, the double
+    # through DECIMAL(18,4) so both engines render identical digits, the
+    # timestamp through an explicit format)
+    ("o_orderkey", "CAST(o_orderkey AS STRING)"),
+    ("o_custkey", "CAST(o_custkey AS STRING)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS STRING)"),
+    ("o_orderdate", "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')"),
+)
+
+
+def column_profile(spark, sf_dir):
+    """The ANALYZE/profiling surface: per-column row/null/distinct counts,
+    min/max, and average rendered length over the orders table — the
+    stats every optimizer and data-quality dashboard starts from. Values
+    canonicalize to strings FIRST (ints directly, the double through
+    DECIMAL(18,4), the timestamp through an explicit format) so min/max
+    and lengths are engine-identical; avg_len stays an exact integer sum
+    plus one division. One profile pass = one scan with 6x5 aggregate
+    expressions, map-side combinable; no shuffle beyond the 1-row agg."""
+    o = _t(spark, sf_dir, "orders")
+    canon = o.selectExpr(
+        *[f"{expr} AS {name}" for name, expr in _PROFILE_COLS]
+    )
+    profiles = []
+    for name, _ in _PROFILE_COLS:
+        profiles.append(
+            canon.agg(
+                F.lit(name).alias("col_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col(name).isNull().cast("int"))
+                .cast("bigint")
+                .alias("n_nulls"),
+                F.countDistinct(name).cast("bigint").alias("n_distinct"),
+                F.min(name).alias("min_val"),
+                F.max(name).alias("max_val"),
+                (
+                    F.sum(F.length(name).cast("bigint"))
+                    / F.count(name)
+                ).alias("avg_len"),
+            )
+        )
+    out = profiles[0]
+    for pr in profiles[1:]:
+        out = out.unionByName(pr)
+    return out
+
+
+def _profile_branch_sql(name: str, expr: str) -> str:
+    duck = (
+        expr.replace("AS STRING", "AS VARCHAR")
+        .replace("date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')",
+                 "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')")
+    )
+    return f"""SELECT '{name}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       MIN(v) AS min_val, MAX(v) AS max_val,
+       CAST(SUM(length(v)) AS BIGINT) / COUNT(v) AS avg_len
+FROM (SELECT {duck} AS v FROM orders)"""
+
+
+ORACLE_PROFILE = "\nUNION ALL\n".join(
+    _profile_branch_sql(name, expr) for name, expr in _PROFILE_COLS
+)
+
+QUERIES["column_profile"] = column_profile
+ORACLES["column_profile"] = ORACLE_PROFILE
