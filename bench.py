@@ -77,6 +77,11 @@ SCALE_KEYS = (
     "table_checksum",
     "poisson_bootstrap",
     "pareto_frontier",
+    "weighted_median",
+    "cusum_anomaly",
+    "series_correlation",
+    "join_size_estimate",
+    "column_profile",
 )
 # input table each scale query is throughput-bounded by (for the rows/s numerator)
 SCALE_INPUT = {
@@ -94,6 +99,11 @@ SCALE_INPUT = {
     "table_checksum": "orders",
     "poisson_bootstrap": "events",
     "pareto_frontier": "orders",
+    "weighted_median": "documents",
+    "cusum_anomaly": "events",
+    "series_correlation": "events",
+    "join_size_estimate": "events",
+    "column_profile": "orders",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",
