@@ -181,7 +181,7 @@ def _scale_union_dir(spark, sf_dir: str, k: int, out_dir: str) -> str:
         for p in parts[1:]:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
-    # remaining tables are read as-is via symlink (queries only touch the 3 above)
+    # remaining tables are read as-is via symlink (scale queries only touch the 4 above)
     for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
         dst = f"{out_dir}/{t}.parquet"
         if not os.path.exists(dst):

@@ -303,18 +303,24 @@ def _cms_bucket(row: int, key_col):
     ) % CMS_W
 
 
-def countmin_heavy_hitters(spark, sf_dir):
-    """CMS over events.user_id; estimates for the user_id%10==0 probe set."""
-    e = _t(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("k"))
-    cells = (
-        e.select(
-            F.posexplode(F.array(*[_cms_bucket(r, F.col("k")) for r in range(CMS_D)])).alias(
-                "row", "bucket"
-            )
+def _cms_cells(keys_df):
+    """CMS cell table (row, bucket, cnt) from a one-column frame of string
+    keys ``k`` — the shared sketch build for every CMS-family gate."""
+    return (
+        keys_df.select(
+            F.posexplode(
+                F.array(*[_cms_bucket(r, F.col("k")) for r in range(CMS_D)])
+            ).alias("row", "bucket")
         )
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def countmin_heavy_hitters(spark, sf_dir):
+    """CMS over events.user_id; estimates for the user_id%10==0 probe set."""
+    e = _t(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("k"))
+    cells = _cms_cells(e)
     probes = (
         _t(spark, sf_dir, "events")
         .select("user_id")
@@ -1304,7 +1310,7 @@ def bloom_filter_probe(spark, sf_dir):
     )
     words = pos.selectExpr(
         "CAST(pos / 32 AS BIGINT) AS word_idx",
-        "CAST(shiftleft(1, CAST(pos % 32 AS INT)) AS BIGINT) AS mask",
+        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)) AS mask",
     ).groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
 
     probes = users.select(
@@ -1315,7 +1321,7 @@ def bloom_filter_probe(spark, sf_dir):
     ).selectExpr(
         "user_id",
         "CAST(pos / 32 AS BIGINT) AS word_idx",
-        "CAST(shiftleft(1, CAST(pos % 32 AS INT)) AS BIGINT) AS mask",
+        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)) AS mask",
     )
     hits = (
         probes.join(F.broadcast(words), "word_idx", "left")
@@ -1352,7 +1358,7 @@ WITH users AS (
   SELECT unnest([{", ".join(_BLOOM_POS_SQL.format(j=j) for j in range(BLOOM_K))}]) AS pos
   FROM users WHERE user_id % 17 = 0
 ), words AS (
-  SELECT pos // 32 AS word_idx, bit_or(1 << (pos % 32)) AS word
+  SELECT pos // 32 AS word_idx, bit_or(1::BIGINT << (pos % 32)) AS word
   FROM pos GROUP BY pos // 32
 ), probes AS (
   SELECT user_id,
@@ -1360,7 +1366,7 @@ WITH users AS (
   FROM users
 ), hits AS (
   SELECT p.user_id,
-         SUM(CASE WHEN COALESCE(w.word, 0) & (1 << (p.pos % 32)) <> 0
+         SUM(CASE WHEN COALESCE(w.word, 0) & (1::BIGINT << (p.pos % 32)) <> 0
                   THEN 1 ELSE 0 END) AS n_bits,
          MAX(CASE WHEN p.user_id % 17 = 0 THEN 1 ELSE 0 END) AS actual
   FROM probes p LEFT JOIN words w ON p.pos // 32 = w.word_idx
@@ -1397,15 +1403,7 @@ ORACLES["bloom_filter_probe"] = ORACLE_BLOOM
 def heavy_hitters_exact_rescan(spark, sf_dir):
     e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     keys = e.select(F.col("user_id").cast("string").alias("k"))
-    cells = (
-        keys.select(
-            F.posexplode(
-                F.array(*[_cms_bucket(r, F.col("k")) for r in range(CMS_D)])
-            ).alias("row", "bucket")
-        )
-        .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    cells = _cms_cells(keys)
     totals = e.agg(
         F.count(F.lit(1)).alias("n_total"),
         F.countDistinct("user_id").alias("n_users"),
@@ -1750,21 +1748,10 @@ def join_size_estimate(spark, sf_dir):
         F.col("user_id").cast("string").alias("k")
     )
 
-    def _cells(df):
-        return (
-            df.select(
-                F.posexplode(
-                    F.array(*[_cms_bucket(row, F.col("k")) for row in range(CMS_D)])
-                ).alias("row", "bucket")
-            )
-            .groupBy("row", "bucket")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-
     prod = (
-        _cells(r)
+        _cms_cells(r)
         .withColumnRenamed("cnt", "cr")
-        .join(_cells(s).withColumnRenamed("cnt", "cs"), ["row", "bucket"])
+        .join(_cms_cells(s).withColumnRenamed("cnt", "cs"), ["row", "bucket"])
         .groupBy("row")
         .agg(F.sum(F.col("cr").cast("decimal(38,0)") * F.col("cs")).alias("dot"))
         .agg(F.min("dot").cast("bigint").alias("est_join_size"))

@@ -234,7 +234,7 @@ _EWMA_OUT_SCHEMA = (
 def ewma_anomaly(spark, sf_dir):
     import pandas as pd
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(
@@ -268,7 +268,7 @@ ORACLE_EWMA = """
 WITH RECURSIVE daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ), seq AS (
   SELECT event_type, x,
          row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
@@ -652,7 +652,7 @@ def cusum_anomaly(spark, sf_dir):
     aggregate (fact-scale, one shuffle) and the scale-free recurrence."""
     import pandas as pd
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
         .cast("bigint")
@@ -698,7 +698,7 @@ ORACLE_CUSUM = """
 WITH RECURSIVE daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ), mu AS (
   SELECT event_type,
          CAST(SUM(x) // COUNT(*) AS BIGINT) AS mu

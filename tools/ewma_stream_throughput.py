@@ -80,7 +80,9 @@ def main() -> None:
         t0 = time.time()
         seen = 0
         while time.time() - t0 < 600:
-            seen = sum(p.numInputRows for p in q.recentProgress)
+            # running max: recentProgress caps at ~100 entries and the
+            # availableNow+timeout cleanup batches can evict data batches
+            seen = max(seen, sum(p.numInputRows for p in q.recentProgress))
             if seen >= N_ROWS:
                 break
             time.sleep(0.5)
