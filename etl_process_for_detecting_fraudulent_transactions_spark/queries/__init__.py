@@ -141,6 +141,7 @@ _PRIORITY_KEYS = (
     "series_correlation",
     "join_size_estimate",
     "column_profile",
+    "benford_digits",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -1802,3 +1802,83 @@ FROM prod CROSS JOIN tru
 
 QUERIES["join_size_estimate"] = join_size_estimate
 ORACLES["join_size_estimate"] = ORACLE_JOIN_SIZE
+
+
+# -- Benford first-digit analysis ------------------------------------------------
+# The forensic-accounting screen this engine's domain (fraud analytics)
+# is known for: the leading significant digit of genuine amounts follows
+# log10(1 + 1/d); fabricated figures don't. The digit is extracted from
+# the STRING rendering of the exact decimal (regexp first 1-9 char —
+# float-format-proof), expected counts use the Benford probabilities as
+# micro-scaled integer LITERALS (precomputed constants, identical in
+# both engines — no runtime log), and the deviation statistic is the
+# chi2 recipe: (obs*10^6 - n*p_micro)^2 div (n*p_micro*10^6), every
+# operand DECIMAL(38,0)-exact. One scan, 9-row output.
+
+_BENFORD_MICRO = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_MICRO.items()
+) + " END"
+
+
+def benford_digits(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    digits = o.selectExpr(
+        "CAST(regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS STRING),"
+        " '[1-9]', 0) AS INT) AS digit"
+    ).filter(F.col("digit").isNotNull())
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy()
+    return (
+        counts.withColumn("n", F.sum("obs").over(wt))
+        .selectExpr(
+            "digit",
+            "obs",
+            f"CAST(({_BENFORD_CASE}) AS BIGINT) AS p_micro",
+            f"CAST(CAST(n AS DECIMAL(38,0)) * CAST(({_BENFORD_CASE}) AS BIGINT)"
+            " div CAST(1000000 AS DECIMAL(38,0)) AS BIGINT) AS expected",
+            "CAST("
+            " CAST(CAST(obs AS DECIMAL(38,0)) * 1000000"
+            "      - CAST(n AS DECIMAL(38,0)) * (" + _BENFORD_CASE + ") AS DECIMAL(38,0))"
+            " * CAST(CAST(obs AS DECIMAL(38,0)) * 1000000"
+            "      - CAST(n AS DECIMAL(38,0)) * (" + _BENFORD_CASE + ") AS DECIMAL(38,0))"
+            " div CAST(CAST(n AS DECIMAL(38,0)) * (" + _BENFORD_CASE + ") * 1000000 AS DECIMAL(38,0))"
+            " AS BIGINT) AS dev_micro",
+        )
+    )
+
+
+_BENFORD_CASE_SQL = _BENFORD_CASE
+
+ORACLE_BENFORD = f"""
+WITH digits AS (
+  SELECT CAST(regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR),
+              '[1-9]', 0) AS INT) AS digit
+  FROM orders
+), counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM digits WHERE digit IS NOT NULL GROUP BY digit
+), tot AS (
+  SELECT digit, obs, SUM(obs) OVER () AS n FROM counts
+)
+SELECT digit, obs,
+       CAST(({_BENFORD_CASE_SQL}) AS BIGINT) AS p_micro,
+       CAST(CAST(n AS HUGEINT) * ({_BENFORD_CASE_SQL}) // 1000000 AS BIGINT)
+         AS expected,
+       CAST(
+         (CAST(obs AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * ({_BENFORD_CASE_SQL}))
+         * (CAST(obs AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * ({_BENFORD_CASE_SQL}))
+         // (CAST(n AS HUGEINT) * ({_BENFORD_CASE_SQL}) * 1000000)
+         AS BIGINT) AS dev_micro
+FROM tot
+"""
+
+QUERIES["benford_digits"] = benford_digits
+ORACLES["benford_digits"] = ORACLE_BENFORD
