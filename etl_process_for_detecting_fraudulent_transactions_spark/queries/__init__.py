@@ -142,6 +142,7 @@ _PRIORITY_KEYS = (
     "join_size_estimate",
     "column_profile",
     "benford_digits",
+    "scd3_update",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

@@ -738,3 +738,78 @@ WHERE ts < TIMESTAMP '2024-01-20'
 
 QUERIES["pit_join_events"] = pit_join_events
 ORACLES["pit_join_events"] = ORACLE_PIT
+
+
+# -- SCD Type 3 (previous-value column) ------------------------------------------
+
+def scd3_update(spark, sf_dir):
+    """SCD Type 3 completes the slowly-changing-dimension story (SCD1 seed
+    load and SCD2 historization are golden-replayed): instead of version
+    rows, each attribute keeps ONE previous-value column. The update is a
+    pure full-outer classify-and-project over the same two synthetic
+    snapshots the SCD2 gate uses — changed keys carry (new, old), new
+    keys (new, NULL), deleted keys keep the old value with a deleted
+    flag. One co-keyed join, no history table growth — the trade SCD3
+    buys at scale."""
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    snap1 = base.filter(F.col("key") % 10 != 0)
+    snap2 = base.filter(F.col("key") % 7 != 0).withColumn(
+        "segment",
+        F.when(
+            F.col("key") % 3 == 0, F.concat(F.col("segment"), F.lit("_X"))
+        ).otherwise(F.col("segment")),
+    )
+    a = snap1.select(
+        F.col("key"), F.col("name").alias("name1"), F.col("segment").alias("seg1")
+    )
+    b = snap2.select(
+        F.col("key"), F.col("name").alias("name2"), F.col("segment").alias("seg2")
+    )
+    j = a.join(b, "key", "full_outer")
+    return j.select(
+        "key",
+        F.coalesce("name2", "name1").alias("name"),
+        F.coalesce("seg2", "seg1").alias("segment"),
+        F.when(
+            F.col("seg1").isNotNull()
+            & F.col("seg2").isNotNull()
+            & (F.col("seg1") != F.col("seg2")),
+            F.col("seg1"),
+        ).alias("prev_segment"),
+        F.when(F.col("seg1").isNull(), "I")
+        .when(F.col("seg2").isNull(), "D")
+        .when(F.col("seg1") != F.col("seg2"), "U")
+        .otherwise("N")
+        .alias("change_type"),
+    )
+
+
+ORACLE_SCD3 = """
+WITH snap1 AS (
+  SELECT c_custkey AS key, c_name AS name1, c_mktsegment AS seg1
+  FROM customer WHERE c_custkey % 10 <> 0
+), snap2 AS (
+  SELECT c_custkey AS key, c_name AS name2,
+         CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment || '_X'
+              ELSE c_mktsegment END AS seg2
+  FROM customer WHERE c_custkey % 7 <> 0
+)
+SELECT key,
+       COALESCE(name2, name1) AS name,
+       COALESCE(seg2, seg1) AS segment,
+       CASE WHEN seg1 IS NOT NULL AND seg2 IS NOT NULL AND seg1 <> seg2
+            THEN seg1 END AS prev_segment,
+       CASE WHEN seg1 IS NULL THEN 'I'
+            WHEN seg2 IS NULL THEN 'D'
+            WHEN seg1 <> seg2 THEN 'U'
+            ELSE 'N' END AS change_type
+FROM snap1 FULL OUTER JOIN snap2 USING (key)
+"""
+
+QUERIES["scd3_update"] = scd3_update
+ORACLES["scd3_update"] = ORACLE_SCD3
