@@ -143,6 +143,7 @@ _PRIORITY_KEYS = (
     "column_profile",
     "benford_digits",
     "scd3_update",
+    "feature_hashing",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

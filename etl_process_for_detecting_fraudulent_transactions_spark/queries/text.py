@@ -1291,3 +1291,73 @@ FROM j
 
 QUERIES["classifier_eval"] = classifier_eval
 ORACLES["classifier_eval"] = ORACLE_CLASSIFIER_EVAL
+
+
+# -- feature hashing (the hashing trick) -----------------------------------------
+
+FEAT_HASH_BUCKETS = 1024
+
+
+def feature_hashing(spark, sf_dir):
+    """The hashing-trick audit: vocabulary tokens map to a fixed
+    FEAT_HASH_BUCKETS-dim feature space via the md5 bucket recipe (no
+    vocabulary broadcast, no fit step — the property that makes hashed
+    features work on unbounded streams), and the gate measures what the
+    trick costs per source: buckets used, buckets carrying a COLLISION
+    (>1 distinct token), the hottest bucket's distinct-token load, and
+    token/type totals. All exact integers; the token set builds map-side
+    (array_distinct before explode, the dedup discipline) so the only
+    fact-scale shuffle is the (source, bucket) aggregate."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "source",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    bucketed = toks.select(
+        "source",
+        "tok",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % FEAT_HASH_BUCKETS
+        ).alias("bucket"),
+    )
+    per_bucket = bucketed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.countDistinct("tok").alias("n_types"),
+    )
+    return per_bucket.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("buckets_used"),
+        F.sum((F.col("n_types") > 1).cast("int"))
+        .cast("bigint")
+        .alias("buckets_colliding"),
+        F.max("n_types").cast("bigint").alias("max_bucket_types"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("n_types").cast("bigint").alias("total_types"),
+    )
+
+
+ORACLE_FEATURE_HASHING = f"""
+WITH toks AS (
+  SELECT source, unnest(list_distinct(str_split(text, ' '))) AS tok
+  FROM documents
+), bucketed AS (
+  SELECT source, tok,
+         ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT
+           % {FEAT_HASH_BUCKETS} AS bucket
+  FROM toks WHERE length(tok) > 0
+), per_bucket AS (
+  SELECT source, bucket, COUNT(*) AS n_tok, COUNT(DISTINCT tok) AS n_types
+  FROM bucketed GROUP BY source, bucket
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS buckets_used,
+       CAST(SUM(CASE WHEN n_types > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS buckets_colliding,
+       CAST(MAX(n_types) AS BIGINT) AS max_bucket_types,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_types) AS BIGINT) AS total_types
+FROM per_bucket GROUP BY source
+"""
+
+QUERIES["feature_hashing"] = feature_hashing
+ORACLES["feature_hashing"] = ORACLE_FEATURE_HASHING
