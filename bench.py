@@ -82,6 +82,9 @@ SCALE_KEYS = (
     "series_correlation",
     "join_size_estimate",
     "column_profile",
+    "benford_digits",
+    "scd3_update",
+    "feature_hashing",
 )
 # input table each scale query is throughput-bounded by (for the rows/s numerator)
 SCALE_INPUT = {
@@ -104,6 +107,9 @@ SCALE_INPUT = {
     "series_correlation": "events",
     "join_size_estimate": "events",
     "column_profile": "orders",
+    "benford_digits": "orders",
+    "scd3_update": "customer",
+    "feature_hashing": "documents",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",
@@ -170,6 +176,7 @@ def _scale_union_dir(spark, sf_dir: str, k: int, out_dir: str) -> str:
         "embeddings": ("vec_id", 1_000_000),
         "events": ("event_id", 100_000_000),
         "orders": ("o_orderkey", 100_000_000),
+        "customer": ("c_custkey", 100_000_000),
     }
     for table, (key, stride) in specs.items():
         src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
@@ -181,7 +188,7 @@ def _scale_union_dir(spark, sf_dir: str, k: int, out_dir: str) -> str:
         for p in parts[1:]:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
-    # remaining tables are read as-is via symlink (scale queries only touch the 4 above)
+    # remaining tables are read as-is via symlink (scale queries only touch the 5 above)
     for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
         dst = f"{out_dir}/{t}.parquet"
         if not os.path.exists(dst):
