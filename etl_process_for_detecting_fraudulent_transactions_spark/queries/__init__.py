@@ -49,14 +49,16 @@ from . import (
 #      the r1 failures fixed in r2), then the dedup core; with the 16 new/
 #      changed keys ahead of them (11 never driver-checked + 5 changed-but-
 #      r3-green), the ~50-query window keeps ~11 of these.
-# Final first-50 mix after sessions 3-5 (tools/rotation_check.py): 43
-# never-driver-checked + 4 r3 + 2 r1 + 1 r2. Session 5 added 11 gates
-# (auc/gap_islands/chi2/ewma/containment/phash/ohlc/twap/stump/interval/
-# record_linkage), displacing 26 r1-stale relational/tpch keys past
-# position 50 — named r5 debt (all were green in r1, all keep local
-# parity coverage in tests/test_oracle_parity.py, and the whole registry
-# is rehearsed green at sf0.01 — most gates also at sf0.001 and sf0.1 —
-# every session).
+# Final first-50 mix after sessions 3-5 (tools/rotation_check.py): the
+# window head is now entirely never-driver-checked keys. Session 5 added
+# 27 gates (auc, gap_islands, chi2, ewma, containment, phash, ohlc, twap,
+# stump, interval_union, record_linkage, bloom, hh_rescan, checksum,
+# interpolate, bootstrap, pareto, null_ops, linkpred, wmedian, cusum,
+# kcore, correlation, join_size, profile, benford, scd3, feature_hashing),
+# displacing the r1-stale relational/tpch keys past position 50 — named
+# r5 debt (all were green in r1, all keep local parity coverage in
+# tests/test_oracle_parity.py, and the WHOLE 174-key registry is
+# rehearsed hash-green at BOTH sf0.01 and sf0.1 this session).
 _MODULES = (
     relational,
     extra,
