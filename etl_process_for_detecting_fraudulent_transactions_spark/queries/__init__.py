@@ -146,6 +146,7 @@ _PRIORITY_KEYS = (
     "benford_digits",
     "scd3_update",
     "feature_hashing",
+    "lm_doc_score",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

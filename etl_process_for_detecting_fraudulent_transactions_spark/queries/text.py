@@ -1361,3 +1361,101 @@ FROM per_bucket GROUP BY source
 
 QUERIES["feature_hashing"] = feature_hashing
 ORACLES["feature_hashing"] = ORACLE_FEATURE_HASHING
+
+
+# -- LM-based document quality scoring --------------------------------------------
+
+def lm_doc_score(spark, sf_dir):
+    """The CCNet-family perplexity filter with an INTEGER language model:
+    each document scores by the average conditional probability of its
+    word bigrams under the corpus bigram LM (`bigram_lm_counts`' c2/c1
+    table, min-count filtered) — per-bigram score floor(10^6 * c2/c1),
+    per-doc mean as one exact integral division; bigrams rare enough to
+    miss the LM count as OOV with score 0 (reported). Self-scoring (the
+    corpus LM scores its own documents) is the standard filter-audit
+    setup and is the gate's documented contract.
+
+    Scale shape: one corpus scan builds the LM (map-side combine to
+    (w1,w2)); the doc-bigram stream joins the LM by bigram key — the one
+    wide shuffle — and the per-doc rollup clusters on doc_id."""
+    from pyspark.sql.window import Window
+
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _tokens().alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    lm = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
+        .filter(F.col("c2") >= BIGRAM_MIN_C)
+        .selectExpr(
+            "w1",
+            "w2",
+            "CAST(CAST(c2 AS DECIMAL(38,0)) * 1000000"
+            " div CAST(c1 AS DECIMAL(38,0)) AS BIGINT) AS score_micro",
+        )
+    )
+    scored = bigrams.join(lm, ["w1", "w2"], "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.count("score_micro").cast("bigint").alias("n_scored"),
+            F.sum(F.coalesce("score_micro", F.lit(0)))
+            .cast("decimal(38,0)")
+            .alias("sum_micro"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_bigrams",
+            "n_scored",
+            "CAST(n_bigrams - n_scored AS BIGINT) AS n_oov",
+            "CAST(sum_micro div CAST(n_bigrams AS DECIMAL(38,0)) AS BIGINT)"
+            " AS avg_score_micro",
+        )
+    )
+
+
+ORACLE_LM_DOC_SCORE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), bigrams AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+), lm AS (
+  SELECT w1, w2,
+         CAST(CAST(c2 AS HUGEINT) * 1000000 // c1 AS BIGINT) AS score_micro
+  FROM (
+    SELECT w1, w2, COUNT(*) AS c2,
+           SUM(COUNT(*)) OVER (PARTITION BY w1) AS c1
+    FROM bigrams GROUP BY w1, w2
+  ) WHERE c2 >= {BIGRAM_MIN_C}
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(score_micro) AS BIGINT) AS n_scored,
+       CAST(COUNT(*) - COUNT(score_micro) AS BIGINT) AS n_oov,
+       CAST(SUM(COALESCE(score_micro, 0)) // COUNT(*) AS BIGINT)
+         AS avg_score_micro
+FROM bigrams LEFT JOIN lm USING (w1, w2)
+GROUP BY doc_id
+"""
+
+QUERIES["lm_doc_score"] = lm_doc_score
+ORACLES["lm_doc_score"] = ORACLE_LM_DOC_SCORE
