@@ -1844,22 +1844,23 @@ def benford_digits(spark, sf_dir):
             f"CAST(({_BENFORD_CASE}) AS BIGINT) AS p_micro",
             f"CAST(CAST(n AS DECIMAL(38,0)) * CAST(({_BENFORD_CASE}) AS BIGINT)"
             " div CAST(1000000 AS DECIMAL(38,0)) AS BIGINT) AS expected",
+            # (obs*1e6 - n*p_micro)^2 / (n*p_micro) = 1e6 * (obs-np)^2/(np)
+            # — the divisor must NOT carry another 1e6 or the scaling
+            # cancels back to unit chi2 (review-caught)
             "CAST("
             " CAST(CAST(obs AS DECIMAL(38,0)) * 1000000"
             "      - CAST(n AS DECIMAL(38,0)) * (" + _BENFORD_CASE + ") AS DECIMAL(38,0))"
             " * CAST(CAST(obs AS DECIMAL(38,0)) * 1000000"
             "      - CAST(n AS DECIMAL(38,0)) * (" + _BENFORD_CASE + ") AS DECIMAL(38,0))"
-            " div CAST(CAST(n AS DECIMAL(38,0)) * (" + _BENFORD_CASE + ") * 1000000 AS DECIMAL(38,0))"
+            " div CAST(CAST(n AS DECIMAL(38,0)) * (" + _BENFORD_CASE + ") AS DECIMAL(38,0))"
             " AS BIGINT) AS dev_micro",
         )
     )
 
 
-_BENFORD_CASE_SQL = _BENFORD_CASE
-
 ORACLE_BENFORD = f"""
 WITH digits AS (
-  SELECT CAST(regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR),
+  SELECT TRY_CAST(regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR),
               '[1-9]', 0) AS INT) AS digit
   FROM orders
 ), counts AS (
@@ -1869,13 +1870,13 @@ WITH digits AS (
   SELECT digit, obs, SUM(obs) OVER () AS n FROM counts
 )
 SELECT digit, obs,
-       CAST(({_BENFORD_CASE_SQL}) AS BIGINT) AS p_micro,
-       CAST(CAST(n AS HUGEINT) * ({_BENFORD_CASE_SQL}) // 1000000 AS BIGINT)
+       CAST(({_BENFORD_CASE}) AS BIGINT) AS p_micro,
+       CAST(CAST(n AS HUGEINT) * ({_BENFORD_CASE}) // 1000000 AS BIGINT)
          AS expected,
        CAST(
-         (CAST(obs AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * ({_BENFORD_CASE_SQL}))
-         * (CAST(obs AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * ({_BENFORD_CASE_SQL}))
-         // (CAST(n AS HUGEINT) * ({_BENFORD_CASE_SQL}) * 1000000)
+         (CAST(obs AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * ({_BENFORD_CASE}))
+         * (CAST(obs AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * ({_BENFORD_CASE}))
+         // (CAST(n AS HUGEINT) * ({_BENFORD_CASE}))
          AS BIGINT) AS dev_micro
 FROM tot
 """

@@ -799,6 +799,29 @@ ORACLES["tfidf_keywords"] = ORACLE_TFIDF
 BIGRAM_MIN_C = 5
 
 
+def _bigrams(spark, sf_dir, with_doc_id=False):
+    """Order-preserving adjacency word bigrams from documents — shared by
+    the LM-count gate and the LM-scoring gate. The size >= 2 guard
+    matters: F.sequence(1, n-1) runs DESCENDING for n <= 1 and
+    element_at then throws INVALID_ARRAY_INDEX (the _shingle_arrays
+    hazard); oracles mirror it with WHERE len(toks) >= 2."""
+    cols = (["doc_id"] if with_doc_id else []) + [_tokens().alias("toks")]
+    d = _docs(spark, sf_dir).select(*cols).filter(F.size("toks") >= 2)
+    out_cols = (["doc_id"] if with_doc_id else []) + [
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ]
+    sel = (["doc_id"] if with_doc_id else []) + ["b.w1", "b.w2"]
+    return d.select(*out_cols).select(*sel)
+
+
 def bigram_lm_counts(spark, sf_dir):
     """Corpus bigram LM stats: (w1, w2) count c2, prefix count c1 (sum of
     c2 over w1 — NON-distinct, order-preserving adjacency), conditional
@@ -810,25 +833,7 @@ def bigram_lm_counts(spark, sf_dir):
     denominator costs no second scan or join."""
     from pyspark.sql.window import Window
 
-    # size >= 2 guard: F.sequence(1, n-1) runs DESCENDING for n <= 1 and
-    # element_at then throws INVALID_ARRAY_INDEX (same hazard _shingle_arrays in
-    # dedup.py guards); the oracle's WHERE len(toks) >= 2 is the mirror
-    d = (
-        _docs(spark, sf_dir)
-        .select(_tokens().alias("toks"))
-        .filter(F.size("toks") >= 2)
-    )
-    bigrams = d.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.struct(
-                    F.element_at("toks", i).alias("w1"),
-                    F.element_at("toks", i + 1).alias("w2"),
-                ),
-            )
-        ).alias("b")
-    ).select("b.w1", "b.w2")
+    bigrams = _bigrams(spark, sf_dir)
     c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c2 = c2.withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
     return c2.filter(F.col("c2") >= BIGRAM_MIN_C).select(
@@ -1380,23 +1385,7 @@ def lm_doc_score(spark, sf_dir):
     wide shuffle — and the per-doc rollup clusters on doc_id."""
     from pyspark.sql.window import Window
 
-    d = (
-        _docs(spark, sf_dir)
-        .select("doc_id", _tokens().alias("toks"))
-        .filter(F.size("toks") >= 2)
-    )
-    bigrams = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.struct(
-                    F.element_at("toks", i).alias("w1"),
-                    F.element_at("toks", i + 1).alias("w2"),
-                ),
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
+    bigrams = _bigrams(spark, sf_dir, with_doc_id=True)
     lm = (
         bigrams.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c2"))
