@@ -85,6 +85,7 @@ SCALE_KEYS = (
     "benford_digits",
     "scd3_update",
     "feature_hashing",
+    "lm_doc_score",
 )
 # input table each scale query is throughput-bounded by (for the rows/s numerator)
 SCALE_INPUT = {
@@ -110,6 +111,7 @@ SCALE_INPUT = {
     "benford_digits": "orders",
     "scd3_update": "customer",
     "feature_hashing": "documents",
+    "lm_doc_score": "documents",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",
