@@ -51,13 +51,13 @@ from . import (
 #      r3-green), the ~50-query window keeps ~11 of these.
 # Final first-50 mix after sessions 3-5 (tools/rotation_check.py): the
 # window head is now entirely never-driver-checked keys. Session 5 added
-# 29 gates (auc, gap_islands, chi2, ewma, containment, phash, ohlc, twap,
+# 30 gates (auc, gap_islands, chi2, ewma, containment, phash, ohlc, twap,
 # stump, interval_union, record_linkage, bloom, hh_rescan, checksum,
 # interpolate, bootstrap, pareto, null_ops, linkpred, wmedian, cusum,
 # kcore, correlation, join_size, profile, benford, scd3, feature_hashing,
-# lm_doc_score), displacing the r1-stale relational/tpch keys past
+# lm_doc_score, quantile_normalize), displacing the r1-stale relational/tpch keys past
 # position 50 — named r5 debt (all were green in r1, all keep local
-# parity coverage in tests/test_oracle_parity.py, and the WHOLE 175-key
+# parity coverage in tests/test_oracle_parity.py, and the WHOLE 176-key
 # registry is rehearsed hash-green at BOTH sf0.01 and sf0.1 this
 # session).
 _MODULES = (
@@ -148,6 +148,7 @@ _PRIORITY_KEYS = (
     "scd3_update",
     "feature_hashing",
     "lm_doc_score",
+    "quantile_normalize",
     # -- latest evidence r1 (three rounds stale) --
     "above_nation_avg",
     "case_when_bands",

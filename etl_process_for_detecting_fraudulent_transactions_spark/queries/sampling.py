@@ -333,3 +333,59 @@ GROUP BY lang, source
 
 QUERIES["weighted_sample"] = weighted_sample
 ORACLES["weighted_sample"] = ORACLE_WEIGHTED_SAMPLE
+
+
+# -- quantile normalization ---------------------------------------------------
+
+QN_BUCKETS = 100
+
+
+def quantile_normalize(spark, sf_dir):
+    """Quantile normalization across cohorts — the ML-preprocessing
+    transform that forces every cohort's feature distribution onto the
+    pooled one: each doc takes its NTILE(100) position WITHIN its lang
+    cohort, then maps to the cross-cohort integer mean of its bucket
+    (exact bigint sum div count). Unequal cohort sizes are handled the
+    NTILE way (early buckets one element larger) — the standard
+    discrete approximation, documented rather than interpolated, which
+    keeps every emitted number an exact integer. Per-cohort NTILE sorts
+    partition-parallel across langs; the bucket means are a 100-row
+    broadcastable frame."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("v")
+    )
+    w = Window.partitionBy("lang").orderBy("v", "doc_id")
+    ranked = d.withColumn("bucket", F.ntile(QN_BUCKETS).over(w))
+    means = ranked.groupBy("bucket").agg(
+        F.sum("v").alias("sv"), F.count(F.lit(1)).alias("cnt")
+    ).selectExpr("bucket", "CAST(sv div cnt AS BIGINT) AS bucket_mean")
+    return (
+        ranked.join(F.broadcast(means), "bucket")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("v").alias("original"),
+            "bucket",
+            F.col("bucket_mean").alias("normalized"),
+        )
+    )
+
+
+ORACLE_QNORM = f"""
+WITH ranked AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS v,
+         ntile({QN_BUCKETS}) OVER (PARTITION BY lang ORDER BY v, doc_id)
+           AS bucket
+  FROM documents
+), means AS (
+  SELECT bucket, CAST(SUM(v) // COUNT(*) AS BIGINT) AS bucket_mean
+  FROM ranked GROUP BY bucket
+)
+SELECT doc_id, lang, v AS original, bucket, bucket_mean AS normalized
+FROM ranked JOIN means USING (bucket)
+"""
+
+QUERIES["quantile_normalize"] = quantile_normalize
+ORACLES["quantile_normalize"] = ORACLE_QNORM
