@@ -86,6 +86,7 @@ SCALE_KEYS = (
     "scd3_update",
     "feature_hashing",
     "lm_doc_score",
+    "quantile_normalize",
 )
 # input table each scale query is throughput-bounded by (for the rows/s numerator)
 SCALE_INPUT = {
@@ -112,6 +113,7 @@ SCALE_INPUT = {
     "scd3_update": "customer",
     "feature_hashing": "documents",
     "lm_doc_score": "documents",
+    "quantile_normalize": "documents",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",
