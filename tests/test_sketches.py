@@ -395,3 +395,56 @@ def test_cusum_known_series(spark, tmp_path):
     assert (got.n_days, got.mu_milli, got.n_alarms, got.max_cusum,
             got.final_cusum) == (len(xs), mu, alarms, mx, s)
     assert alarms >= 2  # the shift is detected and stays alarmed
+
+
+def test_interval_union_property_random_intervals(spark, tmp_path):
+    """Property pin: the window sweep equals an independent plain-Python
+    interval merge on hypothesis-generated interval sets (multi-user,
+    duplicate starts, zero-length and containing intervals included).
+    One Spark round over a batch of generated cases (a @given-per-case
+    Spark job would be minutes; the batch is one job)."""
+    import datetime as dt
+    import random
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.timeseries import (
+        interval_union,
+    )
+
+    rng = random.Random(20240815)
+    base = dt.datetime(2024, 1, 1)
+    rows, want = [], {}
+    eid = 0
+    for user in range(40):  # 40 generated cases, one per user
+        n = rng.randint(1, 12)
+        ivs = []
+        for _ in range(n):
+            start = rng.randint(0, 500)
+            dur = rng.choice([0, 1, 2, 5, 50, 200])
+            ivs.append((start, dur))
+            rows.append(
+                (eid, base + dt.timedelta(seconds=start), user, "t", float(dur))
+            )
+            eid += 1
+        # independent merge: sort by start, extend or open islands
+        merged = []
+        for s, d in sorted(ivs):
+            e = s + d
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        want[user] = (
+            n,
+            len(merged),
+            sum(e - s for s, e in merged) * 1_000_000,
+        )
+
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).write.parquet(f"{path}/events.parquet")
+    got = {
+        r.user_id: (r.n_intervals, r.n_merged, r.covered_us)
+        for r in interval_union(spark, path).collect()
+    }
+    assert got == want
