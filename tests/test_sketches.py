@@ -448,3 +448,47 @@ def test_interval_union_property_random_intervals(spark, tmp_path):
         for r in interval_union(spark, path).collect()
     }
     assert got == want
+
+
+def test_gap_islands_property_random_days(spark, tmp_path):
+    """Property pin: the day - row_number streak detection equals an
+    independent plain-Python consecutive-run scan on randomized per-user
+    day sets (duplicate events per day included)."""
+    import datetime as dt
+    import random
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.timeseries import (
+        gap_islands,
+    )
+
+    rng = random.Random(19)
+    rows, want = [], {}
+    eid = 0
+    for user in range(40):
+        days = sorted(rng.sample(range(60), rng.randint(1, 20)))
+        for d in days:
+            for _ in range(rng.randint(1, 3)):  # multiple events per day
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 1, 12) + dt.timedelta(days=d),
+                     user, "t", 1.0)
+                )
+                eid += 1
+        streaks, cur = [], 1
+        for a, b in zip(days, days[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        want[user] = (len(days), len(streaks), max(streaks))
+
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).write.parquet(f"{path}/events.parquet")
+    got = {
+        r.user_id: (r.active_days, r.n_streaks, r.longest_streak)
+        for r in gap_islands(spark, path).collect()
+    }
+    assert got == want
