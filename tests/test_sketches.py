@@ -492,3 +492,56 @@ def test_gap_islands_property_random_days(spark, tmp_path):
         for r in gap_islands(spark, path).collect()
     }
     assert got == want
+
+
+def test_twap_property_random_series(spark, tmp_path):
+    """Property pin: twap_daily equals an independent plain-Python
+    interval-weighted mean on randomized intra-day series (duplicate
+    timestamps tiebroken by event_id, exactly as the gate orders)."""
+    import datetime as dt
+    import random
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.timeseries import (
+        twap_daily,
+    )
+
+    rng = random.Random(7)
+    rows, eid = [], 0
+    series = {}
+    for t in range(8):  # 8 single-day series
+        etype = f"t{t}"
+        n = rng.randint(2, 15)
+        evs = []
+        for _ in range(n):
+            off = rng.randint(0, 86_399)
+            v = rng.randint(1, 500) / 7.0
+            evs.append((off, eid, v))
+            rows.append(
+                (eid, dt.datetime(2024, 1, 5) + dt.timedelta(seconds=off),
+                 1, etype, v)
+            )
+            eid += 1
+        series[etype] = sorted(evs)
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).write.parquet(f"{path}/events.parquet")
+
+    got = {
+        r.event_type: (r.total_us, r.n_intervals, r.twap)
+        for r in twap_daily(spark, path).collect()
+    }
+    for etype, evs in series.items():
+        wsum = tot = 0
+        for (o1, _, v), (o2, _, _) in zip(evs, evs[1:]):
+            dur = (o2 - o1) * 1_000_000
+            wsum += int(v * 1000 // 1) * dur
+            tot += dur
+        if tot == 0 and len(evs) >= 2:
+            # all events share one timestamp: intervals exist but carry
+            # zero duration — twap divides 0/0 -> NULL in both engines
+            assert got[etype][0] == 0
+            continue
+        assert got[etype][0] == tot
+        assert got[etype][1] == len(evs) - 1
+        assert got[etype][2] == wsum / (tot * 1000)
