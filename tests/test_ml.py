@@ -212,3 +212,47 @@ def test_decision_stump_known_split(spark, tmp_path):
     # bins <=2 are purely positive (3/3); including bin 3 admits a negative
     # and scores lower (7.73e12 vs 8e12)
     assert got.threshold == 2
+
+
+def test_weighted_median_property_random_weights(spark, tmp_path):
+    """Property pin: weighted_median equals the definitional plain-Python
+    selection (first value in order whose doubled running weight reaches
+    the total) on randomized weighted sets per lang."""
+    import random
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        weighted_median,
+    )
+
+    rng = random.Random(23)
+    rows, want = [], {}
+    did = 0
+    for li in range(10):
+        lang = f"l{li}"
+        n = rng.randint(1, 25)
+        # text of w words of one char -> v = len/words is deterministic
+        pts = []
+        for _ in range(n):
+            words = rng.randint(1, 9)
+            text = " ".join("a" * rng.randint(1, 5) for _ in range(words))
+            w = rng.randint(1, 100)
+            v = len(text) / max(words, 1)
+            pts.append((v, w))
+            rows.append((did, text, lang, "s", w))
+            did += 1
+        total = sum(w for _, w in pts)
+        cum = 0
+        for v, w in sorted(pts):
+            cum += w
+            if 2 * cum >= total:
+                want[lang] = (v, cum, total)
+                break
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(f"{path}/documents.parquet")
+    got = {
+        r.lang: (r.weighted_median, r.cum_weight, r.total_weight)
+        for r in weighted_median(spark, path).collect()
+    }
+    assert got == want
