@@ -31,35 +31,24 @@ from . import (
     tpch_rest,
 )
 
-# Order matters: the driver's correctness budget covers roughly the first 50
-# registered queries (r1-r3 each checked exactly the first 50). Rotation for
-# round 4 (VERDICT r3 #2 — stalest evidence first):
-#   1. queries whose implementation is NEW or CHANGED this round (never
-#      driver-checked): the rewired dedup_clusters/dedup_canonical_pick,
-#      dedup_signature_est, approx_distinct_kmv, the numpy-vectorized
-#      multimodal kernels + the new BMP/PNG codec gates, the graph family
-#      (triangle_stats / max_concurrent_events — rebuilt as a bucketed
-#      prefix sum — / event_path_trigrams / pagerank_copurchase),
-#      zscore_outliers, doc_novelty_score, weighted_sample;
-#   2. ALL 28 queries whose latest driver evidence is round 1 (three rounds
-#      stale): the relational/tpch_more remainder that sat just outside the
-#      r3 window;
-#   3. the r2-stale set as budget allows, verdict-named re-checks first
-#      (scd2_snapshot_diff, sessionize, tpch_q12/q18, json_props_stats —
-#      the r1 failures fixed in r2), then the dedup core; with the 16 new/
-#      changed keys ahead of them (11 never driver-checked + 5 changed-but-
-#      r3-green), the ~50-query window keeps ~11 of these.
-# Final first-50 mix after sessions 3-5 (tools/rotation_check.py): the
-# window head is now entirely never-driver-checked keys. Session 5 added
-# 30 gates (auc, gap_islands, chi2, ewma, containment, phash, ohlc, twap,
-# stump, interval_union, record_linkage, bloom, hh_rescan, checksum,
-# interpolate, bootstrap, pareto, null_ops, linkpred, wmedian, cusum,
-# kcore, correlation, join_size, profile, benford, scd3, feature_hashing,
-# lm_doc_score, quantile_normalize), displacing the r1-stale relational/tpch keys past
-# position 50 — named r5 debt (all were green in r1, all keep local
-# parity coverage in tests/test_oracle_parity.py, and the WHOLE 176-key
-# registry is rehearsed hash-green at BOTH sf0.01 and sf0.1 this
-# session).
+# Order matters: the driver's correctness budget covers the first ~50
+# registered queries (r1-r4 each checked exactly the first 50). Round-5
+# rotation executes VERDICT r4 #3 verbatim — the ENTIRE window goes to
+# evidence debt, zero new gates above position 50:
+#   1-3   the three r4 hash-reds, re-checked after the HUGEINT->BIGINT
+#         oracle casts (triangle_stats, pagerank_copurchase,
+#         chi2_independence — VERDICT r4 #1);
+#   4     heavy_hitters_exact_rescan, re-checked after de-vacuating the
+#         threshold so the gate emits rows at driver scale (VERDICT r4 #4);
+#   5-21  the 17 keys NEVER driver-checked (sat at positions 51-67 of the
+#         r4 window);
+#   22-49 the 28 keys whose latest evidence is round 1;
+#   50    scd2_snapshot_diff (r2-stale, verdict-named in r3 AND perf-flagged
+#         in r4 — double reason to pin fresh evidence).
+# After position 50: the remaining r2-stale verdict-named re-checks, then
+# the r2-stale dedup/text/sampling core, then family order (stalest-family
+# first). Registry additions this round are appended BELOW the window
+# (VERDICT r4 #3: "freeze registry additions above rotation position 50").
 _MODULES = (
     relational,
     extra,
@@ -76,62 +65,15 @@ _MODULES = (
     multimodal,
 )
 
-# Keys verified first this round (changed this round, then stalest first).
+# Keys verified first this round (r4 reds first, then stalest-first debt).
 _PRIORITY_KEYS = (
-    # -- changed in r4 --
-    "dedup_clusters",
-    "dedup_canonical_pick",
-    "dedup_signature_est",
-    "approx_distinct_kmv",
-    "multimodal_features",
-    "multimodal_audio_features",
-    "multimodal_resize",
-    # -- new in r4: graph family + deterministic z-score anomaly gate --
+    # -- 1-3: r4 hash-reds, oracles re-cast HUGEINT->BIGINT this round --
     "triangle_stats",
-    "max_concurrent_events",
-    "event_path_trigrams",
     "pagerank_copurchase",
-    "doc_novelty_score",
-    "weighted_sample",
-    "zscore_outliers",
-    "multimodal_bmp_features",
-    "multimodal_png_features",
-    "multimodal_jpeg_features",
-    "multimodal_jpeg_color",
-    "inverted_index",
-    "keyword_search_topk",
-    "equidepth_histogram",
-    "pq_encode",
-    "knn_pq_adc",
-    "knn_ivf_pq",
-    "bpe_merge_step",
-    # -- new in r4 session 4: exact-integer BM25 + KMV sketch algebra --
-    "bm25_topk",
-    "kmv_set_ops",
-    "bfs_distance",
-    "assoc_rules",
-    "datetime_ops",
-    "regex_ops",
-    "attribution_last_touch",
-    "variant_json_ops",
-    "classifier_eval",
-    "incremental_join_view",
-    "drift_ks_test",
-    "trend_slope_ols",
-    "auc_mann_whitney",
-    # -- new in r4 session 5 --
-    "gap_islands",
     "chi2_independence",
-    "ewma_anomaly",
-    "minhash_containment",
-    "multimodal_phash",
-    "ohlc_bars",
-    "twap_daily",
-    "decision_stump_train",
-    "interval_union",
-    "record_linkage_fs",
-    "bloom_filter_probe",
+    # -- 4: de-vacuated this round (threshold now emits rows at sf0.01) --
     "heavy_hitters_exact_rescan",
+    # -- 5-21: never driver-checked (positions 51-67 of the r4 window) --
     "table_checksum",
     "resample_interpolate",
     "poisson_bootstrap",
@@ -149,7 +91,7 @@ _PRIORITY_KEYS = (
     "feature_hashing",
     "lm_doc_score",
     "quantile_normalize",
-    # -- latest evidence r1 (three rounds stale) --
+    # -- 22-49: latest evidence round 1 (four rounds stale) --
     "above_nation_avg",
     "case_when_bands",
     "cube_revenue",
@@ -178,8 +120,10 @@ _PRIORITY_KEYS = (
     "union_rule_accumulation",
     "window_distribution_funcs",
     "window_rank_topn",
-    # -- r2-stale: verdict-named re-checks (r1 failures fixed in r2) --
+    # -- 50: r2-stale + r4 perf-flagged --
     "scd2_snapshot_diff",
+    # ---- window boundary (driver checks ~50) ----
+    # -- r2-stale: remaining verdict-named re-checks (r1 failures fixed r2) --
     "sessionize",
     "tpch_q12_priority_class",
     "tpch_q18_large_orders",

@@ -138,8 +138,8 @@ tri AS (
   JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
 )
 SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
-       (SELECT SUM(deg) // 2 FROM deg) AS n_edges,
-       (SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS n_wedges,
+       (SELECT CAST(SUM(deg) // 2 AS BIGINT) FROM deg) AS n_edges,
+       (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
        n_triangles,
        3 * n_triangles / (SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS clustering
 FROM tri
@@ -383,7 +383,7 @@ r0 AS (
   SELECT p, outdeg, ({SCALE} // (SELECT n FROM nn)) AS r FROM nodes
 ),
 {ITERS}
-SELECT p, r AS rank_fp
+SELECT p, CAST(r AS BIGINT) AS rank_fp
 FROM r{LAST}
 ORDER BY rank_fp DESC, p ASC
 LIMIT 20

@@ -1140,7 +1140,7 @@ WITH cells AS (
   FROM m
 )
 SELECT lang, source, o, e_micro, cell_chi2_micro,
-       SUM(cell_chi2_micro) OVER () AS chi2_micro, dof
+       CAST(SUM(cell_chi2_micro) OVER () AS BIGINT) AS chi2_micro, dof
 FROM scored
 """
 
@@ -1397,8 +1397,13 @@ ORACLES["bloom_filter_probe"] = ORACLE_BLOOM
 # hitters, so the rescan output is provably exact — the gate emits both
 # the exact count and the sketch estimate, and their gap audits the
 # sketch's overestimate on real data. The threshold is relative (count *
-# n_users >= 2 * n_total, i.e. 2x the mean rate) and integer
-# cross-multiplied, so no scale-specific literals.
+# n_users * 5 >= 6 * n_total, i.e. 1.2x the mean rate) and integer
+# cross-multiplied, so no scale-specific literals. 1.2x, not 2x: the
+# synthetic user_ids are near-uniform (max/mean ~1.3 at sf0.01), so a 2x
+# bar selected NOTHING at driver scale and the whole nominate->rescan path
+# went unexercised (r4 verdict #4 "vacuous green"); at 1.2x the gate emits
+# 13 rows at sf0.01 / ~100 at sf0.1, and the planted-skew pin in
+# tests/test_sketches.py proves the two-pass logic on a genuinely heavy key.
 
 def heavy_hitters_exact_rescan(spark, sf_dir):
     e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
@@ -1423,7 +1428,7 @@ def heavy_hitters_exact_rescan(spark, sf_dir):
         .agg(F.min("cnt").alias("est_count"))
     )
     cand = est.crossJoin(F.broadcast(totals)).filter(
-        F.col("est_count") * F.col("n_users") >= 2 * F.col("n_total")
+        F.col("est_count") * F.col("n_users") * 5 >= 6 * F.col("n_total")
     )
     exact = (
         e.join(F.broadcast(cand.select("user_id")), "user_id", "semi")
@@ -1432,7 +1437,7 @@ def heavy_hitters_exact_rescan(spark, sf_dir):
     )
     return (
         exact.join(cand, "user_id")
-        .filter(F.col("exact_count") * F.col("n_users") >= 2 * F.col("n_total"))
+        .filter(F.col("exact_count") * F.col("n_users") * 5 >= 6 * F.col("n_total"))
         .select(
             "user_id",
             F.col("exact_count").cast("bigint").alias("exact_count"),
@@ -1459,7 +1464,7 @@ est AS (
 ),
 cand AS (
   SELECT est.user_id, est.est_count FROM est, totals
-  WHERE est.est_count * totals.n_users >= 2 * totals.n_total
+  WHERE est.est_count * totals.n_users * 5 >= 6 * totals.n_total
 ),
 exact AS (
   SELECT e.user_id, COUNT(*) AS exact_count
@@ -1470,7 +1475,7 @@ SELECT exact.user_id,
        CAST(cand.est_count AS BIGINT) AS est_count,
        CAST(cand.est_count - exact.exact_count AS BIGINT) AS overestimate
 FROM exact JOIN cand USING (user_id), totals
-WHERE exact.exact_count * totals.n_users >= 2 * totals.n_total
+WHERE exact.exact_count * totals.n_users * 5 >= 6 * totals.n_total
 """
 
 QUERIES["heavy_hitters_exact_rescan"] = heavy_hitters_exact_rescan

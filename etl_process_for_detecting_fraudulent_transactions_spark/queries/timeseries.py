@@ -778,10 +778,15 @@ def series_correlation(spark, sf_dir):
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
     )
     return agg.selectExpr(
+        # num/var_x/var_y are ~5e8 at sf0.01 and scale ~linearly in corpus
+        # size squared via v^2 (n_days is calendar-bounded): ~5e16 at
+        # 10^4x this corpus — comfortably inside BIGINT, so both engines
+        # emit int64 and no driver Decimal normalization is involved
+        # (VERDICT r4 #6: pin the dtype before the gate rotates in).
         "CAST(n AS BIGINT) AS n_days",
-        "CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0)) AS num",
-        "CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0)) AS var_x",
-        "CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0)) AS var_y",
+        "CAST(CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0)) AS BIGINT) AS num",
+        "CAST(CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0)) AS BIGINT) AS var_x",
+        "CAST(CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0)) AS BIGINT) AS var_y",
         """CAST(
              CAST(CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))
                * CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))
@@ -814,9 +819,9 @@ agg AS (
   FROM j
 )
 SELECT CAST(n AS BIGINT) AS n_days,
-       CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR)::DECIMAL(38,0) AS num,
-       CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR)::DECIMAL(38,0) AS var_x,
-       CAST(n * syy - CAST(sy AS HUGEINT) * sy AS VARCHAR)::DECIMAL(38,0) AS var_y,
+       CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT) AS num,
+       CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT) AS var_x,
+       CAST(n * syy - CAST(sy AS HUGEINT) * sy AS BIGINT) AS var_y,
        CAST((n * sxy - CAST(sx AS HUGEINT) * sy)
             * (n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
             // ((n * sxx - CAST(sx AS HUGEINT) * sx)

@@ -545,3 +545,43 @@ def test_twap_property_random_series(spark, tmp_path):
         assert got[etype][0] == tot
         assert got[etype][1] == len(evs) - 1
         assert got[etype][2] == wsum / (tot * 1000)
+
+
+def test_heavy_hitters_exact_rescan_planted_skew(spark, tmp_path):
+    """The nominate->rescan path on a PLANTED heavy-key distribution: the
+    gate's relative threshold (1.2x the mean per-user rate) must return
+    exactly the true heavy set with exact counts, and the CMS estimate must
+    never underestimate (the superset property the two-pass design relies
+    on). Guards VERDICT r4 #3's finding that the gate was vacuously green
+    (0 rows) on the near-uniform synthetic user_ids."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        heavy_hitters_exact_rescan,
+    )
+
+    # 100 light users x 10 events + two heavies: 1001 x 100, 1002 x 50.
+    # n_total=1150, n_users=102, mean≈11.3, 1.2x bar≈13.5 -> true heavy
+    # set is exactly {1001: 100, 1002: 50}.
+    counts = {u: 10 for u in range(1, 101)}
+    counts[1001] = 100
+    counts[1002] = 50
+    rows = [
+        (eid, u, "click")
+        for eid, (u, n) in enumerate(
+            (u, i) for u, n in counts.items() for i in range(n)
+        )
+    ]
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(rows, ["event_id", "user_id", "event_type"]).write.parquet(
+        f"{path}/events.parquet"
+    )
+
+    got = {
+        r["user_id"]: (r["exact_count"], r["est_count"], r["overestimate"])
+        for r in heavy_hitters_exact_rescan(spark, path).collect()
+    }
+    assert set(got) == {1001, 1002}
+    assert got[1001][0] == 100
+    assert got[1002][0] == 50
+    for exact, est, over in got.values():
+        assert est >= exact  # CMS never underestimates
+        assert over == est - exact

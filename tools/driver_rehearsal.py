@@ -50,6 +50,71 @@ def _canon(rows, cols):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+def _spark_kind(dt) -> str:
+    """Dtype CLASS a pandas/Arrow consumer sees for a Spark column.
+
+    The driver's hasher is dtype-strict between int64 and float64 (r4
+    verdict: three gates red on exactly this), so the rehearsal must be too.
+    Decimal maps to 'f' — the driver normalizes Decimal<->float (the
+    pricing_summary precedent).
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)):
+        return "i"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "f"
+    if isinstance(dt, T.StringType):
+        return "s"
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return "d"
+    if isinstance(dt, T.BinaryType):
+        return "b"
+    if isinstance(dt, T.ArrayType):
+        return "l"
+    return "o"
+
+
+def _duck_kind(type_str: str) -> str:
+    """Dtype CLASS pandas sees for a DuckDB result column.
+
+    HUGEINT (any un-cast integer SUM/product in a final SELECT) does NOT fit
+    int64, so duckdb's pandas conversion renders it float64 — class 'f'.
+    That is the exact defect class that shipped three red gates in r4: an
+    oracle leaking HUGEINT next to a Spark BIGINT was value-equal but
+    dtype-split, and Python's `1000 == 1000.0` masked it here.
+    """
+    t = str(type_str).upper()
+    if t.startswith("DECIMAL") or t in ("DOUBLE", "FLOAT", "REAL", "HUGEINT", "UHUGEINT"):
+        return "f"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT", "BOOLEAN"):
+        return "i"
+    if t == "VARCHAR":
+        return "s"
+    if t == "DATE" or t.startswith("TIMESTAMP"):
+        return "d"
+    if t == "BLOB":
+        return "b"
+    if t.endswith("[]") or t.startswith("STRUCT") or t.startswith("MAP"):
+        return "l" if t.endswith("[]") else "o"
+    return "o"
+
+
+def _dtype_mismatches(sdf, ores) -> list[str]:
+    """Per-column dtype-class diffs between the Spark frame and the DuckDB
+    relation, matched case-insensitively by name."""
+    skinds = {f.name.lower(): _spark_kind(f.dataType) for f in sdf.schema.fields}
+    okinds = {
+        c.lower(): _duck_kind(t) for c, t in zip(ores.columns, ores.types)
+    }
+    out = []
+    for c in sorted(skinds):
+        if c in okinds and skinds[c] != okinds[c]:
+            out.append(f"{c}: spark={skinds[c]} duckdb={okinds[c]}")
+    return out
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "sf0.01"
     only = set(sys.argv[2:])
@@ -85,6 +150,11 @@ def main() -> int:
             if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
                 bad.append((k, f"columns {scols} vs {ocols}"))
                 print(f"[{i:3}] {k}: COLUMN MISMATCH {scols} vs {ocols}")
+                continue
+            dt_bad = _dtype_mismatches(sdf, ores)
+            if dt_bad:
+                bad.append((k, f"dtype {dt_bad}"))
+                print(f"[{i:3}] {k}: DTYPE MISMATCH {dt_bad}")
                 continue
             sc = _canon(srows_raw, scols)
             oc = _canon(ores.fetchall(), ocols)
