@@ -1888,3 +1888,151 @@ FROM tot
 
 QUERIES["benford_digits"] = benford_digits
 ORACLES["benford_digits"] = ORACLE_BENFORD
+
+
+# -- two-proportion A/B z-test --------------------------------------------------
+# The experimentation-platform primitive: cohort users by a deterministic
+# hash split, compare conversion proportions, emit the pooled two-proportion
+# z^2 statistic. Engine-exact: z^2 is one rational —
+#   z^2 = (ca*nb - cb*na)^2 * (na+nb) / (na*nb*(ca+cb)*(na+nb-ca-cb))
+# — so micro-scaling the numerator and taking ONE integral division gives
+# bit-identical int64 in both engines (Spark DECIMAL(38,0) == DuckDB
+# HUGEINT). Numerator bound: (ca*nb)^2*(na+nb)*1e6 ~ 5e30 at 100x this
+# corpus, inside DECIMAL(38,0) to ~1000x (documented). Conversion =
+# "user logged >= 14 purchase events" (near the per-user purchase mean, so
+# both cohorts sit mid-proportion and the pooled variance never hits 0).
+
+def ab_proportion_test(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .alias("n_purch")
+        )
+        .select(
+            (F.col("user_id") % 2).alias("cohort"),
+            F.when(F.col("n_purch") >= 14, 1).otherwise(0).alias("conv"),
+        )
+    )
+    agg = users.agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("conv")).otherwise(0)).alias("conv_b"),
+    )
+    return agg.selectExpr(
+        "CAST(n_a AS BIGINT) AS n_a",
+        "CAST(n_b AS BIGINT) AS n_b",
+        "CAST(conv_a AS BIGINT) AS conv_a",
+        "CAST(conv_b AS BIGINT) AS conv_b",
+        """CAST(
+             CAST(CAST(conv_a * n_b - conv_b * n_a AS DECIMAL(38,0))
+                  * CAST(conv_a * n_b - conv_b * n_a AS DECIMAL(38,0))
+                  * (n_a + n_b) * 1000000 AS DECIMAL(38,0))
+             div
+             CAST(CAST(n_a AS DECIMAL(38,0)) * n_b * (conv_a + conv_b)
+                  * (n_a + n_b - conv_a - conv_b) AS DECIMAL(38,0))
+           AS BIGINT) AS z2_micro""",
+        "CAST(SIGN(conv_a * n_b - conv_b * n_a) AS INT) AS diff_sign",
+    )
+
+
+ORACLE_AB_TEST = """
+WITH users AS (
+  SELECT user_id % 2 AS cohort,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS conv
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), agg AS (
+  SELECT SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN cohort = 0 THEN conv ELSE 0 END) AS conv_a,
+         SUM(CASE WHEN cohort = 1 THEN conv ELSE 0 END) AS conv_b
+  FROM users
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(conv_a AS BIGINT) AS conv_a,
+       CAST(conv_b AS BIGINT) AS conv_b,
+       CAST(CAST(conv_a * n_b - conv_b * n_a AS HUGEINT)
+            * CAST(conv_a * n_b - conv_b * n_a AS HUGEINT)
+            * (n_a + n_b) * 1000000
+            // (CAST(n_a AS HUGEINT) * n_b * (conv_a + conv_b)
+                * (n_a + n_b - conv_a - conv_b)) AS BIGINT) AS z2_micro,
+       CAST(SIGN(conv_a * n_b - conv_b * n_a) AS INT) AS diff_sign
+FROM agg
+"""
+
+QUERIES["ab_proportion_test"] = ab_proportion_test
+ORACLES["ab_proportion_test"] = ORACLE_AB_TEST
+
+
+# -- median-absolute-deviation outliers ----------------------------------------
+# Robust outlier flagging: |x - median| > 3 * MAD, kept integer-exact by
+# carrying the medians DOUBLED (med_x2: 2*mid or mid1+mid2 — always an
+# integer) and the MAD QUADRUPLED (mad_x4 = 2 * median of the already-
+# doubled absolute deviations), so the flag is the pure-integer comparison
+# 2*|2x - med_x2| > 3*mad_x4 — no float ever crosses the engine boundary.
+# Spark's exact `percentile` and DuckDB's `median` share the continuous
+# mid-interpolation definition, and 2x an interpolated median of integers
+# is an integer reproduced exactly in double (values << 2^53).
+
+def mad_outliers(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+            .cast("bigint")
+            .alias("x_milli")
+        )
+    )
+    med = daily.groupBy("event_type").agg(
+        (2 * F.expr("percentile(x_milli, 0.5)")).cast("bigint").alias("med_x2")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev_x2", F.abs(2 * F.col("x_milli") - F.col("med_x2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        (2 * F.expr("percentile(abs_dev_x2, 0.5)")).cast("bigint").alias("mad_x4")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "day",
+        "x_milli",
+        "med_x2",
+        F.col("abs_dev_x2").cast("bigint").alias("abs_dev_x2"),
+        "mad_x4",
+        F.when(2 * F.col("abs_dev_x2") > 3 * F.col("mad_x4"), 1)
+        .otherwise(0)
+        .alias("is_outlier"),
+    )
+
+
+ORACLE_MAD = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x_milli
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), med AS (
+  SELECT event_type, CAST(2 * MEDIAN(x_milli) AS BIGINT) AS med_x2
+  FROM daily GROUP BY event_type
+), dev AS (
+  SELECT daily.*, med.med_x2,
+         ABS(2 * x_milli - med_x2) AS abs_dev_x2
+  FROM daily JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, CAST(2 * MEDIAN(abs_dev_x2) AS BIGINT) AS mad_x4
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type, dev.day, dev.x_milli, dev.med_x2,
+       CAST(dev.abs_dev_x2 AS BIGINT) AS abs_dev_x2, mad.mad_x4,
+       CASE WHEN 2 * dev.abs_dev_x2 > 3 * mad.mad_x4 THEN 1 ELSE 0 END
+         AS is_outlier
+FROM dev JOIN mad USING (event_type)
+"""
+
+QUERIES["mad_outliers"] = mad_outliers
+ORACLES["mad_outliers"] = ORACLE_MAD

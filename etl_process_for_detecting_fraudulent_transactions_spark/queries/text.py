@@ -1448,3 +1448,61 @@ GROUP BY doc_id
 
 QUERIES["lm_doc_score"] = lm_doc_score
 ORACLES["lm_doc_score"] = ORACLE_LM_DOC_SCORE
+
+
+# -- edit-distance top-k probe ---------------------------------------------------
+
+def editdist_topk(spark, sf_dir):
+    """Nearest-neighbor-by-Levenshtein probe: for a deterministic probe set
+    of customer names (custkey % 97 == 0), the 3 closest OTHER names with
+    (distance, key) tie-break. The probe set is structurally bounded (a
+    fixed hash residue), so the plan is broadcast-probe x linear scan —
+    never an all-pairs product; ``levenshtein`` runs as a Catalyst
+    expression inside codegen (the full-DP complement to the banded
+    3-arg form in operators/editdist.py). Top-k per probe is one
+    row_number window that WindowGroupLimit prunes to 3 rows per group
+    before the final sort."""
+    from pyspark.sql import Window
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
+    )
+    probes = c.filter(F.col("key") % 97 == 0).select(
+        F.col("key").alias("probe_key"), F.col("name").alias("probe_name")
+    )
+    pairs = c.crossJoin(F.broadcast(probes)).filter(
+        F.col("key") != F.col("probe_key")
+    )
+    w = Window.partitionBy("probe_key").orderBy("dist", "key")
+    return (
+        pairs.withColumn("dist", F.levenshtein("probe_name", "name").cast("bigint"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "probe_key",
+            F.col("key").alias("match_key"),
+            "dist",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+ORACLE_EDITDIST_TOPK = """
+WITH c AS (SELECT c_custkey AS key, c_name AS name FROM customer),
+probes AS (
+  SELECT key AS probe_key, name AS probe_name FROM c WHERE key % 97 = 0
+), pairs AS (
+  SELECT probes.probe_key, c.key,
+         CAST(levenshtein(probes.probe_name, c.name) AS BIGINT) AS dist
+  FROM c CROSS JOIN probes WHERE c.key <> probes.probe_key
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_key
+                               ORDER BY dist, key) AS rank
+  FROM pairs
+)
+SELECT probe_key, key AS match_key, dist, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+QUERIES["editdist_topk"] = editdist_topk
+ORACLES["editdist_topk"] = ORACLE_EDITDIST_TOPK

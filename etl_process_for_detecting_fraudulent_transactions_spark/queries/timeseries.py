@@ -832,3 +832,260 @@ FROM agg
 
 QUERIES["series_correlation"] = series_correlation
 ORACLES["series_correlation"] = ORACLE_SERIES_CORR
+
+
+# -- backward as-of join (nearest prior event) --------------------------------
+
+def asof_join_nearest(spark, sf_dir):
+    """Backward as-of join: each purchase matched to the user's most recent
+    click at or before it — the kdb/QuestDB ``aj``/ASOF JOIN operator,
+    which Spark has no built-in for.
+
+    Spark-first shape: NOT a join at all — tag both event streams, union,
+    and carry the last click forward with one ``last(ignorenulls)`` window
+    per user. ONE shuffle on user_id, no sort-merge interval join, no
+    broadcast; skew is bounded by per-user event counts, so the plan holds
+    at any fact scale (the union-window as-of is the standard streaming/
+    columnar formulation). Clicks are deduped to one per (user, ts) by max
+    event_id first, so the tie at an identical timestamp is deterministic
+    in both engines; a click AT the purchase instant matches (inclusive,
+    = DuckDB ASOF's >=). Epochs emitted as integer microseconds."""
+    ev = _t(spark, sf_dir, "events")
+    wc = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("bigint").alias("pid"),
+            F.col("event_id").alias("cid"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("pid"),
+        F.lit(None).cast("bigint").alias("cid"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", F.coalesce("pid", "cid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionByName(purchases).select(
+        "user_id",
+        "kind",
+        "pid",
+        F.expr("unix_micros(ts)").alias("t_us"),
+        F.last("cid", ignorenulls=True).over(w).alias("click_event_id"),
+        F.last(F.when(F.col("kind") == 0, F.expr("unix_micros(ts)")), ignorenulls=True)
+        .over(w)
+        .alias("click_us"),
+    )
+    return (
+        carried.filter((F.col("kind") == 1) & F.col("click_event_id").isNotNull())
+        .select(
+            F.col("pid").alias("event_id"),
+            "user_id",
+            F.col("t_us").alias("purch_us"),
+            "click_us",
+            (F.col("t_us") - F.col("click_us")).alias("gap_us"),
+            "click_event_id",
+        )
+    )
+
+
+ORACLE_ASOF = """
+WITH cd AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+), c AS (SELECT user_id, ts, event_id FROM cd WHERE rn = 1),
+p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purch_us,
+       epoch_us(c.ts) AS click_us,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+       c.event_id AS click_event_id
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+QUERIES["asof_join_nearest"] = asof_join_nearest
+ORACLES["asof_join_nearest"] = ORACLE_ASOF
+
+
+# -- trailing rolling median ---------------------------------------------------
+
+def rolling_median_7d(spark, sf_dir):
+    """Exact trailing-7-observation rolling MEDIAN of the daily total per
+    event_type — Spark has no windowed median, so the composition is
+    collect_list over a ROWS window + array_sort + middle pick, emitted as
+    2x the median (an integer: either twice the middle or the sum of the
+    two middles) so both engines hash on exact int64 instead of the .5
+    doubles a continuous median produces.
+
+    Scale: the window runs over the DAILY AGGREGATE (calendar-bounded rows
+    per series), never the fact table — the one fact-scale pass is the
+    groupBy. The collect_list is bounded at 7 elements by the ROWS frame."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+            .cast("bigint")
+            .alias("x_milli")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("x_milli").over(w))
+    n = F.size(arr)
+    half = ((n + 1) / 2).cast("int")  # n<=7: the halves are exact in double
+    med_x2 = F.when(n % 2 == 1, 2 * F.element_at(arr, half)).otherwise(
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2).cast("int") + 1)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "x_milli",
+        F.size(arr).cast("bigint").alias("n_obs"),
+        med_x2.cast("bigint").alias("med_x2_milli"),
+    )
+
+
+ORACLE_ROLLING_MEDIAN = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x_milli
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, day, x_milli,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_obs,
+       CAST(2 * MEDIAN(x_milli) OVER w AS BIGINT) AS med_x2_milli
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["rolling_median_7d"] = rolling_median_7d
+ORACLES["rolling_median_7d"] = ORACLE_ROLLING_MEDIAN
+
+
+# -- cumulative distinct count --------------------------------------------------
+
+def cumulative_distinct_users(spark, sf_dir):
+    """Distinct users ever seen, per day — the classic "cumulative
+    COUNT(DISTINCT) is not a window function" problem. The scalable
+    rewrite: distinct collapses to each user's FIRST day (one fact-scale
+    aggregate), then a calendar-bounded cumulative sum over per-day
+    first-appearance counts. No quadratic self-join, no set-carrying
+    state; the window runs on ~days rows."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("first_day"))
+        .groupBy(F.col("first_day").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_users"))
+    )
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(firsts, "day", "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .select(
+            "day",
+            "new_users",
+            F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+        )
+    )
+
+
+ORACLE_CUM_DISTINCT = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+  WHERE user_id IS NOT NULL
+),
+firsts AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM (
+    SELECT user_id, MIN(day) AS day FROM e GROUP BY user_id
+  ) GROUP BY day
+),
+days AS (SELECT DISTINCT day FROM e)
+SELECT days.day,
+       COALESCE(firsts.new_users, 0) AS new_users,
+       CAST(SUM(COALESCE(firsts.new_users, 0))
+            OVER (ORDER BY days.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_users
+FROM days LEFT JOIN firsts USING (day)
+"""
+
+QUERIES["cumulative_distinct_users"] = cumulative_distinct_users
+ORACLES["cumulative_distinct_users"] = ORACLE_CUM_DISTINCT
+
+
+# -- day-of-week seasonal baseline ----------------------------------------------
+
+def seasonal_baseline_dev(spark, sf_dir):
+    """Seasonal-naive anomaly features: each (event_type, day)'s event
+    count against the average count of the SAME WEEKDAY for that type —
+    the day-of-week baseline every ops dashboard uses. Exactness: no
+    division is emitted — the deviation is the integer numerator
+    dev_num = n*base_den - base_num (n vs the mean cross-multiplied), so
+    sign(dev_num) is the direction and dev_num/base_den the magnitude,
+    reconstructible by any consumer without float drift.
+
+    Scale: one fact-scale groupBy; the weekday baseline is a second
+    aggregate over the ~(types x days) daily frame and broadcasts back."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    daily = daily.withColumn("wd", F.dayofweek("day").cast("bigint"))
+    base = daily.groupBy("event_type", "wd").agg(
+        F.sum("n").cast("bigint").alias("base_num"),
+        F.count(F.lit(1)).cast("bigint").alias("base_den"),
+    )
+    return daily.join(F.broadcast(base), ["event_type", "wd"]).select(
+        "event_type",
+        "day",
+        "wd",
+        "n",
+        "base_num",
+        "base_den",
+        (F.col("n") * F.col("base_den") - F.col("base_num"))
+        .cast("bigint")
+        .alias("dev_num"),
+    )
+
+
+# DuckDB dayofweek: ISODOW/DAYOFWEEK differ from Spark's dayofweek
+# (Sun=1..Sat=7); DuckDB's DAYOFWEEK is Sun=0..Sat=6 -> +1 aligns them.
+ORACLE_SEASONAL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), d2 AS (
+  SELECT *, CAST(DAYOFWEEK(day) + 1 AS BIGINT) AS wd FROM daily
+), base AS (
+  SELECT event_type, wd,
+         CAST(SUM(n) AS BIGINT) AS base_num,
+         CAST(COUNT(*) AS BIGINT) AS base_den
+  FROM d2 GROUP BY 1, 2
+)
+SELECT d2.event_type, d2.day, d2.wd, d2.n, base.base_num, base.base_den,
+       CAST(d2.n * base.base_den - base.base_num AS BIGINT) AS dev_num
+FROM d2 JOIN base USING (event_type, wd)
+"""
+
+QUERIES["seasonal_baseline_dev"] = seasonal_baseline_dev
+ORACLES["seasonal_baseline_dev"] = ORACLE_SEASONAL
