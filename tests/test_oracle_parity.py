@@ -52,6 +52,24 @@ from etl_process_for_detecting_fraudulent_transactions_spark.queries import (  #
 _QUERIES = all_queries()
 _ORACLES = all_oracles()
 
+_DR_CACHE = []
+
+
+def _rehearsal_module():
+    """tools/driver_rehearsal.py loaded once (tools/ is not a package)."""
+    if not _DR_CACHE:
+        import importlib.util as ilu
+        from pathlib import Path
+
+        spec = ilu.spec_from_file_location(
+            "driver_rehearsal",
+            Path(__file__).parent.parent / "tools" / "driver_rehearsal.py",
+        )
+        mod = ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _DR_CACHE.append(mod)
+    return _DR_CACHE[0]
+
 
 @pytest.fixture(scope="module")
 def duck():
@@ -72,10 +90,26 @@ def test_query_matches_oracle(key, spark, duck, sf_dir):
         return
 
     rel = duck.sql(_ORACLES[key])
+    dtypes = [str(t) for t in rel.types]
     drows = rel.fetchall()
     dcols = [d[0] for d in rel.description]
 
     assert sorted(scols) == sorted(dcols), f"{key}: columns {scols} vs {dcols}"
+
+    # Dtype-class strictness (VERDICT r4 #2): the driver's hasher renders
+    # DuckDB HUGEINT as pandas float64 while Spark emits int64 — value-equal
+    # results still hash-mismatch. Compare per-column type classes the way
+    # tools/driver_rehearsal.py does, so an un-cast HUGEINT (or any other
+    # int-vs-float split) fails HERE, not at the driver.
+    _dr = _rehearsal_module()
+    skinds = {f.name.lower(): _dr._spark_kind(f.dataType) for f in sdf.schema.fields}
+    okinds = {c.lower(): _dr._duck_kind(t) for c, t in zip(dcols, dtypes)}
+    dtype_bad = [
+        f"{c}: spark={skinds[c]} duckdb={okinds[c]}"
+        for c in sorted(skinds)
+        if c in okinds and skinds[c] != okinds[c]
+    ]
+    assert not dtype_bad, f"{key}: dtype-class mismatch {dtype_bad}"
     assert len(srows) == len(drows), f"{key}: rowcount {len(srows)} vs {len(drows)}"
     sc, dc = _canon(srows, scols), _canon(drows, dcols)
     mismatches = [i for i, (a, b) in enumerate(zip(sc, dc)) if a != b]

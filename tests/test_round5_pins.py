@@ -1,0 +1,255 @@
+"""Independent-truth pins for the round-5 gates: each gate replayed against
+a plain-Python implementation of its DEFINITION on randomized (fixed-seed)
+planted fixtures — the same double-entry bookkeeping the DuckDB oracles
+provide, but engine-free, so a shared misreading of the semantics can't
+pass both sides."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+
+
+def _write_events(spark, tmp_path, rows, cols=("event_id", "ts", "user_id", "event_type", "value")):
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(rows, list(cols)).write.parquet(f"{path}/events.parquet")
+    return path
+
+
+def test_asof_join_nearest_python_replay(spark, tmp_path):
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.timeseries import (
+        asof_join_nearest,
+    )
+
+    rng = random.Random(5)
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(1, 13):
+        for _ in range(rng.randint(0, 14)):
+            ts = base + dt.timedelta(seconds=rng.randint(0, 200_000))
+            rows.append((eid, ts, u, rng.choice(["click", "purchase", "view"]), 1.0))
+            eid += 1
+    # planted edge cases: click and purchase at the SAME instant (inclusive
+    # match) and two clicks at one instant (max-event_id tie-break)
+    t0 = base + dt.timedelta(seconds=999)
+    rows += [(eid, t0, 99, "click", 1.0), (eid + 1, t0, 99, "click", 1.0),
+             (eid + 2, t0, 99, "purchase", 1.0)]
+    path = _write_events(spark, tmp_path, rows)
+
+    got = {
+        r["event_id"]: (r["click_us"], r["click_event_id"], r["gap_us"])
+        for r in asof_join_nearest(spark, path).collect()
+    }
+
+    # definitional replay: latest click at-or-before, same-(user,ts) clicks
+    # collapse to the max event_id
+    clicks = {}
+    for e, ts, u, t, _ in rows:
+        if t == "click":
+            key = (u, ts)
+            clicks[key] = max(clicks.get(key, -1), e)
+    by_user = {}
+    for (u, ts), e in clicks.items():
+        by_user.setdefault(u, []).append((ts, e))
+    expect = {}
+    for e, ts, u, t, _ in rows:
+        if t != "purchase":
+            continue
+        cands = [(cts, ce) for cts, ce in by_user.get(u, []) if cts <= ts]
+        if not cands:
+            continue
+        cts, ce = max(cands)  # latest ts; unique per (user, ts) after collapse
+        us = lambda x: int(x.timestamp() * 1_000_000)
+        expect[e] = (us(cts), ce, us(ts) - us(cts))
+    assert got == expect and got  # non-vacuous
+    # planted same-instant case: inclusive match, max-event_id tie-break
+    assert expect[eid + 2][1] == eid + 1 and expect[eid + 2][2] == 0
+
+
+def test_rolling_median_7d_python_replay(spark, tmp_path):
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.timeseries import (
+        rolling_median_7d,
+    )
+
+    rng = random.Random(7)
+    rows, eid = [], 0
+    daily = {}
+    for d in range(20):
+        if rng.random() < 0.15:
+            continue  # day gaps: ROWS frame must skip them, not zero-fill
+        day = dt.datetime(2024, 1, 1 + d)
+        v = rng.randint(1, 500) / 10.0
+        rows.append((eid, day, 1, "click", v))
+        daily[day.date()] = daily.get(day.date(), 0) + int(v * 1000 // 1)
+        eid += 1
+    path = _write_events(spark, tmp_path, rows)
+
+    got = {
+        r["day"]: (r["n_obs"], r["med_x2_milli"])
+        for r in rolling_median_7d(spark, path).collect()
+    }
+    days = sorted(daily)
+    for i, day in enumerate(days):
+        window = [daily[d] for d in days[max(0, i - 6) : i + 1]]
+        s = sorted(window)
+        n = len(s)
+        med_x2 = 2 * s[n // 2] if n % 2 == 1 else s[n // 2 - 1] + s[n // 2]
+        assert got[day] == (n, med_x2), f"{day}: {got[day]} vs ({n}, {med_x2})"
+
+
+def test_cumulative_distinct_users_python_replay(spark, tmp_path):
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.timeseries import (
+        cumulative_distinct_users,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, dt.datetime(2024, 1, rng.randint(1, 15), rng.randint(0, 23)), rng.randint(1, 20), "view", 1.0)
+        for i in range(200)
+    ]
+    path = _write_events(spark, tmp_path, rows)
+    got = {r["day"]: (r["new_users"], r["cum_users"])
+           for r in cumulative_distinct_users(spark, path).collect()}
+
+    seen: set[int] = set()
+    by_day: dict[dt.date, set[int]] = {}
+    for _, ts, u, _, _ in rows:
+        by_day.setdefault(ts.date(), set()).add(u)
+    for day in sorted(by_day):
+        new = by_day[day] - seen
+        seen |= by_day[day]
+        assert got[day] == (len(new), len(seen))
+
+
+def test_seasonal_baseline_dev_python_replay(spark, tmp_path):
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.timeseries import (
+        seasonal_baseline_dev,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, dt.datetime(2024, 1, rng.randint(1, 28), rng.randint(0, 23)),
+         1, rng.choice(["click", "view"]), 1.0)
+        for i in range(300)
+    ]
+    path = _write_events(spark, tmp_path, rows)
+    got = {(r["event_type"], r["day"]): (r["wd"], r["n"], r["base_num"], r["base_den"], r["dev_num"])
+           for r in seasonal_baseline_dev(spark, path).collect()}
+
+    n: dict[tuple, int] = {}
+    for _, ts, _, t, _ in rows:
+        n[(t, ts.date())] = n.get((t, ts.date()), 0) + 1
+    base: dict[tuple, list[int]] = {}
+    for (t, day), c in n.items():
+        wd = day.isoweekday() % 7 + 1  # Spark dayofweek: Sun=1..Sat=7
+        base.setdefault((t, wd), []).append(c)
+    for (t, day), c in n.items():
+        wd = day.isoweekday() % 7 + 1
+        bn, bd = sum(base[(t, wd)]), len(base[(t, wd)])
+        assert got[(t, day)] == (wd, c, bn, bd, c * bd - bn)
+
+
+def test_ab_proportion_test_python_replay(spark, tmp_path):
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        ab_proportion_test,
+    )
+
+    rng = random.Random(17)
+    rows, eid = [], 0
+    conv = {}
+    for u in range(1, 41):
+        k = rng.randint(5, 25)  # purchases straddle the >=14 conversion bar
+        conv[u] = 1 if k >= 14 else 0
+        for _ in range(k):
+            rows.append((eid, dt.datetime(2024, 1, 1 + eid % 20), u, "purchase", 1.0))
+            eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 2), u, "view", 1.0))
+        eid += 1
+    path = _write_events(spark, tmp_path, rows)
+
+    r = ab_proportion_test(spark, path).collect()[0]
+    na = sum(1 for u in conv if u % 2 == 0)
+    nb = sum(1 for u in conv if u % 2 == 1)
+    ca = sum(conv[u] for u in conv if u % 2 == 0)
+    cb = sum(conv[u] for u in conv if u % 2 == 1)
+    num = (ca * nb - cb * na) ** 2 * (na + nb) * 10**6
+    den = na * nb * (ca + cb) * (na + nb - ca - cb)
+    assert (r["n_a"], r["n_b"], r["conv_a"], r["conv_b"]) == (na, nb, ca, cb)
+    assert r["z2_micro"] == num // den
+    # cross-check the statistic against the float formula (binomial z^2)
+    pa, pb, p = ca / na, cb / nb, (ca + cb) / (na + nb)
+    z2 = (pa - pb) ** 2 / (p * (1 - p) * (1 / na + 1 / nb))
+    assert abs(r["z2_micro"] / 1e6 - z2) < 1e-5
+
+
+def test_mad_outliers_python_replay(spark, tmp_path):
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        mad_outliers,
+    )
+    import statistics
+
+    rng = random.Random(19)
+    rows, eid = [], 0
+    daily = {}
+    for d in range(25):
+        day = dt.datetime(2024, 1, 1 + d % 28) if d < 28 else None
+        day = dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+        v = rng.randint(50, 80) / 1.0
+        if d in (5, 17):  # planted spikes: the gate must flag SOMETHING
+            v = 5000.0
+        rows.append((eid, day, 1, "click", v))
+        daily[day.date()] = int(v * 1000)
+        eid += 1
+    path = _write_events(spark, tmp_path, rows)
+
+    got = {r["day"]: (r["med_x2"], r["mad_x4"], r["is_outlier"])
+           for r in mad_outliers(spark, path).collect()}
+    xs = list(daily.values())
+    med_x2 = int(2 * statistics.median(xs))
+    devs = [abs(2 * x - med_x2) for x in xs]
+    mad_x4 = int(2 * statistics.median(devs))
+    flagged = set()
+    for day, x in daily.items():
+        out = 1 if 2 * abs(2 * x - med_x2) > 3 * mad_x4 else 0
+        assert got[day] == (med_x2, mad_x4, out)
+        if out:
+            flagged.add(day)
+    assert flagged == {dt.date(2024, 1, 6), dt.date(2024, 1, 18)}
+
+
+def test_editdist_topk_python_replay(spark, tmp_path):
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.text import (
+        editdist_topk,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(23)
+    alphabet = "abcdef"
+    names = {k: "".join(rng.choice(alphabet) for _ in range(rng.randint(4, 9)))
+             for k in range(1, 300)}
+    path = str(tmp_path / "cust")
+    spark.createDataFrame(
+        [(k, v) for k, v in names.items()], ["c_custkey", "c_name"]
+    ).write.parquet(f"{path}/customer.parquet")
+
+    got = {}
+    for r in editdist_topk(spark, path).collect():
+        got.setdefault(r["probe_key"], []).append((r["rank"], r["match_key"], r["dist"]))
+    probes = [k for k in names if k % 97 == 0]
+    assert probes and set(got) == set(probes)
+    for pk in probes:
+        cands = sorted(
+            (lev(names[pk], names[k]), k) for k in names if k != pk
+        )[:3]
+        expect = [(i + 1, k, d) for i, (d, k) in enumerate(cands)]
+        assert sorted(got[pk]) == expect, f"probe {pk}: {sorted(got[pk])} vs {expect}"
