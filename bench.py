@@ -87,6 +87,13 @@ SCALE_KEYS = (
     "feature_hashing",
     "lm_doc_score",
     "quantile_normalize",
+    "asof_join_nearest",
+    "rolling_median_7d",
+    "cumulative_distinct_users",
+    "seasonal_baseline_dev",
+    "ab_proportion_test",
+    "mad_outliers",
+    "editdist_topk",
 )
 # input table each scale query is throughput-bounded by (for the rows/s numerator)
 SCALE_INPUT = {
@@ -114,6 +121,13 @@ SCALE_INPUT = {
     "feature_hashing": "documents",
     "lm_doc_score": "documents",
     "quantile_normalize": "documents",
+    "asof_join_nearest": "events",
+    "rolling_median_7d": "events",
+    "cumulative_distinct_users": "events",
+    "seasonal_baseline_dev": "events",
+    "ab_proportion_test": "events",
+    "mad_outliers": "events",
+    "editdist_topk": "customer",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",
