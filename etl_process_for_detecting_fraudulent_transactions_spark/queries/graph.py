@@ -769,3 +769,104 @@ SELECT 3, (SELECT COUNT(*) FROM degF), (SELECT COUNT(*) FROM edges2)
 
 QUERIES["kcore_peel"] = kcore_peel
 ORACLES["kcore_peel"] = ORACLE_KCORE
+
+
+# -- single-source shortest path, WEIGHTED (Bellman-Ford rounds) ---------------
+# The weighted companion to bfs_distance: K relaxation rounds of
+# dist' = min(dist, min over incoming edges (dist_src + w)) from the same
+# landmark seed set, with a DETERMINISTIC integer edge weight
+# w = (src + dst) % 7 + 1 (symmetric, data-derived, no RNG). Each round is
+# one join + one min-aggregate — the Pregel message round — and the driver
+# loop is a fixed-K plan loop over localCheckpointed frames (never data on
+# the driver). The oracle unrolls the identical recurrence as K chained
+# CTEs. At 100 TB each round is edge-linear with shuffle keyed on dst;
+# K bounds the plan depth, and the checkpoint per round keeps lineage flat
+# exactly as the production iterative-compute recipe requires.
+
+SSSP_ITERS = 3
+
+
+def sssp_weighted(spark, sf_dir):
+    """(dist, n_nodes, sum_p) histogram after SSSP_ITERS Bellman-Ford
+    rounds over the weighted co-purchase graph; sum_p is the
+    order-insensitive membership checksum per distance class."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    dirs = (
+        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .withColumn("w", (F.col("src") + F.col("dst")) % 7 + 1)
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        dirs.select(F.col("src").alias("p"))
+        .distinct()
+        .filter(F.col("p") % BFS_SEED_MOD == 0)
+        .withColumn("d", F.lit(0).cast("bigint"))
+    )
+    for _ in range(SSSP_ITERS):
+        hop = dirs.join(dist, dirs.src == dist.p).select(
+            F.col("dst").alias("p"), (F.col("d") + F.col("w")).alias("d")
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("p")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        dist.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("p").cast("bigint").alias("sum_p"),
+        )
+        .select(F.col("d").cast("bigint").alias("dist"), "n_nodes", "sum_p")
+    )
+
+
+_sssp_iter_sql = """
+d{K} AS (
+  SELECT p, MIN(d) AS d FROM (
+    SELECT p, d FROM d{J}
+    UNION ALL
+    SELECT dirs.dst AS p, d{J}.d + dirs.w AS d
+    FROM dirs JOIN d{J} ON dirs.src = d{J}.p
+  ) GROUP BY p
+)"""
+
+ORACLE_SSSP_TEMPLATE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_partkey % 4 = 0
+),
+edges AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+dirs AS (
+  SELECT src, dst, (src + dst) % 7 + 1 AS w FROM (
+    SELECT pa AS src, pb AS dst FROM edges
+    UNION ALL
+    SELECT pb, pa FROM edges
+  )
+),
+d0 AS (
+  SELECT DISTINCT src AS p, CAST(0 AS BIGINT) AS d
+  FROM dirs WHERE src % {SEED_MOD} = 0
+),
+{ITERS}
+SELECT CAST(d AS BIGINT) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(p) AS BIGINT) AS sum_p
+FROM d{LAST} GROUP BY d
+"""
+
+ORACLE_SSSP = ORACLE_SSSP_TEMPLATE.format(
+    SEED_MOD=BFS_SEED_MOD,
+    ITERS=",".join(
+        _sssp_iter_sql.format(K=k, J=k - 1) for k in range(1, SSSP_ITERS + 1)
+    ),
+    LAST=SSSP_ITERS,
+)
+
+QUERIES["sssp_weighted"] = sssp_weighted
+ORACLES["sssp_weighted"] = ORACLE_SSSP

@@ -2036,3 +2036,47 @@ FROM dev JOIN mad USING (event_type)
 
 QUERIES["mad_outliers"] = mad_outliers
 ORACLES["mad_outliers"] = ORACLE_MAD
+
+
+# -- group-wise mode -------------------------------------------------------------
+
+def groupwise_mode(spark, sf_dir):
+    """Most frequent user per event type (the per-group MODE aggregate),
+    with the tie broken DETERMINISTICALLY to the smallest user_id — engines
+    disagree on bare mode()'s tie choice, so both sides rank (count desc,
+    user_id asc) explicitly. WindowGroupLimit prunes each type's ranked
+    count table to one row map-side; two fact-scale-keyed aggregates, no
+    join."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("mode_user"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+ORACLE_MODE = """
+WITH counts AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, user_id) AS rk
+  FROM counts
+)
+SELECT event_type, user_id AS mode_user, n AS mode_count
+FROM ranked WHERE rk = 1
+"""
+
+QUERIES["groupwise_mode"] = groupwise_mode
+ORACLES["groupwise_mode"] = ORACLE_MODE

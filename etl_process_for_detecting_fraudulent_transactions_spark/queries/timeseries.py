@@ -1089,3 +1089,60 @@ FROM d2 JOIN base USING (event_type, wd)
 
 QUERIES["seasonal_baseline_dev"] = seasonal_baseline_dev
 ORACLES["seasonal_baseline_dev"] = ORACLE_SEASONAL
+
+
+# -- built-in session windows ----------------------------------------------------
+
+def session_window_builtin(spark, sf_dir):
+    """Per-user sessionization through Spark's BUILT-IN ``F.session_window``
+    (the operator Structured Streaming shares for stateful session aggs) —
+    gated against the lag-gap islands oracle, proving the built-in's merge
+    semantics equal the classic SQL formulation: a 30-minute gap closes a
+    session, and an event landing EXACTLY on the boundary starts a new one
+    (session windows are end-exclusive; the oracle's >= mirrors it).
+    Output stays integer-exact: event counts and the min/max-ts epoch
+    bounds in microseconds. One shuffle on user_id; session merging is
+    local within the partition."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.expr("unix_micros(min(ts))").alias("start_us"),
+            F.expr("unix_micros(max(ts))").alias("last_us"),
+        )
+        .select(
+            "user_id",
+            "start_us",
+            "last_us",
+            "n_events",
+            (F.col("last_us") - F.col("start_us")).alias("span_us"),
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW = """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id IS NOT NULL
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_id
+  FROM e
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS start_us,
+       epoch_us(MAX(ts)) AS last_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us
+FROM s GROUP BY user_id, session_id
+"""
+
+QUERIES["session_window_builtin"] = session_window_builtin
+ORACLES["session_window_builtin"] = ORACLE_SESSION_WINDOW

@@ -16,6 +16,40 @@ pytestmark = pytest.mark.skipif(
 MIN20 = 20 * 60 * 1_000_000
 
 
+def _drain_until(q, probe, expected=None, stable_polls=5, timeout=240.0):
+    """Poll ``probe()`` (a sink row count; exceptions read as 0) until it
+    reaches ``expected`` (plus one confirming poll), or — when expected is
+    None — until it is non-zero and unchanged for ``stable_polls``
+    consecutive 1-second polls; then stop the query.
+
+    Why: the stateful matchers keep ProcessingTimeTimeout state, and a
+    stateful stream with state timeouts NEVER self-terminates under
+    trigger(availableNow) — after the files drain it loops empty
+    micro-batches waiting for timeouts, so a bare awaitTermination(N)
+    burns the entire N. Four tests did exactly that (300+300+300+120 s of
+    pure waiting — the bulk of the suite's 19.5 min, VERDICT r4 #8); the
+    sink is complete seconds after the last real micro-batch."""
+    import time as _t
+
+    t0, last, stable = _t.time(), -1, 0
+    while _t.time() - t0 < timeout:
+        try:
+            n = probe()
+        except Exception:
+            n = 0
+        if expected is not None:
+            if n >= expected and last >= expected:  # one confirming poll
+                break
+        else:
+            stable = stable + 1 if (n == last and n > 0) else 0
+            if stable >= stable_polls:
+                break
+        last = n
+        _t.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+
+
 def _run(seq):
     from etl_process_for_detecting_fraudulent_transactions_spark.streaming.pipeline import match_step
 
@@ -92,7 +126,10 @@ def test_guessing_amount_stream_golden(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain_until(
+        q, lambda: spark.sql("SELECT COUNT(*) FROM guess_events").collect()[0][0],
+        expected=1, timeout=120,
+    )
     rows = spark.sql("SELECT * FROM guess_events").collect()
     assert len(rows) == 1
     assert rows[0].event_dt.strftime("%Y-%m-%d %H:%M:%S") == "2021-03-01 22:36:38"
@@ -126,7 +163,10 @@ def test_three_day_stream_continuous_state(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain_until(
+        q, lambda: spark.sql("SELECT COUNT(*) FROM guess3").collect()[0][0],
+        expected=2, timeout=300,
+    )
     got = sorted(
         r.event_dt.strftime("%Y-%m-%d %H:%M:%S")
         for r in spark.sql("SELECT * FROM guess3").collect()
@@ -163,7 +203,9 @@ def test_stream_to_mart_identity(spark, tmp_path):
         dims["cards"], dims["accounts"], dims["clients"],
         store, str(tmp_path / "ckpt_m"),
     )
-    q.awaitTermination(300)
+    _drain_until(
+        q, lambda: store.read("rep_fraud", REP_FRAUD).count(), expected=1, timeout=300
+    )
     rows = store.read("rep_fraud", REP_FRAUD).collect()
     assert len(rows) == 1
     assert rows[0].passport == "5771 567535"
@@ -211,7 +253,10 @@ def test_city_fraud_stream_day1(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain_until(
+        q, lambda: spark.sql("SELECT COUNT(*) FROM city_stream").collect()[0][0],
+        timeout=300,  # row count not known a priori: stable-poll
+    )
     rows = spark.sql("SELECT * FROM city_stream").collect()
     assert rows, "no city events streamed"
     stamps = {r.event_dt.strftime("%Y-%m-%d %H:%M:%S") for r in rows}
