@@ -94,6 +94,8 @@ SCALE_KEYS = (
     "ab_proportion_test",
     "mad_outliers",
     "editdist_topk",
+    "session_window_builtin",
+    "groupwise_mode",
 )
 # input table each scale query is throughput-bounded by (for the rows/s numerator)
 SCALE_INPUT = {
@@ -128,6 +130,8 @@ SCALE_INPUT = {
     "ab_proportion_test": "events",
     "mad_outliers": "events",
     "editdist_topk": "customer",
+    "session_window_builtin": "events",
+    "groupwise_mode": "events",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",

@@ -1018,3 +1018,52 @@ SELECT * FROM pair_stats CROSS JOIN base_stats
 
 QUERIES["null_ops"] = null_ops
 ORACLES["null_ops"] = ORACLE_NULL_OPS
+
+
+# -- salted skew join, identity-gated ------------------------------------------
+
+def salted_join_agg(spark, sf_dir):
+    """The explicit skew-salting operator (operators/skew.py) driven
+    through the driver's oracle: events fact-joined to the customer dim
+    with the hottest user keys salted 8 ways, then rolled up per nation —
+    the AGGREGATE is salt-invariant, so the output must equal the plain
+    SQL join bit-for-bit. This gates the operator's identity contract
+    (salting redistributes work, never changes results) on real data;
+    tests/test_bucketing.py holds the unit pins. Hot keys here are a
+    deterministic residue class (every 10th user) standing in for the
+    data_skew_profile nomination at scale; value sums ride exact decimal
+    and cast to double once."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.skew import (
+        salted_join,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    hot = ev.select("user_id").distinct().filter(F.col("user_id") % 10 == 0)
+    joined = salted_join(ev, cust, "user_id", hot_keys=hot, n_salts=8)
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+        .cast("bigint")
+        .alias("value_milli"),
+    )
+
+
+ORACLE_SALTED_JOIN = """
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(FLOOR(e.value * 1000) AS BIGINT)) AS BIGINT)
+         AS value_milli
+FROM events e
+JOIN (SELECT c_custkey AS user_id, c_nationkey FROM customer) c
+  USING (user_id)
+WHERE e.user_id IS NOT NULL
+GROUP BY c.c_nationkey
+"""
+
+QUERIES["salted_join_agg"] = salted_join_agg
+ORACLES["salted_join_agg"] = ORACLE_SALTED_JOIN
