@@ -96,6 +96,8 @@ SCALE_KEYS = (
     "editdist_topk",
     "session_window_builtin",
     "groupwise_mode",
+    "salted_join_agg",
+    "pca_power_iteration",
 )
 # input table each scale query is throughput-bounded by (for the rows/s numerator)
 SCALE_INPUT = {
@@ -132,6 +134,8 @@ SCALE_INPUT = {
     "editdist_topk": "customer",
     "session_window_builtin": "events",
     "groupwise_mode": "events",
+    "salted_join_agg": "events",
+    "pca_power_iteration": "embeddings",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",

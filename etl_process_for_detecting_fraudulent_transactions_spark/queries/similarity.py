@@ -1120,3 +1120,116 @@ WHERE rank <= {TOP_K}"""
 
 QUERIES["knn_ivf_pq"] = knn_ivf_pq
 ORACLES["knn_ivf_pq"] = ORACLE_IVF_PQ
+
+
+# -- PCA top component: matrix-free fixed-point power iteration -----------------
+# The dimensionality-reduction primitive, made hash-exact: 3 power-iteration
+# rounds toward the top singular direction of the quantized embedding
+# matrix, WITHOUT materializing the d x d Gram matrix — each round is the
+# matrix-free pair of fact-scale aggregates
+#     dot_vec = sum_i q_vec,i * v_i        (one broadcast-join + groupBy vec)
+#     w_j     = sum_vec q_vec,j * dot_vec  (one join back + groupBy dim)
+# i.e. G*v computed as Q^T(Qv): n*d rows shuffled per round, never n*d^2 —
+# the formulation that survives 100 TB (d=64 stays constant; rounds are a
+# fixed plan loop over localCheckpointed 64-row vectors).
+# Exactness: components quantize to floor(e*10^6) int64 (float32->double
+# promotion and the 10^6 scaling are IEEE-identical in both engines); the
+# w sums ride DECIMAL(38,0) == HUGEINT (bound n*1.6e16 — fits to ~10^20
+# vectors); each round renormalizes v to max|v| = 1000 with a SIGN-SPLIT
+# floor division (negative components exist, and Spark div truncates while
+# DuckDB // floors — both sides route through nonneg operands where
+# truncate == floor). v0 = all-1000, so the sign of the result is pinned.
+
+PCA_ITERS = 3
+_PCA_V_SCALE = 1000
+
+
+def _pca_floordiv(num: str, den: str) -> str:
+    """floor(num/den) for den > 0 with truncating engines: sign-split so
+    every div sees nonneg operands (where truncate == floor)."""
+    return (
+        f"CAST(CASE WHEN {num} >= 0 THEN ({num}) div ({den}) "
+        f"ELSE -(((-({num})) + ({den}) - 1) div ({den})) END AS BIGINT)"
+    )
+
+
+def pca_power_iteration(spark, sf_dir):
+    q = (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.posexplode("embedding").alias("i", "e"))
+        .select(
+            "vec_id",
+            "i",
+            F.floor(F.col("e") * 1000000).cast("bigint").alias("q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = (
+        q.select("i")
+        .distinct()
+        .withColumn("v", F.lit(_PCA_V_SCALE).cast("bigint"))
+    )
+    for _ in range(PCA_ITERS):
+        dot = (
+            q.join(F.broadcast(v), "i")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("q") * F.col("v")).alias("dot"))
+        )
+        w = (
+            q.join(dot, "vec_id")
+            .groupBy("i")
+            .agg(F.sum(F.col("q").cast("decimal(38,0)") * F.col("dot")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .selectExpr("i", _pca_floordiv(f"w * {_PCA_V_SCALE}", "m") + " AS v")
+            .localCheckpoint(eager=True)
+        )
+    return v.select(F.col("i").cast("bigint").alias("dim"), F.col("v").alias("component"))
+
+
+_pca_iter_sql = """
+dot{K} AS (
+  SELECT q.vec_id, SUM(q.q * v{J}.v) AS dot
+  FROM q JOIN v{J} USING (i) GROUP BY q.vec_id
+),
+w{K} AS (
+  SELECT q.i, SUM(CAST(q.q AS HUGEINT) * dot{K}.dot) AS w
+  FROM q JOIN dot{K} USING (vec_id) GROUP BY q.i
+),
+m{K} AS (SELECT MAX(ABS(w)) AS m FROM w{K}),
+v{K} AS (
+  SELECT i,
+         CAST(CASE WHEN w >= 0 THEN (w * {SCALE}) // m
+              ELSE -(((-(w)) * {SCALE} + m - 1) // m) END AS BIGINT) AS v
+  FROM w{K}, m{K}
+)"""
+
+ORACLE_PCA_TEMPLATE = """
+WITH q AS (
+  -- multiple unnests in one SELECT zip positionally in DuckDB: element
+  -- paired with its 0-based index, matching Spark's posexplode
+  SELECT vec_id,
+         unnest(range(len(embedding))) AS i,
+         CAST(FLOOR(unnest(embedding) * 1000000) AS BIGINT) AS q
+  FROM embeddings
+),
+v0 AS (
+  SELECT DISTINCT i, CAST({SCALE} AS BIGINT) AS v FROM q
+),
+{ITERS}
+SELECT CAST(i AS BIGINT) AS dim, v AS component FROM v{LAST}
+"""
+
+ORACLE_PCA = ORACLE_PCA_TEMPLATE.format(
+    SCALE=_PCA_V_SCALE,
+    ITERS=",".join(
+        _pca_iter_sql.format(K=k, J=k - 1, SCALE=_PCA_V_SCALE)
+        for k in range(1, PCA_ITERS + 1)
+    ),
+    LAST=PCA_ITERS,
+)
+
+QUERIES["pca_power_iteration"] = pca_power_iteration
+ORACLES["pca_power_iteration"] = ORACLE_PCA

@@ -253,3 +253,47 @@ def test_editdist_topk_python_replay(spark, tmp_path):
         )[:3]
         expect = [(i + 1, k, d) for i, (d, k) in enumerate(cands)]
         assert sorted(got[pk]) == expect, f"probe {pk}: {sorted(got[pk])} vs {expect}"
+
+
+def test_pca_power_iteration_python_replay(spark):
+    """pca_power_iteration replays exactly under an independent plain-Python
+    integer implementation of the same 3-round matrix-free recurrence
+    (arbitrary-precision ints, so the DECIMAL(38,0) path is cross-checked
+    against true integer arithmetic). Convergence-to-eigenvector is NOT
+    pinned: the synthetic embeddings' top two eigenvalues are near-degenerate
+    (ratio ~1.02), so 3 rounds gate the ITERATION PRIMITIVE, not the limit."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.similarity import (
+        PCA_ITERS,
+        _PCA_V_SCALE,
+        pca_power_iteration,
+    )
+
+    sf_dir = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.01"
+    )
+    got = {
+        r["dim"]: r["component"] for r in pca_power_iteration(spark, sf_dir).collect()
+    }
+
+    E = np.array(
+        pq.read_table(f"{sf_dir}/embeddings.parquet")["embedding"].to_pylist(),
+        dtype=np.float64,
+    )
+    Q = np.floor(E * 1_000_000).astype(object)  # python ints: no overflow
+    d = Q.shape[1]
+
+    def floordiv(a: int, b: int) -> int:
+        return a // b if a >= 0 else -((-a + b - 1) // b)
+
+    v = [_PCA_V_SCALE] * d
+    for _ in range(PCA_ITERS):
+        dots = Q @ np.array(v, dtype=object)
+        w = Q.T @ dots
+        m = max(abs(int(x)) for x in w)
+        v = [floordiv(int(x) * _PCA_V_SCALE, m) for x in w]
+    assert got == {i: v[i] for i in range(d)}
