@@ -1470,8 +1470,17 @@ def editdist_topk(spark, sf_dir):
     probes = c.filter(F.col("key") % 97 == 0).select(
         F.col("key").alias("probe_key"), F.col("name").alias("probe_name")
     )
-    pairs = c.crossJoin(F.broadcast(probes)).filter(
-        F.col("key") != F.col("probe_key")
+    # spread the DP scan: a dim-sized parquet table arrives as ~1 input
+    # split — and because the rows are tiny BY BYTES, AQE re-coalesces a
+    # bare repartition right back to one partition — so all probes x names
+    # levenshtein work serializes in one task (~8 s at sf0.1). An explicit
+    # partition count is exempt from AQE coalescing: a 15k-row exchange
+    # buys full-core DP parallelism. At fact scale the input splits
+    # already provide this and the exchange stays row-linear.
+    pairs = (
+        c.repartition(spark.sparkContext.defaultParallelism, "key")
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("key") != F.col("probe_key"))
     )
     w = Window.partitionBy("probe_key").orderBy("dist", "key")
     return (
