@@ -93,7 +93,10 @@ SCALE_KEYS = (
     "seasonal_baseline_dev",
     "ab_proportion_test",
     "mad_outliers",
-    "editdist_topk",
+    # editdist_topk is NOT in the tier: its probe set is a key residue, so
+    # probes x scan grows quadratically under the self-union — the gate's
+    # bounded-probe contract holds at fixed probe cardinality, not at a
+    # probe set that scales with the table
     "session_window_builtin",
     "groupwise_mode",
     "salted_join_agg",
@@ -131,7 +134,6 @@ SCALE_INPUT = {
     "seasonal_baseline_dev": "events",
     "ab_proportion_test": "events",
     "mad_outliers": "events",
-    "editdist_topk": "customer",
     "session_window_builtin": "events",
     "groupwise_mode": "events",
     "salted_join_agg": "events",

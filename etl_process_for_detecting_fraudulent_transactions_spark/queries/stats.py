@@ -1926,13 +1926,19 @@ def ab_proportion_test(spark, sf_dir):
         "CAST(n_b AS BIGINT) AS n_b",
         "CAST(conv_a AS BIGINT) AS conv_a",
         "CAST(conv_b AS BIGINT) AS conv_b",
-        """CAST(
+        # degenerate pooled variance (everyone or no one converted) emits
+        # NULL rather than dividing by zero — reachable when the conversion
+        # rule saturates (seen at the 100x replicated-union tier)
+        """CAST(CASE WHEN conv_a + conv_b = 0
+                       OR conv_a + conv_b = n_a + n_b THEN NULL
+             ELSE
              CAST(CAST(conv_a * n_b - conv_b * n_a AS DECIMAL(38,0))
                   * CAST(conv_a * n_b - conv_b * n_a AS DECIMAL(38,0))
                   * (n_a + n_b) * 1000000 AS DECIMAL(38,0))
              div
              CAST(CAST(n_a AS DECIMAL(38,0)) * n_b * (conv_a + conv_b)
                   * (n_a + n_b - conv_a - conv_b) AS DECIMAL(38,0))
+             END
            AS BIGINT) AS z2_micro""",
         "CAST(SIGN(conv_a * n_b - conv_b * n_a) AS INT) AS diff_sign",
     )
@@ -1955,11 +1961,14 @@ SELECT CAST(n_a AS BIGINT) AS n_a,
        CAST(n_b AS BIGINT) AS n_b,
        CAST(conv_a AS BIGINT) AS conv_a,
        CAST(conv_b AS BIGINT) AS conv_b,
-       CAST(CAST(conv_a * n_b - conv_b * n_a AS HUGEINT)
-            * CAST(conv_a * n_b - conv_b * n_a AS HUGEINT)
-            * (n_a + n_b) * 1000000
-            // (CAST(n_a AS HUGEINT) * n_b * (conv_a + conv_b)
-                * (n_a + n_b - conv_a - conv_b)) AS BIGINT) AS z2_micro,
+       CAST(CASE WHEN conv_a + conv_b = 0
+                   OR conv_a + conv_b = n_a + n_b THEN NULL
+            ELSE CAST(conv_a * n_b - conv_b * n_a AS HUGEINT)
+                 * CAST(conv_a * n_b - conv_b * n_a AS HUGEINT)
+                 * (n_a + n_b) * 1000000
+                 // (CAST(n_a AS HUGEINT) * n_b * (conv_a + conv_b)
+                     * (n_a + n_b - conv_a - conv_b))
+            END AS BIGINT) AS z2_micro,
        CAST(SIGN(conv_a * n_b - conv_b * n_a) AS INT) AS diff_sign
 FROM agg
 """
