@@ -250,6 +250,8 @@ def decode_image(payload: bytes) -> tuple[int, int, float]:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)
     raise NotImplementedError(
         "no codec for this payload format in this environment "
         f"(magic={payload[:4]!r}); binary PPM (P6), uncompressed 24-bit "
@@ -1367,3 +1369,244 @@ def perceptual_hash(media: DataFrame, grid: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+# -- GIF: LZW-compressed palette images (round 5) ------------------------------
+# The fourth real image codec, exercising a compression family the suite
+# didn't have: GIF's variable-width LSB-first LZW (PNG is zlib/LZ77+Huffman,
+# JPEG is DCT+Huffman). Encoder and decoder implement the standard GIF
+# convention — code width starts min_code_size+1 and grows when the next
+# table slot reaches 2^width (checked after each table add), CLEAR resets,
+# EOI terminates — so the payloads are genuine GIF89a files any external
+# tool decodes.
+
+
+def _gif_lzw_encode(data: bytes, mcs: int = 8) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    next_code, width = eoi + 1, mcs + 1
+    table = {bytes([i]): i for i in range(1 << mcs)}
+    out, acc, nbits = bytearray(), 0, 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    seq = b""
+    for b in data:
+        nxt = seq + bytes([b])
+        if nxt in table:
+            seq = nxt
+            continue
+        emit(table[seq])
+        if next_code < 4096:  # tiny gate rasters never fill the table
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        seq = bytes([b])
+    if seq:
+        emit(table[seq])
+        # phantom tick: decoders advance their width counter on EVERY data
+        # code read (they cannot know this was the tail emission with no
+        # table add), so the encoder must advance too or the EOI widths
+        # disagree exactly when the final append lands on a power of two
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width, acc, nbits, pos = mcs + 1, 0, 0, 0
+
+    def read() -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise MediaDecodeError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    table: list[bytes] | None = None
+    out, prev = bytearray(), None
+    next_code = eoi + 1
+    while True:
+        code = read()
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            width, prev, next_code = mcs + 1, None, eoi + 1
+            continue
+        if code == eoi:
+            break
+        if table is None:
+            raise MediaDecodeError("GIF LZW data before clear code")
+        if prev is None:
+            if code >= len(table):
+                raise MediaDecodeError(f"bad first GIF LZW code {code}")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise MediaDecodeError(f"GIF LZW code {code} beyond table")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        # the width counter ticks once per DATA CODE READ (the giflib
+        # convention), decoupled from table appends: table content runs one
+        # entry behind the encoder's, but the encoder advances its counter
+        # once per data code emitted — including the first after a clear
+        # (its add) and the tail (a phantom tick) — so this mirrors it
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, float]:
+    """REAL pure-Python decoder for non-interlaced GIF87a/89a.
+
+    Parses the logical screen descriptor and global color table, skips
+    extension blocks (sub-block chains), LZW-decodes the first image's
+    index stream, and computes the pixel mean over the PALETTE RGB samples
+    — same (width, height, mean) contract as the other image decoders."""
+    if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise MediaDecodeError("not a GIF payload")
+    if len(payload) < 13:
+        raise MediaDecodeError("truncated GIF headers")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = payload[pos : pos + n]
+        if len(gct) != n:
+            raise MediaDecodeError("truncated GIF global color table")
+        pos += n
+    while pos < len(payload):
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            raise MediaDecodeError("GIF trailer before any image block")
+        if marker == 0x21:  # extension: label + sub-block chain
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise MediaDecodeError("truncated GIF extension")
+                size = payload[pos]
+                pos += 1 + size
+                if size == 0:
+                    break
+            continue
+        if marker != 0x2C:
+            raise MediaDecodeError(f"unknown GIF block 0x{marker:02x}")
+        if pos + 9 > len(payload):
+            raise MediaDecodeError("truncated GIF image descriptor")
+        iw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        ih = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise MediaDecodeError("interlaced GIF unsupported")
+        palette = gct
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 0x07))
+            palette = payload[pos : pos + n]
+            if len(palette) != n:
+                raise MediaDecodeError("truncated GIF local color table")
+            pos += n
+        if palette is None:
+            raise MediaDecodeError("GIF image without a color table")
+        if iw <= 0 or ih <= 0:
+            raise MediaDecodeError(f"bad GIF dimensions {iw}x{ih}")
+        mcs = payload[pos]
+        pos += 1
+        chunks = []
+        while True:
+            if pos >= len(payload):
+                raise MediaDecodeError("truncated GIF image data")
+            size = payload[pos]
+            pos += 1
+            if size == 0:
+                break
+            chunks.append(payload[pos : pos + size])
+            pos += size
+        idx = np.frombuffer(_gif_lzw_decode(b"".join(chunks), mcs), dtype=np.uint8)
+        if idx.size != iw * ih:
+            raise MediaDecodeError(
+                f"GIF index stream {idx.size} != {iw}x{ih} pixels"
+            )
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise MediaDecodeError("GIF index beyond palette")
+        samples = pal[idx]  # (n, 3) gather — the actual RGB raster
+        total = int(samples.sum(dtype=np.int64))
+        return iw, ih, total / (samples.size * 255)
+    raise MediaDecodeError("GIF ended without an image block")
+
+
+def synthesize_gif_media(docs: DataFrame) -> DataFrame:
+    """Fabricate REAL GIF89a payloads from the documents fixture — the same
+    deterministic recipe as the other image synthesizers (dims from the
+    first two md5(text) bytes, pixel i's palette INDEX =
+    ``(doc_id*31 + i*7) % 256``) over a 256-entry grayscale global color
+    table (entry j = (j,j,j)), LZW-compressed for real. The oracle replays
+    the index sum analytically; mean over palette RGB == index mean."""
+    gct = bytes(v for j in range(256) for v in (j, j, j))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode()).digest()
+                w, hgt = 4 + h[0] % 13, 4 + h[1] % 13
+                idx = bytes((int(doc_id) * 31 + i * 7) % 256 for i in range(w * hgt))
+                lsd = (
+                    w.to_bytes(2, "little")
+                    + hgt.to_bytes(2, "little")
+                    + bytes([0xF7, 0, 0])  # GCT present, 2^(7+1)=256 entries
+                )
+                desc = (
+                    b"\x2c"
+                    + bytes(4)  # left, top
+                    + w.to_bytes(2, "little")
+                    + hgt.to_bytes(2, "little")
+                    + b"\x00"  # no LCT, not interlaced
+                )
+                lzw = _gif_lzw_encode(idx, 8)
+                blocks = b"".join(
+                    bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
+                    for i in range(0, len(lzw), 255)
+                )
+                payloads.append(
+                    b"GIF89a" + lsd + gct + desc + bytes([8]) + blocks + b"\x00\x3b"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "source": pdf["source"],
+                }
+            )
+
+    return docs.select("doc_id", "text", "source").mapInPandas(batches, schema=MEDIA_SCHEMA)

@@ -400,3 +400,46 @@ FROM bits GROUP BY doc_id
 
 QUERIES["multimodal_phash"] = multimodal_phash
 ORACLES["multimodal_phash"] = ORACLE_PHASH
+
+
+# -- GIF decode gate (round 5): LZW through the Arrow pipeline. Payloads are
+# genuine GIF89a files (logical screen descriptor, 256-entry grayscale
+# global color table, variable-width LSB-first LZW with clear/EOI) — a
+# compression family the codec suite didn't cover (PNG = LZ77+Huffman,
+# JPEG = DCT+Huffman, GIF = LZW). byte_len is an LZW-stream length (not
+# analytically replayable) so the gate emits decoded geometry + pixel
+# stats; the grayscale palette makes the RGB mean equal the index mean,
+# which the oracle re-derives from the generative formula.
+
+def multimodal_gif_features(spark: SparkSession, sf_dir: str):
+    from ..operators.multimodal import synthesize_gif_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        extract_media_features(synthesize_gif_media(docs))
+        .drop("content_md5")
+        .drop("byte_len")
+    )
+
+
+ORACLE_GIF = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(4 + {_sql_md5_byte('text', 0)} % 13 AS INT) AS width,
+         CAST(4 + {_sql_md5_byte('text', 1)} % 13 AS INT) AS height
+  FROM documents
+),
+px AS (
+  SELECT doc_id, CAST(SUM((doc_id * 31 + i * 7) % 256) AS BIGINT) AS s
+  FROM m, unnest(range(0, width * height)) AS u(i)
+  GROUP BY doc_id
+)
+SELECT m.doc_id AS media_id,
+       'image' AS media_type,
+       width, height,
+       CAST(px.s AS DOUBLE) / (width * height * 255) AS mean_intensity
+FROM m JOIN px USING (doc_id)
+"""
+
+QUERIES["multimodal_gif_features"] = multimodal_gif_features
+ORACLES["multimodal_gif_features"] = ORACLE_GIF

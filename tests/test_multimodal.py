@@ -718,3 +718,72 @@ def test_perceptual_hash_known_images(spark):
         got[1].hash_lo ^ got[2].hash_lo
     ).count("1")
     assert h == 32
+
+
+# -- GIF / LZW (round 5) --------------------------------------------------------
+
+
+def test_gif_lzw_roundtrip_stress():
+    """encode->decode identity over adversarial inputs: random bytes, tiny
+    alphabets (deep table growth), arithmetic sequences, and constant runs
+    (the KwKwK code path) — including lengths that land the final table add
+    exactly on a power of two, where the tail phantom-tick convention is
+    what keeps the EOI widths aligned."""
+    import random
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    for seed in range(120):
+        rng = random.Random(seed)
+        n = rng.randrange(1, 3000)
+        kind = seed % 4
+        if kind == 0:
+            data = bytes(rng.randrange(256) for _ in range(n))
+        elif kind == 1:
+            data = bytes(rng.randrange(4) for _ in range(n))
+        elif kind == 2:
+            data = bytes((i * 7 + seed) % 256 for i in range(n))
+        else:
+            data = bytes([seed % 256]) * n
+        assert _gif_lzw_decode(_gif_lzw_encode(data, 8), 8) == data, (seed, kind, n)
+
+
+def test_decode_gif_known_image():
+    """A hand-assembled 3x2 GIF with a grayscale palette decodes to the
+    exact dimensions and mean; extension blocks are skipped; malformed
+    variants raise MediaDecodeError."""
+    import pytest
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.operators.multimodal import (
+        MediaDecodeError,
+        _gif_lzw_encode,
+        decode_gif,
+    )
+
+    idx = bytes([0, 255, 10, 20, 30, 40])  # 3x2
+    gct = bytes(v for j in range(256) for v in (j, j, j))
+    lzw = _gif_lzw_encode(idx, 8)
+    blocks = bytes([len(lzw)]) + lzw + b"\x00"
+    ext = b"\x21\xfe\x03abc\x00"  # comment extension: must be skipped
+    gif = (
+        b"GIF89a"
+        + (3).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + bytes([0xF7, 0, 0]) + gct
+        + ext
+        + b"\x2c" + bytes(4)
+        + (3).to_bytes(2, "little") + (2).to_bytes(2, "little") + b"\x00"
+        + bytes([8]) + blocks + b"\x3b"
+    )
+    w, h, mean = decode_gif(gif)
+    assert (w, h) == (3, 2)
+    assert mean == sum(idx) / (len(idx) * 255)
+
+    with pytest.raises(MediaDecodeError):
+        decode_gif(b"GIF89a" + gif[6:20])  # truncated
+    with pytest.raises(MediaDecodeError):
+        decode_gif(gif.replace(b"\x00" + bytes([8]), b"\x40" + bytes([8]), 1))
+    with pytest.raises(MediaDecodeError):
+        decode_gif(b"NOPE" + gif[4:])
