@@ -2089,3 +2089,120 @@ FROM ranked WHERE rk = 1
 
 QUERIES["groupwise_mode"] = groupwise_mode
 ORACLES["groupwise_mode"] = ORACLE_MODE
+
+
+# -- two-feature OLS via exact normal equations ----------------------------------
+# Multiple regression made hash-exact: y = b0 + b1*x1 + b2*x2 fitted over
+# the (event_type, day) daily frame (y = value-milli total, x1 = event
+# count, x2 = distinct users) by solving the 3x3 normal equations with
+# CRAMER'S RULE on exact integer sums — no matrix library, no float chain.
+# The Gram determinant is positive (the design is full-rank on this data),
+# so each coefficient is ONE sign-split integral division of two exact
+# integers, micro-scaled. Determinant magnitudes: den ~ n*S11*S22 ~ 3e16
+# at sf0.1 and the largest numerator*10^6 ~ 6e29 — inside HUGEINT /
+# DECIMAL(38,0) to ~100x this corpus (documented; beyond that, rescale the
+# units before the sums). The fact-scale work is ONE daily aggregate; the
+# 9 sums are a second tiny aggregate; everything after is scalar algebra.
+
+def ols_two_features(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x1"),
+        F.countDistinct("user_id").cast("bigint").alias("x2"),
+        F.coalesce(
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")), F.lit(0)
+        ).cast("bigint").alias("y"),
+    )
+    sums = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1").cast("decimal(38,0)") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2").cast("decimal(38,0)") * F.col("y")).alias("s2y"),
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    det3 = (
+        "({a}*({e}*{i} - {f}*{h}) - {b}*({d}*{i} - {f}*{g})"
+        " + {c}*({d}*{h} - {e}*{g}))"
+    )
+    A = {k: d.format(k) for k in ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")}
+    den = det3.format(a=A["n"], b=A["s1"], c=A["s2"],
+                      d=A["s1"], e=A["s11"], f=A["s12"],
+                      g=A["s2"], h=A["s12"], i=A["s22"])
+    b0n = det3.format(a=A["sy"], b=A["s1"], c=A["s2"],
+                      d=A["s1y"], e=A["s11"], f=A["s12"],
+                      g=A["s2y"], h=A["s12"], i=A["s22"])
+    b1n = det3.format(a=A["n"], b=A["sy"], c=A["s2"],
+                      d=A["s1"], e=A["s1y"], f=A["s12"],
+                      g=A["s2"], h=A["s2y"], i=A["s22"])
+    b2n = det3.format(a=A["n"], b=A["s1"], c=A["sy"],
+                      d=A["s1"], e=A["s11"], f=A["s1y"],
+                      g=A["s2"], h=A["s12"], i=A["s2y"])
+
+    def fdiv(num: str) -> str:
+        # floor((num*1e6)/den), den > 0: sign-split so both engines'
+        # truncating integral division sees nonneg operands
+        return (
+            f"CAST(CASE WHEN {num} >= 0"
+            f" THEN CAST({num} * 1000000 AS DECIMAL(38,0)) div CAST({den} AS DECIMAL(38,0))"
+            f" ELSE -(CAST(-({num}) * 1000000 + {den} - 1 AS DECIMAL(38,0))"
+            f"        div CAST({den} AS DECIMAL(38,0))) END AS BIGINT)"
+        )
+
+    return sums.selectExpr(
+        "n AS n_rows",
+        fdiv(b0n) + " AS b0_micro",
+        fdiv(b1n) + " AS b1_micro",
+        fdiv(b2n) + " AS b2_micro",
+    )
+
+
+_OLS2_DET = (
+    "({a}*({e}*{i} - {f}*{h}) - {b}*({d}*{i} - {f}*{g})"
+    " + {c}*({d}*{h} - {e}*{g}))"
+)
+_OLS2_H = {k: f"CAST({k} AS HUGEINT)" for k in
+           ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")}
+_OLS2_DEN = _OLS2_DET.format(a=_OLS2_H["n"], b=_OLS2_H["s1"], c=_OLS2_H["s2"],
+                             d=_OLS2_H["s1"], e=_OLS2_H["s11"], f=_OLS2_H["s12"],
+                             g=_OLS2_H["s2"], h=_OLS2_H["s12"], i=_OLS2_H["s22"])
+
+
+def _ols2_fdiv(num: str) -> str:
+    return (
+        f"CAST(CASE WHEN {num} >= 0 THEN ({num} * 1000000) // ({_OLS2_DEN})"
+        f" ELSE -((-({num}) * 1000000 + ({_OLS2_DEN}) - 1) // ({_OLS2_DEN}))"
+        f" END AS BIGINT)"
+    )
+
+
+ORACLE_OLS2 = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x1,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS x2,
+         CAST(COALESCE(SUM(CAST(FLOOR(value * 1000) AS BIGINT)), 0)
+              AS BIGINT) AS y
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x1) AS s1, SUM(x2) AS s2,
+         SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
+         SUM(y) AS sy,
+         SUM(CAST(x1 AS HUGEINT) * y) AS s1y,
+         SUM(CAST(x2 AS HUGEINT) * y) AS s2y
+  FROM daily
+)
+SELECT n AS n_rows,
+       {_ols2_fdiv(_OLS2_DET.format(a=_OLS2_H["sy"], b=_OLS2_H["s1"], c=_OLS2_H["s2"], d=_OLS2_H["s1y"], e=_OLS2_H["s11"], f=_OLS2_H["s12"], g=_OLS2_H["s2y"], h=_OLS2_H["s12"], i=_OLS2_H["s22"]))} AS b0_micro,
+       {_ols2_fdiv(_OLS2_DET.format(a=_OLS2_H["n"], b=_OLS2_H["sy"], c=_OLS2_H["s2"], d=_OLS2_H["s1"], e=_OLS2_H["s1y"], f=_OLS2_H["s12"], g=_OLS2_H["s2"], h=_OLS2_H["s2y"], i=_OLS2_H["s22"]))} AS b1_micro,
+       {_ols2_fdiv(_OLS2_DET.format(a=_OLS2_H["n"], b=_OLS2_H["s1"], c=_OLS2_H["sy"], d=_OLS2_H["s1"], e=_OLS2_H["s11"], f=_OLS2_H["s1y"], g=_OLS2_H["s2"], h=_OLS2_H["s12"], i=_OLS2_H["s2y"]))} AS b2_micro
+FROM sums
+"""
+
+QUERIES["ols_two_features"] = ols_two_features
+ORACLES["ols_two_features"] = ORACLE_OLS2

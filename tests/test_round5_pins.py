@@ -297,3 +297,44 @@ def test_pca_power_iteration_python_replay(spark):
         m = max(abs(int(x)) for x in w)
         v = [floordiv(int(x) * _PCA_V_SCALE, m) for x in w]
     assert got == {i: v[i] for i in range(d)}
+
+
+def test_ols_two_features_matches_numpy_lstsq(spark):
+    """The exact Cramer-determinant coefficients agree with numpy's
+    float least-squares on the same daily design matrix (micro-truncation
+    tolerance) — the gate's integer algebra is cross-checked against an
+    entirely independent solver."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        ols_two_features,
+    )
+
+    sf_dir = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.01"
+    )
+    r = ols_two_features(spark, sf_dir).collect()[0]
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    ev = ev[ev.user_id.notna()]
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    g = ev.groupby(["event_type", "day"])
+    daily = pd.DataFrame(
+        {
+            "x1": g.size(),
+            "x2": g.user_id.nunique(),
+            "y": g.value.apply(lambda s: int(np.floor(s.dropna() * 1000).sum())),
+        }
+    ).reset_index()
+    X = np.column_stack([np.ones(len(daily)), daily.x1, daily.x2]).astype(float)
+    beta, *_ = np.linalg.lstsq(X, daily.y.astype(float), rcond=None)
+    assert r["n_rows"] == len(daily)
+    for got_micro, want in zip((r["b0_micro"], r["b1_micro"], r["b2_micro"]), beta):
+        assert abs(got_micro / 1e6 - want) <= max(1e-4 * abs(want), 2e-6), (
+            got_micro / 1e6,
+            want,
+        )
