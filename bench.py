@@ -101,6 +101,7 @@ SCALE_KEYS = (
     "groupwise_mode",
     "salted_join_agg",
     "pca_power_iteration",
+    "ols_two_features",
 )
 # input table each scale query is throughput-bounded by (for the rows/s numerator)
 SCALE_INPUT = {
@@ -138,6 +139,7 @@ SCALE_INPUT = {
     "groupwise_mode": "events",
     "salted_join_agg": "events",
     "pca_power_iteration": "embeddings",
+    "ols_two_features": "events",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",
