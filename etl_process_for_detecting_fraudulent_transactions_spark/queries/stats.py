@@ -2206,3 +2206,142 @@ FROM sums
 
 QUERIES["ols_two_features"] = ols_two_features
 ORACLES["ols_two_features"] = ORACLE_OLS2
+
+
+# -- winsorized statistics --------------------------------------------------------
+# The robust-curation primitive: clamp each series to its [p05, p95] band
+# before aggregating. Kept integer-exact WITHOUT trusting float percentile
+# interpolation: p = k/20, so position (n-1)*k/20 splits into integer index
+# i = (n-1)*k div 20 and remainder r = (n-1)*k mod 20, and the interpolated
+# bound SCALED BY 20 is the exact integer (20-r)*v[i] + r*v[i+1]. Values,
+# bounds, and the clamped sum all live in 20ths of a milli-unit — no float
+# crosses the engine boundary. The sort is per-group over the DAILY frame
+# (calendar-bounded), never the fact table.
+
+def winsorized_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    arr = F.array_sort(F.collect_list("x"))
+    bounds = daily.groupBy("event_type").agg(
+        arr.alias("arr"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+    def bound20(k: int):
+        i = ((F.col("n") - 1) * k / 20).cast("bigint")  # exact: values << 2^52
+        r = ((F.col("n") - 1) * k % 20).cast("bigint")
+        v_i = F.element_at("arr", (i + 1).cast("int"))
+        v_j = F.coalesce(F.element_at("arr", (i + 2).cast("int")), F.lit(0))
+        return (20 - r) * v_i + r * v_j
+
+    bounds = bounds.select(
+        "event_type",
+        "n",
+        bound20(1).cast("bigint").alias("lo20"),
+        bound20(19).cast("bigint").alias("hi20"),
+    )
+    clamped = daily.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "n",
+        "lo20",
+        "hi20",
+        F.least(F.greatest(20 * F.col("x"), F.col("lo20")), F.col("hi20")).alias("c20"),
+        ((20 * F.col("x") < F.col("lo20")) | (20 * F.col("x") > F.col("hi20")))
+        .cast("int")
+        .alias("clipped"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.max("n").alias("n_days"),
+        F.max("lo20").alias("lo20"),
+        F.max("hi20").alias("hi20"),
+        F.sum("c20").cast("bigint").alias("winsorized_sum20"),
+        F.sum("clipped").cast("bigint").alias("n_clipped"),
+    )
+
+
+ORACLE_WINSOR = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), b AS (
+  SELECT event_type, list_sort(list(x)) AS arr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily GROUP BY event_type
+), bounds AS (
+  SELECT event_type, n,
+         CAST((20 - (n-1)*1 % 20) * arr[CAST((n-1)*1 // 20 AS INT) + 1]
+              + ((n-1)*1 % 20)
+                * COALESCE(arr[CAST((n-1)*1 // 20 AS INT) + 2], 0)
+              AS BIGINT) AS lo20,
+         CAST((20 - (n-1)*19 % 20) * arr[CAST((n-1)*19 // 20 AS INT) + 1]
+              + ((n-1)*19 % 20)
+                * COALESCE(arr[CAST((n-1)*19 // 20 AS INT) + 2], 0)
+              AS BIGINT) AS hi20
+  FROM b
+), clamped AS (
+  SELECT daily.event_type, bounds.n, bounds.lo20, bounds.hi20,
+         LEAST(GREATEST(20 * daily.x, bounds.lo20), bounds.hi20) AS c20,
+         CASE WHEN 20 * daily.x < bounds.lo20
+                OR 20 * daily.x > bounds.hi20 THEN 1 ELSE 0 END AS clipped
+  FROM daily JOIN bounds USING (event_type)
+)
+SELECT event_type,
+       MAX(n) AS n_days, MAX(lo20) AS lo20, MAX(hi20) AS hi20,
+       CAST(SUM(c20) AS BIGINT) AS winsorized_sum20,
+       CAST(SUM(clipped) AS BIGINT) AS n_clipped
+FROM clamped GROUP BY event_type
+"""
+
+QUERIES["winsorized_stats"] = winsorized_stats
+ORACLES["winsorized_stats"] = ORACLE_WINSOR
+
+
+# -- ratio-to-report window -------------------------------------------------------
+
+def ratio_to_report(spark, sf_dir):
+    """The classic ratio_to_report window: each (event_type, day) count's
+    share of its type's total — ONE unpartitioned-frame-free window (the
+    share denominator is a per-type window sum over the daily aggregate,
+    not a second scan), emitted as an exact cross-multiplied ppm integer
+    (n * 10^6 div total), so no float division is hashed."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("event_type")
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("type_total"),
+        F.expr("CAST(n * 1000000 div SUM(n) OVER (PARTITION BY event_type) AS BIGINT)")
+        .alias("share_ppm"),
+    )
+
+
+ORACLE_RATIO = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS type_total,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+         AS share_ppm
+FROM daily
+"""
+
+QUERIES["winsorized_stats"] = winsorized_stats
+QUERIES["ratio_to_report"] = ratio_to_report
+ORACLES["ratio_to_report"] = ORACLE_RATIO

@@ -338,3 +338,42 @@ def test_ols_two_features_matches_numpy_lstsq(spark):
             got_micro / 1e6,
             want,
         )
+
+
+def test_winsorized_stats_python_replay(spark, tmp_path):
+    """Winsorization replayed in plain Python: exact rank-interpolated
+    [p05, p95] bounds in 20ths, clamped sums, clip counts — with planted
+    extreme days that MUST clip."""
+    rng = random.Random(29)
+    rows, daily, eid = [], {}, 0
+    for d in range(30):
+        day = dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+        v = rng.randint(40, 60) * 1.0
+        if d == 3:
+            v = 9000.0  # must clip high
+        if d == 27:
+            v = 0.001  # must clip low (milli floor -> 0)
+        rows.append((eid, day, 1, "click", v))
+        daily[day.date()] = int(v * 1000)
+        eid += 1
+    path = _write_events(spark, tmp_path, rows)
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        winsorized_stats,
+    )
+
+    r = {x["event_type"]: x for x in winsorized_stats(spark, path).collect()}["click"]
+    xs = sorted(daily.values())
+    n = len(xs)
+
+    def bound20(k):
+        i, rem = (n - 1) * k // 20, (n - 1) * k % 20
+        nxt = xs[i + 1] if i + 1 < n else 0
+        return (20 - rem) * xs[i] + rem * nxt
+
+    lo20, hi20 = bound20(1), bound20(19)
+    c20s = [min(max(20 * x, lo20), hi20) for x in daily.values()]
+    clipped = sum(1 for x in daily.values() if 20 * x < lo20 or 20 * x > hi20)
+    assert (r["n_days"], r["lo20"], r["hi20"]) == (n, lo20, hi20)
+    assert r["winsorized_sum20"] == sum(c20s)
+    assert r["n_clipped"] == clipped and clipped >= 2
