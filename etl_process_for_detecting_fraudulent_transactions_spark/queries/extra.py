@@ -1067,3 +1067,79 @@ GROUP BY c.c_nationkey
 
 QUERIES["salted_join_agg"] = salted_join_agg
 ORACLES["salted_join_agg"] = ORACLE_SALTED_JOIN
+
+
+# -- linear multi-touch attribution ------------------------------------------------
+
+def attribution_linear(spark, sf_dir):
+    """Linear (equal-split) multi-touch attribution: every non-purchase
+    touch within the 7-day lookback of a purchase shares the purchase's
+    revenue equally. The per-touch credit is the exact truncating integral
+    division value_milli * 10^6 div n_touches (nonneg operands: floor ==
+    truncate in both engines), so channel totals hash exactly; the
+    dropped remainder is < n_touches micro-units per purchase, auditable
+    from the emitted purchase counts. Pair generation is a user-keyed
+    equi-join with a range residual — per-user touch volume is
+    session-bounded, the same contract as the last-touch gate; the bucketed
+    interval strategy in range_join_events is the swap-in if a workload
+    breaks that bound."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.expr("unix_micros(ts)").alias("p_us"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("value_milli"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.expr("unix_micros(ts)").alias("t_us"),
+    )
+    pairs = purchases.join(touches, "user_id").filter(
+        (F.col("t_us") <= F.col("p_us"))
+        & (F.col("p_us") - F.col("t_us") <= ATTRIB_LOOKBACK_US)
+    )
+    w = Window.partitionBy("p_id")
+    credited = pairs.select(
+        "channel",
+        "p_id",
+        F.expr(
+            "CAST(value_milli * 1000000 div COUNT(*) OVER (PARTITION BY p_id)"
+            " AS BIGINT)"
+        ).alias("credit_micro"),
+        F.count(F.lit(1)).over(w).alias("n_touches"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touchpoints"),
+        F.countDistinct("p_id").cast("bigint").alias("n_purchases"),
+        F.sum("credit_micro").cast("bigint").alias("credit_micro_sum"),
+    )
+
+
+ORACLE_ATTRIB_LINEAR = f"""
+WITH p AS (
+  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS value_milli
+  FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'
+), t AS (
+  SELECT user_id, event_type AS channel, epoch_us(ts) AS t_us
+  FROM events WHERE user_id IS NOT NULL AND event_type <> 'purchase'
+), pairs AS (
+  SELECT t.channel, p.p_id, p.value_milli
+  FROM p JOIN t USING (user_id)
+  WHERE t.t_us <= p.p_us AND p.p_us - t.t_us <= {ATTRIB_LOOKBACK_US}
+), credited AS (
+  SELECT channel, p_id,
+         CAST(value_milli * 1000000
+              // COUNT(*) OVER (PARTITION BY p_id) AS BIGINT) AS credit_micro
+  FROM pairs
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touchpoints,
+       CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases,
+       CAST(SUM(credit_micro) AS BIGINT) AS credit_micro_sum
+FROM credited GROUP BY channel
+"""
+
+QUERIES["attribution_linear"] = attribution_linear
+ORACLES["attribution_linear"] = ORACLE_ATTRIB_LINEAR

@@ -1515,3 +1515,55 @@ FROM ranked WHERE rank <= 3
 
 QUERIES["editdist_topk"] = editdist_topk
 ORACLES["editdist_topk"] = ORACLE_EDITDIST_TOPK
+
+
+# -- positional phrase search ------------------------------------------------------
+
+PHRASE = ("hash", "join")
+
+
+def phrase_search(spark, sf_dir):
+    """Positional phrase matching ("hash join" adjacency) WITHOUT a
+    posting-list self-join: one corpus scan posexplodes (position, term)
+    and a single lead() window per doc checks adjacency — the streaming-
+    friendly formulation of positional search (the classic two-posting
+    merge needs pos+1 join keys; the window needs one exchange on doc_id
+    and no join at all). Emits per-doc occurrence counts and the first
+    match position (0-based)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.posexplode(_tokens()).alias("pos", "term"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    hits = (
+        tok.withColumn("nxt", F.lead("term").over(w))
+        .filter((F.col("term") == PHRASE[0]) & (F.col("nxt") == PHRASE[1]))
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+    )
+
+
+ORACLE_PHRASE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         generate_subscripts(list_filter(str_split(text, ' '),
+                                         x -> x <> ''), 1) - 1 AS pos,
+         unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+), marked AS (
+  SELECT doc_id, pos, term,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM tok
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(pos) AS BIGINT) AS first_pos
+FROM marked
+WHERE term = '{PHRASE[0]}' AND nxt = '{PHRASE[1]}'
+GROUP BY doc_id
+"""
+
+QUERIES["phrase_search"] = phrase_search
+ORACLES["phrase_search"] = ORACLE_PHRASE
