@@ -102,6 +102,13 @@ SCALE_KEYS = (
     "salted_join_agg",
     "pca_power_iteration",
     "ols_two_features",
+    "winsorized_stats",
+    "ratio_to_report",
+    "phrase_search",
+    # attribution_linear is NOT in the tier: the self-union multiplies
+    # per-user event DENSITY (not user count), so its touch x purchase
+    # pairs grow quadratically under replication — a union artifact, not
+    # a property of real scale, where growth adds users
 )
 # input table each scale query is throughput-bounded by (for the rows/s numerator)
 SCALE_INPUT = {
@@ -140,6 +147,9 @@ SCALE_INPUT = {
     "salted_join_agg": "events",
     "pca_power_iteration": "embeddings",
     "ols_two_features": "events",
+    "winsorized_stats": "events",
+    "ratio_to_report": "events",
+    "phrase_search": "documents",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",
