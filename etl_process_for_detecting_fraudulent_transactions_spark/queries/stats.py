@@ -2345,3 +2345,109 @@ FROM daily
 QUERIES["winsorized_stats"] = winsorized_stats
 QUERIES["ratio_to_report"] = ratio_to_report
 ORACLES["ratio_to_report"] = ORACLE_RATIO
+
+
+# -- exact quantiles WITHOUT a global sort: 2-pass histogram + bin rescan ---------
+# The 100-TB exact-quantile strategy: a total sort of the fact table is the
+# naive plan; instead pass 1 histograms values into 1024 integer bins per
+# group (one map-side-combinable aggregate), the cumulative bin counts
+# locate the bin containing the target rank, and pass 2 rescans ONLY that
+# bin's rows to pick the exact element by within-bin rank. Work is two
+# linear scans + a window over <=1024 rows per group — no global sort, no
+# collect_list over the fact table. Emits the exact lower median
+# (rank (n+1)//2) and exact p90 (rank ceil(0.9n)) as int64 milli-units;
+# the oracle picks the same ranks by row_number, so agreement proves the
+# histogram routing is exact, not approximate.
+
+def exact_median_2pass(spark, sf_dir):
+    from pyspark.sql import Window
+
+    NBINS = 1024
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vals = ev.select(
+        "event_type", F.floor(F.col("value") * 1000).cast("bigint").alias("v")
+    )
+    stats = vals.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    binned = (
+        vals.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "bin",
+            F.expr(f"(v - mn) * {NBINS} div (mx - mn + 1)"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = binned.select(
+        "event_type",
+        "bin",
+        (F.sum("c").over(wcum) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(wcum).alias("cum"),
+    )
+
+    def pick(rank_expr, tag):
+        target = (
+            cum.join(F.broadcast(stats.select("event_type", "n")), "event_type")
+            .withColumn("k", rank_expr)
+            .filter((F.col("cum") >= F.col("k")) & (F.col("cum_before") < F.col("k")))
+            .select(
+                "event_type",
+                F.col("bin").alias("tbin"),
+                (F.col("k") - F.col("cum_before")).alias("r_in"),
+            )
+        )
+        wbin = Window.partitionBy("event_type").orderBy("v")
+        in_bin = (
+            vals.join(F.broadcast(stats), "event_type")
+            .withColumn(
+                "bin",
+                ((F.col("v") - F.col("mn")) * NBINS / (F.col("mx") - F.col("mn") + 1))
+                .cast("bigint"),
+            )
+            .join(F.broadcast(target), "event_type")
+            .filter(F.col("bin") == F.col("tbin"))
+        )
+        return (
+            in_bin.withColumn("rn", F.row_number().over(wbin))
+            .filter(F.col("rn") == F.col("r_in"))
+            .select("event_type", F.col("v").alias(tag))
+        )
+
+    med = pick(F.expr("(n + 1) div 2"), "median_milli")
+    p90 = pick(F.expr("(n * 9 + 9) div 10"), "p90_milli")
+    return (
+        stats.select("event_type", "n")
+        .join(med, "event_type")
+        .join(p90, "event_type")
+    )
+
+
+ORACLE_MEDIAN2 = """
+WITH vals AS (
+  SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM vals
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS BIGINT)
+         AS median_milli,
+       CAST(MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN v END) AS BIGINT)
+         AS p90_milli
+FROM ranked GROUP BY event_type
+"""
+
+QUERIES["exact_median_2pass"] = exact_median_2pass
+ORACLES["exact_median_2pass"] = ORACLE_MEDIAN2
