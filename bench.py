@@ -105,6 +105,7 @@ SCALE_KEYS = (
     "winsorized_stats",
     "ratio_to_report",
     "phrase_search",
+    "exact_median_2pass",
     # attribution_linear is NOT in the tier: the self-union multiplies
     # per-user event DENSITY (not user count), so its touch x purchase
     # pairs grow quadratically under replication — a union artifact, not
@@ -150,6 +151,7 @@ SCALE_INPUT = {
     "winsorized_stats": "events",
     "ratio_to_report": "events",
     "phrase_search": "documents",
+    "exact_median_2pass": "events",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",
