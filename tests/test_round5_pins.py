@@ -194,7 +194,6 @@ def test_mad_outliers_python_replay(spark, tmp_path):
     rows, eid = [], 0
     daily = {}
     for d in range(25):
-        day = dt.datetime(2024, 1, 1 + d % 28) if d < 28 else None
         day = dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
         v = rng.randint(50, 80) / 1.0
         if d in (5, 17):  # planted spikes: the gate must flag SOMETHING
