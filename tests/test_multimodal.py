@@ -72,9 +72,13 @@ def test_decode_image_dispatch():
     # error, not unimplemented
     with pytest.raises(MediaDecodeError):
         decode_image(b"\xff\xd8\xff\xe0rest")
-    # a genuinely unimplemented format (GIF) still raises NotImplementedError
-    with pytest.raises(NotImplementedError, match="no codec"):
+    # GIF routes to the real LZW decoder as of round 5: a bare signature is
+    # a malformed GIF (decode error), not an unimplemented format
+    with pytest.raises(MediaDecodeError):
         decode_image(b"GIF89a...")
+    # a genuinely unimplemented format (TIFF) still raises NotImplementedError
+    with pytest.raises(NotImplementedError, match="no codec"):
+        decode_image(b"II*\x00rest")
 
 
 def test_decode_wav_known_samples():

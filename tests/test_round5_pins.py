@@ -376,3 +376,39 @@ def test_winsorized_stats_python_replay(spark, tmp_path):
     assert (r["n_days"], r["lo20"], r["hi20"]) == (n, lo20, hi20)
     assert r["winsorized_sum20"] == sum(c20s)
     assert r["n_clipped"] == clipped and clipped >= 2
+
+
+def test_exact_median_2pass_python_replay(spark, tmp_path):
+    """The histogram-route + bin-rescan quantile picks EXACTLY the k-th
+    smallest element on adversarial distributions: heavy duplicate runs
+    that straddle bin boundaries, a constant group (mx == mn: one bin),
+    and a two-point group."""
+    rng = random.Random(31)
+    rows, eid = [], 0
+    groups = {
+        "dups": [5.0] * 40 + [5.001] * 40 + [9000.0] * 21,  # duplicate walls
+        "const": [7.0] * 15,                                  # mx == mn
+        "twopoint": [1.0] * 9 + [2.0] * 4,
+    }
+    groups["rand"] = [rng.randint(0, 10_000) / 10.0 for _ in range(301)]
+    for etype, vals in groups.items():
+        for v in vals:
+            day = dt.datetime(2024, 1, 1 + eid % 28)
+            rows.append((eid, day, 1, etype, v))
+            eid += 1
+    path = _write_events(spark, tmp_path, rows)
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        exact_median_2pass,
+    )
+
+    got = {
+        r["event_type"]: (r["n"], r["median_milli"], r["p90_milli"])
+        for r in exact_median_2pass(spark, path).collect()
+    }
+    for etype, vals in groups.items():
+        xs = sorted(int(v * 1000 // 1) for v in vals)
+        n = len(xs)
+        med = xs[(n + 1) // 2 - 1]
+        p90 = xs[(n * 9 + 9) // 10 - 1]
+        assert got[etype] == (n, med, p90), (etype, got[etype], (n, med, p90))
