@@ -542,3 +542,85 @@ def test_session5_gates_single_exchange_no_joins(spark, sf_dir):
         plan = _plan(fn(spark, sf_dir))
         assert plan.count("Exchange hashpartitioning") <= 1, fn.__name__
         assert "Join" not in plan, fn.__name__
+
+
+def test_asof_join_nearest_plan_has_no_join(spark, sf_dir):
+    """The backward as-of is the tag-union + carry-window formulation: the
+    executed plan must contain NO join operator at all (the whole point of
+    the rewrite — a sort-merge interval join is what it replaces) and at
+    most the two expected exchanges (click dedupe keys, union carry)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.timeseries import (
+        asof_join_nearest,
+    )
+
+    plan = _plan(asof_join_nearest(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_editdist_topk_plan_broadcast_probe_and_group_limit(spark, sf_dir):
+    """Bounded probe set must broadcast (never a sort-merge product) and
+    the top-3 rank must prune map-side via WindowGroupLimit; the scan side
+    must be spread by an explicit-count repartition (AQE would coalesce a
+    tiny-by-bytes bare repartition back to ONE task, serializing the DP)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.text import (
+        editdist_topk,
+    )
+
+    plan = _plan(editdist_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+
+
+def test_phrase_search_plan_is_one_window_no_join(spark, sf_dir):
+    """Positional adjacency via lead(): one Window node, zero joins —
+    the two-posting pos+1 merge this formulation replaces would show a
+    join here."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.text import (
+        phrase_search,
+    )
+
+    plan = _plan(phrase_search(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 1, plan
+
+
+def test_exact_median_2pass_has_no_fact_scale_sort_before_routing(spark, sf_dir):
+    """The histogram route must never global-sort the fact table: no
+    SortMergeJoin (all rescan joins broadcast the tiny routing frames) and
+    every Sort in the plan is window-local (partitioned)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        exact_median_2pass,
+    )
+
+    plan = _plan(exact_median_2pass(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    # rangepartitioning = a global sort's shuffle; windows sort within
+    # hash partitions instead
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_pca_power_iteration_is_matrix_free(spark, sf_dir):
+    """Each round is Q^T(Qv): the plan must contain NO n*d^2 Gram-pair
+    generator (no join of the exploded frame with itself — the only joins
+    are broadcast v / scalar m) and no sort-merge join anywhere."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.similarity import (
+        pca_power_iteration,
+    )
+
+    plan = _plan(pca_power_iteration(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_session_window_builtin_single_exchange(spark, sf_dir):
+    """The built-in session aggregation clusters once on the grouping key:
+    one exchange, no join."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.timeseries import (
+        session_window_builtin,
+    )
+
+    plan = _plan(session_window_builtin(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
