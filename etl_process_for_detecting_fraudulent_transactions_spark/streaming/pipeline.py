@@ -862,3 +862,101 @@ def ewma_stream(ev: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# -- streaming backward as-of enrichment ----------------------------------------
+# The streaming form of queries.timeseries.asof_join_nearest: per-user state
+# carries only the LATEST click (two longs), each purchase emits enriched
+# with it — the classic stream-enrichment shape where the batch op's carry
+# window becomes O(1) state. Same semantics as the batch gate: inclusive
+# at the same instant, same-(ts) click ties resolve to the max event_id
+# (batch sorts by (ts, kind, event_id); the walk below replays that order
+# inside each micro-batch, and the >=-replace rule makes the max-id click
+# win among equal timestamps). Ordered-replay equivalence with the batch
+# operator is pinned in tests/test_streaming.py.
+
+ASOF_OUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("purch_us", LongType()),
+        StructField("click_us", LongType()),
+        StructField("gap_us", LongType()),
+        StructField("click_event_id", LongType()),
+    ]
+)
+
+# (click_us, click_event_id); 0 = no click seen yet
+ASOF_STATE_SCHEMA = StructType(
+    [StructField("click_us", LongType()), StructField("click_id", LongType())]
+)
+
+
+def asof_stream(ev: DataFrame, watermark: str = "48 hours") -> DataFrame:
+    filtered = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+
+    def matcher(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        click_us, click_id = state.get if state.exists else (0, 0)
+        out = []
+        batch = [pdf for pdf in pdfs]
+        if batch:
+            allrows = pd.concat(batch)
+            # clicks before purchases at the same instant (kind 0 < 1:
+            # inclusive match), event_id ascending so the last same-ts
+            # click to apply is the max id — the batch tie-break
+            allrows = allrows.assign(
+                _kind=(allrows["event_type"] == "purchase").astype("int64")
+            ).sort_values(["ts_us", "_kind", "event_id"], kind="mergesort")
+            for r in allrows.itertuples():
+                if r.event_type == "click":
+                    if int(r.ts_us) > click_us or (
+                        int(r.ts_us) == click_us and int(r.event_id) > click_id
+                    ):
+                        click_us, click_id = int(r.ts_us), int(r.event_id)
+                elif click_us:
+                    out.append(
+                        (
+                            int(r.event_id),
+                            key[0],
+                            int(r.ts_us),
+                            click_us,
+                            int(r.ts_us) - click_us,
+                            click_id,
+                        )
+                    )
+        state.update((click_us, click_id))
+        state.setTimeoutDuration(6 * 60 * 60 * 1000)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "event_id",
+                    "user_id",
+                    "purch_us",
+                    "click_us",
+                    "gap_us",
+                    "click_event_id",
+                ],
+            )
+
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        matcher,
+        outputStructType=ASOF_OUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -720,3 +720,55 @@ def test_ewma_stream_matches_python_replay(spark, tmp_path):
             s = x
         state[etype] = (s, n + 1)
     assert got == want
+
+
+def test_asof_stream_matches_batch(spark, tmp_path):
+    """The streaming backward as-of enrichment on an ordered replay emits
+    EXACTLY the batch asof_join_nearest result — every purchase, same
+    matched click, same gaps (inclusive same-instant semantics and the
+    max-event_id same-ts click tie-break included)."""
+    from tests.conftest import TESTDATA
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries._io import (
+        load_table,
+    )
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.timeseries import (
+        asof_join_nearest,
+    )
+    from etl_process_for_detecting_fraudulent_transactions_spark.streaming.pipeline import (
+        asof_stream,
+    )
+
+    sf_dir = os.path.join(TESTDATA, "sf0.001")
+    landing = str(tmp_path / "landing_asof")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    ev.orderBy("ts").coalesce(1).write.parquet(landing)
+
+    stream = spark.readStream.schema(spark.read.parquet(landing).schema).parquet(
+        landing
+    )
+    q = (
+        asof_stream(stream)
+        .writeStream.format("memory")
+        .queryName("asof_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_asof"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain_until(
+        q, lambda: spark.sql("SELECT COUNT(*) FROM asof_stream_out").collect()[0][0]
+    )
+    streamed = {
+        r.event_id: (r.purch_us, r.click_us, r.gap_us, r.click_event_id)
+        for r in spark.sql("SELECT * FROM asof_stream_out").collect()
+    }
+    assert streamed, "stream emitted nothing"
+
+    batch = {
+        r["event_id"]: (r["purch_us"], r["click_us"], r["gap_us"], r["click_event_id"])
+        for r in asof_join_nearest(spark, sf_dir).collect()
+    }
+    assert streamed == batch
