@@ -905,31 +905,43 @@ def pareto_frontier(spark, sf_dir):
     DECIMAL, dates compare as timestamps, the unique key breaks ties —
     the same total order in both engines selects the same frontier.
 
-    Scale: the skyline needs a total order PER GROUP (partition-parallel
-    across groups); for a single giant group the scale path is
-    partition-local skylines + a skyline-of-skylines merge (the same
-    partial/final shape as any monoid aggregate, since local
-    non-dominance is necessary for global non-dominance)."""
+    Scale: implemented as the TWO-PHASE skyline (the partial/final shape
+    of a monoid aggregate): phase 1 computes a LOCAL skyline per
+    (group, input partition) — local non-dominance is necessary for
+    global non-dominance, so survivors are a superset of the answer and
+    shrink to ~O(skyline) per partition; phase 2 runs the same sweep over
+    only the survivors. With ~5 priority groups, the single-phase window
+    serialized the whole fact table through 5 tasks (11.5 s at the
+    100x/15M tier); the salted phase-1 window restores full-core
+    parallelism (the final result is partitioning-INVARIANT — any
+    superset of the skyline filters to the same skyline)."""
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
         F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
         F.col("o_orderdate").alias("odate"),
     )
-    w = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy(F.col("price").asc(), F.col("odate").desc(), F.col("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        o.withColumn("best_prior", F.max("odate").over(w))
-        .filter(F.col("best_prior").isNull() | (F.col("odate") > F.col("best_prior")))
-        .select(
-            "o_orderpriority",
-            "o_orderkey",
-            F.col("price").cast("double").alias("price"),
-            "odate",
+
+    def sweep(df, part_cols):
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col("price").asc(), F.col("odate").desc(), F.col("o_orderkey"))
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
+        return (
+            df.withColumn("best_prior", F.max("odate").over(w))
+            .filter(F.col("best_prior").isNull() | (F.col("odate") > F.col("best_prior")))
+            .drop("best_prior")
+        )
+
+    local = sweep(
+        o.withColumn("_salt", F.spark_partition_id()), ["o_orderpriority", "_salt"]
+    ).drop("_salt")
+    return sweep(local, ["o_orderpriority"]).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("price").cast("double").alias("price"),
+        "odate",
     )
 
 
