@@ -61,3 +61,23 @@ def test_bench_emits_contract_json(tmp_path):
     assert d["unit"] == "sec" and d["errors"] == {}
     assert set(d["queries"]) == {"between_filter", "concat_null", "groupby_max"}
     assert all(v > 0 for v in d["queries"].values())
+
+
+def test_cli_query_mode_lists_and_runs(spark, capsys=None):
+    """`python -m pkg query` exposes the whole registry from the command
+    line: --list prints every key; a key runs it on --sf-dir."""
+    import contextlib
+    import io
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.__main__ import main
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries import (
+        all_queries,
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["query", "--list"]) == 0
+    keys = buf.getvalue().split()
+    assert set(keys) == set(all_queries())
+
+    assert main(["query", "not_a_key"]) == 1
