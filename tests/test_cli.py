@@ -63,7 +63,7 @@ def test_bench_emits_contract_json(tmp_path):
     assert all(v > 0 for v in d["queries"].values())
 
 
-def test_cli_query_mode_lists_and_runs(spark, capsys=None):
+def test_cli_query_mode_lists_and_runs():
     """`python -m pkg query` exposes the whole registry from the command
     line: --list prints every key; a key runs it on --sf-dir."""
     import contextlib
