@@ -1144,3 +1144,87 @@ FROM pairs
 
 QUERIES["record_linkage_fs"] = record_linkage_fs
 ORACLES["record_linkage_fs"] = ORACLE_FS
+
+
+# -- golden-record merge (survivorship rules) -----------------------------------
+
+def golden_record_merge(spark, sf_dir):
+    """The MDM step AFTER clustering: merge each duplicate cluster into one
+    GOLDEN record with per-FIELD survivorship rules — unlike
+    dedup_canonical_pick (which keeps one member row), each output field
+    may come from a DIFFERENT member: text from the longest member (tie:
+    min doc_id), lang by majority vote (tie: lexicographic min), source by
+    the minimum (a priority order stand-in), n_chars as the max. Clusters
+    key on the bag-of-words fingerprint (word-reordered duplicates
+    collapse). Every rule is a deterministic total order, so both engines
+    pick identical fields; the two rank windows and the final aggregate
+    all cluster on bow_fp — one exchange family."""
+    d = _docs(spark, sf_dir)
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "))
+    m = d.select(fp.alias("bow_fp"), "doc_id", "text", "lang", "source", "n_chars")
+
+    from pyspark.sql import Window
+
+    w_text = Window.partitionBy("bow_fp").orderBy(
+        F.length("text").desc(), F.col("doc_id")
+    )
+    lang_votes = m.groupBy("bow_fp", "lang").agg(F.count(F.lit(1)).alias("v"))
+    w_lang = Window.partitionBy("bow_fp").orderBy(F.col("v").desc(), F.col("lang"))
+    best_lang = (
+        lang_votes.withColumn("r", F.row_number().over(w_lang))
+        .filter(F.col("r") == 1)
+        .select("bow_fp", F.col("lang").alias("golden_lang"))
+    )
+    ranked = m.withColumn("r", F.row_number().over(w_text))
+    agg = ranked.groupBy("bow_fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("doc_id").cast("bigint").alias("golden_id"),
+        F.max(F.when(F.col("r") == 1, F.col("doc_id"))).cast("bigint").alias("text_from"),
+        F.min("source").alias("golden_source"),
+        F.max("n_chars").cast("bigint").alias("golden_n_chars"),
+    )
+    return agg.join(best_lang, "bow_fp").filter(F.col("n_members") >= 2).select(
+        "bow_fp",
+        "n_members",
+        "golden_id",
+        "text_from",
+        "golden_lang",
+        "golden_source",
+        "golden_n_chars",
+    )
+
+
+ORACLE_GOLDEN = """
+WITH m AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' '))
+           AS bow_fp,
+         doc_id, text, lang, source, n_chars
+  FROM documents
+), best_lang AS (
+  SELECT bow_fp, lang AS golden_lang FROM (
+    SELECT bow_fp, lang,
+           row_number() OVER (PARTITION BY bow_fp
+                              ORDER BY COUNT(*) DESC, lang) AS r
+    FROM m GROUP BY bow_fp, lang
+  ) WHERE r = 1
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY bow_fp
+                               ORDER BY length(text) DESC, doc_id) AS r
+  FROM m
+), agg AS (
+  SELECT bow_fp,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(MIN(doc_id) AS BIGINT) AS golden_id,
+         CAST(MAX(CASE WHEN r = 1 THEN doc_id END) AS BIGINT) AS text_from,
+         MIN(source) AS golden_source,
+         CAST(MAX(n_chars) AS BIGINT) AS golden_n_chars
+  FROM ranked GROUP BY bow_fp
+)
+SELECT agg.bow_fp, n_members, golden_id, text_from,
+       best_lang.golden_lang, golden_source, golden_n_chars
+FROM agg JOIN best_lang USING (bow_fp)
+WHERE n_members >= 2
+"""
+
+QUERIES["golden_record_merge"] = golden_record_merge
+ORACLES["golden_record_merge"] = ORACLE_GOLDEN

@@ -2451,3 +2451,88 @@ FROM ranked GROUP BY event_type
 
 QUERIES["exact_median_2pass"] = exact_median_2pass
 ORACLES["exact_median_2pass"] = ORACLE_MEDIAN2
+
+
+# -- lift / gains table ------------------------------------------------------------
+# The model-evaluation companion to AUC: rank units by score, cut into
+# deciles, and report each decile's conversion concentration — cumulative
+# gains and lift. Unit = user, label = the >=14-purchase conversion the A/B
+# gate uses, score = total spend (milli — deterministic, and genuinely
+# correlated with purchase count so the table is non-trivial). Exactness:
+# deciles are NTILE(10) over the (score desc, user_id) TOTAL order (ties
+# broken by key, so both engines bucket identically); lift and gain emit as
+# cross-multiplied ppm integers — floor(1e6 * cum_conv * N / (cum_n * C))
+# needs only int64 (cum_conv*N ~ 1e3*1e7 at 100x). One fact-scale
+# aggregate; everything after runs on 10 rows.
+
+def lift_gains_table(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("np"),
+        F.coalesce(
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")), F.lit(0)
+        ).alias("score"),
+    ).select(
+        "user_id",
+        "score",
+        F.when(F.col("np") >= 14, 1).otherwise(0).alias("conv"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("user_id"))
+    deciles = users.withColumn("decile", F.ntile(10).over(w))
+    per = deciles.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    return per.select(
+        "decile",
+        "n",
+        "n_conv",
+        F.sum("n").over(wc).cast("bigint").alias("cum_n"),
+        F.sum("n_conv").over(wc).cast("bigint").alias("cum_conv"),
+        F.expr(
+            "CAST(SUM(n_conv) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) * 1000000 div"
+            " SUM(n_conv) OVER () AS BIGINT)"
+        ).alias("gain_ppm"),
+        F.expr(
+            "CAST(SUM(n_conv) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) * SUM(n) OVER () * 1000000 div"
+            " (SUM(n) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) * SUM(n_conv) OVER ()) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
+
+
+ORACLE_LIFT = """
+WITH users AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CAST(FLOOR(value * 1000) AS BIGINT)), 0) AS BIGINT)
+           AS score,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS conv
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), deciles AS (
+  SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+  FROM users
+), per AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS n_conv
+  FROM deciles GROUP BY decile
+)
+SELECT decile, n, n_conv,
+       CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+       CAST(SUM(n_conv) OVER w AS BIGINT) AS cum_conv,
+       CAST(SUM(n_conv) OVER w * 1000000 // SUM(n_conv) OVER () AS BIGINT)
+         AS gain_ppm,
+       CAST(SUM(n_conv) OVER w * SUM(n) OVER () * 1000000
+            // (SUM(n) OVER w * SUM(n_conv) OVER ()) AS BIGINT) AS lift_ppm
+FROM per
+WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["lift_gains_table"] = lift_gains_table
+ORACLES["lift_gains_table"] = ORACLE_LIFT
