@@ -2464,6 +2464,11 @@ ORACLES["exact_median_2pass"] = ORACLE_MEDIAN2
 # cross-multiplied ppm integers — floor(1e6 * cum_conv * N / (cum_n * C))
 # needs only int64 (cum_conv*N ~ 1e3*1e7 at 100x). One fact-scale
 # aggregate; everything after runs on 10 rows.
+# Scale note: the NTILE runs UNPARTITIONED over the per-user aggregate
+# (1/66th of fact rows here — the same accepted shape as
+# window_distribution_funcs); when the unit table itself is huge, the swap
+# is value-boundary deciles located by the exact_median_2pass histogram
+# route, at the cost of positional tie semantics at the boundaries.
 
 def lift_gains_table(spark, sf_dir):
     from pyspark.sql import Window
