@@ -106,6 +106,8 @@ SCALE_KEYS = (
     "ratio_to_report",
     "phrase_search",
     "exact_median_2pass",
+    "golden_record_merge",
+    "lift_gains_table",
     # attribution_linear is NOT in the tier: the self-union multiplies
     # per-user event DENSITY (not user count), so its touch x purchase
     # pairs grow quadratically under replication — a union artifact, not
@@ -152,6 +154,8 @@ SCALE_INPUT = {
     "ratio_to_report": "events",
     "phrase_search": "documents",
     "exact_median_2pass": "events",
+    "golden_record_merge": "documents",
+    "lift_gains_table": "events",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",
