@@ -412,3 +412,93 @@ def test_exact_median_2pass_python_replay(spark, tmp_path):
         med = xs[(n + 1) // 2 - 1]
         p90 = xs[(n * 9 + 9) // 10 - 1]
         assert got[etype] == (n, med, p90), (etype, got[etype], (n, med, p90))
+
+
+def test_golden_record_merge_planted_clusters(spark, tmp_path):
+    """Survivorship rules on PLANTED clusters: word-reordered members
+    collapse to one bow cluster; text comes from the longest member,
+    lang from the majority (tie -> lexicographic min), source from the
+    minimum, n_chars from the max — each from a DIFFERENT member."""
+    rows = [
+        # cluster A: same DISTINCT word set (repeats don't change it);
+        # doc 2 longest, langs en/de/en -> majority en,
+        # sources src3/src1/src2 -> min src1, n_chars 10/99/50 -> 99
+        (1, "alpha beta gamma", "en", "src3", 10),
+        (2, "gamma alpha beta beta alpha gamma", "de", "src1", 99),
+        (3, "beta gamma alpha", "en", "src2", 50),
+        # cluster B: equal-length texts -> text from min doc_id (4);
+        # lang vote ties de/en -> lexicographic min 'de'
+        (4, "delta epsilon", "de", "srcB", 7),
+        (5, "epsilon delta", "en", "srcA", 8),
+        # singleton: filtered out (n_members >= 2)
+        (6, "zeta", "en", "src0", 4),
+    ]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(f"{path}/documents.parquet")
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.dedup import (
+        golden_record_merge,
+    )
+
+    got = {
+        r["golden_id"]: (
+            r["n_members"], r["text_from"], r["golden_lang"],
+            r["golden_source"], r["golden_n_chars"],
+        )
+        for r in golden_record_merge(spark, path).collect()
+    }
+    assert set(got) == {1, 4}
+    assert got[1] == (3, 2, "en", "src1", 99)  # longest text is doc 2
+    assert got[4] == (2, 4, "de", "srcA", 8)   # length tie -> min doc_id; lang tie -> min 'de'
+
+
+def test_lift_gains_table_python_replay(spark, tmp_path):
+    """Lift/gains replayed in plain Python on a planted cohort where high
+    spenders convert: decile 1 must concentrate conversions (lift > 1e6
+    ppm) and the cumulative gains must reach exactly 1e6 at decile 10."""
+    rng = random.Random(37)
+    rows, eid = [], 0
+    users = {}
+    for u in range(1, 51):
+        k = rng.randint(5, 25)
+        spend = 0
+        for _ in range(k):
+            v = (100.0 if k >= 14 else 10.0) + rng.randint(0, 99) / 10.0
+            rows.append((eid, dt.datetime(2024, 1, 1 + eid % 20), u, "purchase", v))
+            spend += int(v * 1000 // 1)
+            eid += 1
+        users[u] = (spend, 1 if k >= 14 else 0)
+    path = _write_events(spark, tmp_path, rows)
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        lift_gains_table,
+    )
+
+    got = {
+        r["decile"]: (r["n"], r["n_conv"], r["cum_n"], r["cum_conv"],
+                      r["gain_ppm"], r["lift_ppm"])
+        for r in lift_gains_table(spark, path).collect()
+    }
+
+    order = sorted(users, key=lambda u: (-users[u][0], u))
+    N, C = len(order), sum(users[u][1] for u in order)
+    # NTILE semantics: first (N mod 10) deciles get ceil(N/10)
+    base, extra = divmod(N, 10)
+    expect, idx = {}, 0
+    cum_n = cum_c = 0
+    for d in range(1, 11):
+        size = base + (1 if d <= extra else 0)
+        conv = sum(users[u][1] for u in order[idx : idx + size])
+        idx += size
+        cum_n += size
+        cum_c += conv
+        expect[d] = (
+            size, conv, cum_n, cum_c,
+            cum_c * 10**6 // C,
+            cum_c * N * 10**6 // (cum_n * C),
+        )
+    assert got == expect
+    assert got[1][5] > 10**6  # decile 1 concentrates conversions
+    assert got[10][4] == 10**6
