@@ -2541,3 +2541,129 @@ WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 
 QUERIES["lift_gains_table"] = lift_gains_table
 ORACLES["lift_gains_table"] = ORACLE_LIFT
+
+
+# -- Kaplan-Meier survival estimator -----------------------------------------------
+# Survival analysis, engine-exact: time from each user's FIRST click to the
+# first purchase strictly after it (event), censored at the study end (the
+# corpus' last event day) otherwise. The KM product-limit estimator
+# S(t) = prod_{t_j <= t} (1 - d_j/n_j) is a sequential product of
+# rationals, so the hash surface carries it as the fixed-point recurrence
+# s_j = s_{j-1} * (n_j - d_j) // n_j starting at 10^6 — the same
+# grouped-applyInPandas / RECURSIVE-CTE-oracle recipe as ewma/cusum
+# (nonneg integer operands throughout; s*n <= 1e6 * N fits int64 to ~10^12
+# users). The risk table itself is join-free: duration histogram + one
+# descending cumulative window gives n_at_risk, and the sequential part
+# runs over <= study-length rows, never the fact table.
+
+_KM_OUT = (
+    "t_days bigint, n_risk bigint, d_events bigint, s_micro bigint"
+)
+
+
+def kaplan_meier_survival(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t0")
+    ).filter(F.col("t0").isNotNull())
+    pe = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(users, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("te"))
+    )
+    study_end = ev.agg(F.max(F.to_date("ts")).alias("study_end"))
+    dur = (
+        users.join(pe, "user_id", "left")
+        .crossJoin(F.broadcast(study_end))
+        .select(
+            F.when(
+                F.col("te").isNotNull(),
+                F.datediff(F.to_date("te"), F.to_date("t0")),
+            )
+            .otherwise(F.datediff(F.col("study_end"), F.to_date("t0")))
+            .cast("bigint")
+            .alias("dur"),
+            F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("event"),
+        )
+    )
+    hist = dur.groupBy("dur").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    w = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = (
+        hist.withColumn("n", F.sum("c").over(w).cast("bigint"))
+        .filter(F.col("d") > 0)
+        .select("dur", "d", "n")
+    )
+
+    def _scan(key, pdf):
+        pdf = pdf.sort_values("dur")
+        s, out = 1_000_000, []
+        for r in pdf.itertuples():
+            s = s * (int(r.n) - int(r.d)) // int(r.n)
+            out.append((int(r.dur), int(r.n), int(r.d), s))
+        return pd.DataFrame(
+            out, columns=["t_days", "n_risk", "d_events", "s_micro"]
+        )
+
+    return risk.groupBy(F.lit(1).alias("_g")).applyInPandas(_scan, _KM_OUT)
+
+
+ORACLE_KM = """
+WITH RECURSIVE users AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t0
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), uc AS (
+  SELECT user_id, t0 FROM users WHERE t0 IS NOT NULL
+), pe AS (
+  SELECT e.user_id, MIN(e.ts) AS te
+  FROM events e JOIN uc USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > uc.t0
+  GROUP BY e.user_id
+), send AS (
+  SELECT MAX(CAST(ts AS DATE)) AS study_end FROM events
+), dur AS (
+  SELECT CASE WHEN pe.te IS NOT NULL
+              THEN date_diff('day', CAST(uc.t0 AS DATE), CAST(pe.te AS DATE))
+              ELSE date_diff('day', CAST(uc.t0 AS DATE), send.study_end)
+         END AS dur,
+         CASE WHEN pe.te IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM uc LEFT JOIN pe USING (user_id), send
+), hist AS (
+  SELECT dur, CAST(SUM(event) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM dur GROUP BY dur
+), risk AS (
+  SELECT dur, d,
+         CAST(SUM(c) OVER (ORDER BY dur DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n
+  FROM hist
+), steps AS (
+  SELECT dur, d, n, row_number() OVER (ORDER BY dur) AS rn
+  FROM risk WHERE d > 0
+), rec AS (
+  SELECT dur, d, n, rn,
+         CAST(CAST(1000000 AS HUGEINT) * (n - d) // n AS BIGINT) AS s
+  FROM steps WHERE rn = 1
+  UNION ALL
+  SELECT steps.dur, steps.d, steps.n, steps.rn,
+         CAST(CAST(rec.s AS HUGEINT) * (steps.n - steps.d)
+              // steps.n AS BIGINT)
+  FROM rec JOIN steps ON steps.rn = rec.rn + 1
+)
+SELECT dur AS t_days, n AS n_risk, d AS d_events, s AS s_micro
+FROM rec
+"""
+
+QUERIES["kaplan_meier_survival"] = kaplan_meier_survival
+ORACLES["kaplan_meier_survival"] = ORACLE_KM

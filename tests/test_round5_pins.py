@@ -502,3 +502,32 @@ def test_lift_gains_table_python_replay(spark, tmp_path):
     assert got == expect
     assert got[1][5] > 10**6  # decile 1 concentrates conversions
     assert got[10][4] == 10**6
+
+
+def test_kaplan_meier_python_replay(spark, tmp_path):
+    """KM estimator replayed in plain Python on a planted cohort with known
+    event/censor times — the survival curve must be the exact fixed-point
+    product over the hand-computed risk table, monotone nonincreasing."""
+    rows, eid = [], 0
+    # 6 users: clicks on day 1; purchases after 1,1,3 days; 3 censored
+    # (study end = day 10 via a view event)
+    plan = {1: 1, 2: 1, 3: 3, 4: None, 5: None, 6: None}
+    for u, d in plan.items():
+        rows.append((eid, dt.datetime(2024, 1, 1, 8), u, "click", 1.0)); eid += 1
+        if d is not None:
+            rows.append((eid, dt.datetime(2024, 1, 1 + d, 9), u, "purchase", 1.0)); eid += 1
+    rows.append((eid, dt.datetime(2024, 1, 11), 99, "view", 1.0))  # no click: excluded
+    path = _write_events(spark, tmp_path, rows)
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        kaplan_meier_survival,
+    )
+
+    got = {r["t_days"]: (r["n_risk"], r["d_events"], r["s_micro"])
+           for r in kaplan_meier_survival(spark, path).collect()}
+    # durations: events at 1 (x2), 3 (x1); censored at 10 (x3)
+    # risk: t=1 -> n=6, d=2; t=3 -> n=4, d=1
+    s1 = 1_000_000 * (6 - 2) // 6
+    s3 = s1 * (4 - 1) // 4
+    assert got == {1: (6, 2, s1), 3: (4, 1, s3)}
+    assert s1 > s3  # monotone decreasing
