@@ -49,6 +49,15 @@ from . import (
 # the r2-stale dedup/text/sampling core, then family order (stalest-family
 # first). Registry additions this round are appended BELOW the window
 # (VERDICT r4 #3: "freeze registry additions above rotation position 50").
+#
+# ROUND-6 ROTATION PLAN (write it now so the next session executes, not
+# re-derives): assuming CORRECTNESS_r05 goes green on this window, the r6
+# priority list should be (1) any r5 reds, fixed, first; (2) the 22 round-5
+# gates (never driver-checked: asof_join_nearest .. kaplan_meier_survival —
+# `tools/rotation_check.py` lists them); (3) the remaining r2-stale set
+# (sessionize, tpch_q12/q18, json_props_stats, the dedup/text/sampling core,
+# quantity_percentiles .. merge_upsert — ~28 keys). That is ~50 slots:
+# again a full window of evidence debt, zero additions above position 50.
 _MODULES = (
     relational,
     extra,
