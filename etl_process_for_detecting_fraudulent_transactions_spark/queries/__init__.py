@@ -32,32 +32,26 @@ from . import (
 )
 
 # Order matters: the driver's correctness budget covers the first ~50
-# registered queries (r1-r4 each checked exactly the first 50). Round-5
-# rotation executes VERDICT r4 #3 verbatim — the ENTIRE window goes to
-# evidence debt, zero new gates above position 50:
-#   1-3   the three r4 hash-reds, re-checked after the HUGEINT->BIGINT
-#         oracle casts (triangle_stats, pagerank_copurchase,
-#         chi2_independence — VERDICT r4 #1);
-#   4     heavy_hitters_exact_rescan, re-checked after de-vacuating the
-#         threshold so the gate emits rows at driver scale (VERDICT r4 #4);
-#   5-21  the 17 keys NEVER driver-checked (sat at positions 51-67 of the
-#         r4 window);
-#   22-49 the 28 keys whose latest evidence is round 1;
-#   50    scd2_snapshot_diff (r2-stale, verdict-named in r3 AND perf-flagged
-#         in r4 — double reason to pin fresh evidence).
-# After position 50: the remaining r2-stale verdict-named re-checks, then
-# the r2-stale dedup/text/sampling core, then family order (stalest-family
-# first). Registry additions this round are appended BELOW the window
-# (VERDICT r4 #3: "freeze registry additions above rotation position 50").
+# registered queries (r1-r5 each checked exactly the first 50). Round-6
+# rotation executes the plan committed in r5 (VERDICT r5 #1) verbatim —
+# CORRECTNESS_r05 was 50/50 green (zero reds to re-run), so the window is:
+#   1-22  the 22 round-5 gates that have NEVER been driver-checked
+#         (appended below the frozen window last round by design);
+#   23-50 the first 28 of the 34 r2-stale keys (sessionize, tpch_q12/q18,
+#         json_props_stats, the dedup/text/sampling core,
+#         quantity_percentiles .. pii_redact_names).
+# After position 50: the remaining 6 r2-stale keys (seq_packing ..
+# merge_upsert), then family order (stalest-family first — the 46 r3-stale
+# keys). Registry additions this round are again appended BELOW the window.
 #
-# ROUND-6 ROTATION PLAN (write it now so the next session executes, not
-# re-derives): assuming CORRECTNESS_r05 goes green on this window, the r6
-# priority list should be (1) any r5 reds, fixed, first; (2) the 22 round-5
-# gates (never driver-checked: asof_join_nearest .. kaplan_meier_survival —
-# `tools/rotation_check.py` lists them); (3) the remaining r2-stale set
-# (sessionize, tpch_q12/q18, json_props_stats, the dedup/text/sampling core,
-# quantity_percentiles .. merge_upsert — ~28 keys). That is ~50 slots:
-# again a full window of evidence debt, zero additions above position 50.
+# ROUND-7 ROTATION PLAN (write it now so the next session executes, not
+# re-derives): assuming CORRECTNESS_r06 goes green on this window, the r7
+# priority list should be (1) any r6 reds, fixed, first; (2) the 6 remaining
+# r2-stale keys (seq_packing, eval_contamination, resample_ffill,
+# hopping_window_stats, integrity_checks, merge_upsert); (3) ~40 of the 46
+# r3-stale keys (countmin_heavy_hitters .. tpch_q21_waiting_suppliers —
+# `tools/rotation_check.py` lists them); (4) any round-6 additions, stalest
+# first. That clears all pre-r4 evidence debt in one more round.
 _MODULES = (
     relational,
     extra,
@@ -74,70 +68,36 @@ _MODULES = (
     multimodal,
 )
 
-# Keys verified first this round (r4 reds first, then stalest-first debt).
+# Keys verified first this round (never-driver-checked first, then r2-stale).
 _PRIORITY_KEYS = (
-    # -- 1-3: r4 hash-reds, oracles re-cast HUGEINT->BIGINT this round --
-    "triangle_stats",
-    "pagerank_copurchase",
-    "chi2_independence",
-    # -- 4: de-vacuated this round (threshold now emits rows at sf0.01) --
-    "heavy_hitters_exact_rescan",
-    # -- 5-21: never driver-checked (positions 51-67 of the r4 window) --
-    "table_checksum",
-    "resample_interpolate",
-    "poisson_bootstrap",
-    "pareto_frontier",
-    "null_ops",
-    "linkpred_common_neighbors",
-    "weighted_median",
-    "cusum_anomaly",
-    "kcore_peel",
-    "series_correlation",
-    "join_size_estimate",
-    "column_profile",
-    "benford_digits",
-    "scd3_update",
-    "feature_hashing",
-    "lm_doc_score",
-    "quantile_normalize",
-    # -- 22-49: latest evidence round 1 (four rounds stale) --
-    "above_nation_avg",
-    "case_when_bands",
-    "cube_revenue",
-    "distinct_segments",
-    "fraud_flag_events",
-    "full_outer_orders",
-    "monthly_revenue",
-    "pit_join_events",
-    "pivot_priority_revenue",
-    "right_join_orders",
-    "rollup_revenue",
-    "set_except_customers",
-    "set_intersect_customers",
-    "sql_text_api",
-    "string_ops",
-    "topk_orders",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_share",
-    "tpch_q16_supplier_variety",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_dormant_customers",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "union_rule_accumulation",
-    "window_distribution_funcs",
-    "window_rank_topn",
-    # -- 50: r2-stale + r4 perf-flagged --
-    "scd2_snapshot_diff",
-    # ---- window boundary (driver checks ~50) ----
-    # -- r2-stale: remaining verdict-named re-checks (r1 failures fixed r2) --
+    # -- 1-22: the round-5 additions, never driver-checked (VERDICT r5 #1) --
+    "ab_proportion_test",
+    "mad_outliers",
+    "groupwise_mode",
+    "ols_two_features",
+    "winsorized_stats",
+    "ratio_to_report",
+    "exact_median_2pass",
+    "lift_gains_table",
+    "kaplan_meier_survival",
+    "editdist_topk",
+    "phrase_search",
+    "sssp_weighted",
+    "asof_join_nearest",
+    "rolling_median_7d",
+    "cumulative_distinct_users",
+    "seasonal_baseline_dev",
+    "session_window_builtin",
+    "golden_record_merge",
+    "salted_join_agg",
+    "attribution_linear",
+    "pca_power_iteration",
+    "multimodal_gif_features",
+    # -- 23-50: first 28 of the 34 r2-stale keys --
     "sessionize",
     "tpch_q12_priority_class",
     "tpch_q18_large_orders",
     "json_props_stats",
-    # -- r2-stale: dedup/text/sampling core --
     "dedup_exact",
     "dedup_bow_fingerprint",
     "dedup_ngram_jaccard",
@@ -149,6 +109,27 @@ _PRIORITY_KEYS = (
     "text_quality",
     "train_test_split",
     "stratified_sample",
+    "quantity_percentiles",
+    "rolling_7day_window",
+    "embedding_hof_stats",
+    "unpivot_line_metrics",
+    "doc_word_topk",
+    "grouping_sets_revenue",
+    "incremental_monthly_rollup",
+    "lang_id_markers",
+    "doc_fingerprint",
+    "text_bpe_tokens",
+    "doc_chunk_windows",
+    "doc_repetition_ratio",
+    "pii_redact_names",
+    # ---- window boundary (driver checks ~50) ----
+    # -- the remaining 6 r2-stale keys (round-7 window, per the plan above) --
+    "seq_packing",
+    "eval_contamination",
+    "resample_ffill",
+    "hopping_window_stats",
+    "integrity_checks",
+    "merge_upsert",
 )
 
 # Family order after the priority keys: remaining r2-stale families first
