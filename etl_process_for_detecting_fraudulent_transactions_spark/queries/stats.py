@@ -2342,7 +2342,6 @@ SELECT event_type, day, n,
 FROM daily
 """
 
-QUERIES["winsorized_stats"] = winsorized_stats
 QUERIES["ratio_to_report"] = ratio_to_report
 ORACLES["ratio_to_report"] = ORACLE_RATIO
 
@@ -2363,6 +2362,11 @@ def exact_median_2pass(spark, sf_dir):
     from pyspark.sql import Window
 
     NBINS = 1024
+    # One binning expression shared by BOTH passes (integer `div`, never
+    # float division): the rescan must route each value to the identical
+    # bin the histogram counted it in, or a boundary value could be
+    # misrouted and a group's row silently dropped.
+    bin_expr = F.expr(f"(v - mn) * {NBINS} div (mx - mn + 1)")
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     vals = ev.select(
         "event_type", F.floor(F.col("value") * 1000).cast("bigint").alias("v")
@@ -2374,10 +2378,7 @@ def exact_median_2pass(spark, sf_dir):
     )
     binned = (
         vals.join(F.broadcast(stats), "event_type")
-        .withColumn(
-            "bin",
-            F.expr(f"(v - mn) * {NBINS} div (mx - mn + 1)"),
-        )
+        .withColumn("bin", bin_expr)
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
@@ -2407,11 +2408,7 @@ def exact_median_2pass(spark, sf_dir):
         wbin = Window.partitionBy("event_type").orderBy("v")
         in_bin = (
             vals.join(F.broadcast(stats), "event_type")
-            .withColumn(
-                "bin",
-                ((F.col("v") - F.col("mn")) * NBINS / (F.col("mx") - F.col("mn") + 1))
-                .cast("bigint"),
-            )
+            .withColumn("bin", bin_expr)
             .join(F.broadcast(target), "event_type")
             .filter(F.col("bin") == F.col("tbin"))
         )
@@ -2491,7 +2488,6 @@ def lift_gains_table(spark, sf_dir):
         F.sum("conv").cast("bigint").alias("n_conv"),
     )
     wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    wt = Window.partitionBy()
     return per.select(
         "decile",
         "n",

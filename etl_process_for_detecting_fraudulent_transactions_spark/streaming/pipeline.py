@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -886,9 +887,16 @@ ASOF_OUT_SCHEMA = StructType(
     ]
 )
 
-# (click_us, click_event_id); 0 = no click seen yet
+# (click_us, click_event_id, has_click). The explicit flag — not a (0, 0)
+# sentinel — keeps a click landing at exactly epoch 0 microseconds (or with
+# event_id 0 on the tie-break) distinguishable from "no click yet", matching
+# the batch asof_join_nearest this operator is pinned against.
 ASOF_STATE_SCHEMA = StructType(
-    [StructField("click_us", LongType()), StructField("click_id", LongType())]
+    [
+        StructField("click_us", LongType()),
+        StructField("click_id", LongType()),
+        StructField("has_click", BooleanType()),
+    ]
 )
 
 
@@ -910,7 +918,9 @@ def asof_stream(ev: DataFrame, watermark: str = "48 hours") -> DataFrame:
         if state.hasTimedOut:
             state.remove()
             return
-        click_us, click_id = state.get if state.exists else (0, 0)
+        click_us, click_id, has_click = (
+            state.get if state.exists else (0, 0, False)
+        )
         out = []
         batch = [pdf for pdf in pdfs]
         if batch:
@@ -923,11 +933,17 @@ def asof_stream(ev: DataFrame, watermark: str = "48 hours") -> DataFrame:
             ).sort_values(["ts_us", "_kind", "event_id"], kind="mergesort")
             for r in allrows.itertuples():
                 if r.event_type == "click":
-                    if int(r.ts_us) > click_us or (
-                        int(r.ts_us) == click_us and int(r.event_id) > click_id
+                    if (
+                        not has_click
+                        or int(r.ts_us) > click_us
+                        or (
+                            int(r.ts_us) == click_us
+                            and int(r.event_id) > click_id
+                        )
                     ):
                         click_us, click_id = int(r.ts_us), int(r.event_id)
-                elif click_us:
+                        has_click = True
+                elif has_click:
                     out.append(
                         (
                             int(r.event_id),
@@ -938,7 +954,7 @@ def asof_stream(ev: DataFrame, watermark: str = "48 hours") -> DataFrame:
                             click_id,
                         )
                     )
-        state.update((click_us, click_id))
+        state.update((click_us, click_id, has_click))
         state.setTimeoutDuration(6 * 60 * 60 * 1000)
         if out:
             yield pd.DataFrame(
