@@ -108,6 +108,7 @@ SCALE_KEYS = (
     "exact_median_2pass",
     "golden_record_merge",
     "lift_gains_table",
+    "lift_gains_value_deciles",
     "kaplan_meier_survival",
     # attribution_linear is NOT in the tier: the self-union multiplies
     # per-user event DENSITY (not user count), so its touch x purchase
@@ -157,6 +158,7 @@ SCALE_INPUT = {
     "exact_median_2pass": "events",
     "golden_record_merge": "documents",
     "lift_gains_table": "events",
+    "lift_gains_value_deciles": "events",
     "kaplan_meier_survival": "events",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",

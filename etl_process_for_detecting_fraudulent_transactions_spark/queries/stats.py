@@ -2539,6 +2539,166 @@ QUERIES["lift_gains_table"] = lift_gains_table
 ORACLES["lift_gains_table"] = ORACLE_LIFT
 
 
+# -- lift / gains, value-boundary deciles (the 100-TB variant) ---------------------
+# VERDICT r5 #5: lift_gains_table's NTILE(10) runs UNPARTITIONED over the
+# per-user aggregate — a single-task global sort once the unit table itself
+# is huge. This variant removes that wall: decile boundaries c_k (k=1..9)
+# are the exact score at descending rank ceil(k*n/10), located by the same
+# histogram route as exact_median_2pass (pass 1 bins scores into 1024
+# integer bins — one map-side-combinable aggregate; cumulative counts over
+# <=1024 rows find each target bin; pass 2 rescans ONLY the target bins and
+# picks within-bin ranks, windows partitioned BY BIN so no task ever sees
+# more than one bin). A user's decile is then 1 + |{k : score < c_k}| via a
+# broadcast 9-element boundary array — a linear codegen scan, no window at
+# all over the user table. Semantic difference vs positional NTILE, by
+# contract: ties AT a boundary all take the upper decile (so mass ties can
+# leave a decile empty); the oracle implements the identical value-boundary
+# rule, and everything downstream of the 10-row per-decile aggregate is the
+# same exact-ppm arithmetic as lift_gains_table.
+
+def lift_gains_value_deciles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    NBINS = 1024
+    bin_expr = F.expr(f"(score - mn) * {NBINS} div (mx - mn + 1)")
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("np"),
+        F.coalesce(
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")), F.lit(0)
+        ).alias("score"),
+    ).select(
+        "user_id",
+        "score",
+        F.when(F.col("np") >= 14, 1).otherwise(0).alias("conv"),
+    )
+    # The per-user aggregate feeds FOUR downstream consumers (stats,
+    # histogram, target-bin rescan, decile assignment); checkpoint it once
+    # so the fact-scale scan+aggregate runs once, and every later pass is
+    # user-scale. users is 1/66th of fact rows here and stays the bounded
+    # side at any SF.
+    users = users.localCheckpoint(eager=False)
+    stats = users.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("score").alias("mn"),
+        F.max("score").alias("mx"),
+    )
+    binned = (
+        users.join(F.broadcast(stats))
+        .withColumn("bin", bin_expr)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.select(
+        "bin",
+        (F.sum("c").over(wcum) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(wcum).alias("cum"),
+    )
+    # Target ascending rank of boundary k: the descending-rank-ceil(k*n/10)
+    # element sits at ascending rank n - ceil(k*n/10) + 1.
+    ks = spark.range(1, 10).select(F.col("id").cast("bigint").alias("k"))
+    targets = (
+        ks.join(F.broadcast(stats.select("n")))
+        .withColumn("r_k", F.expr("n - (k * n + 9) div 10 + 1"))
+        .join(F.broadcast(cum), F.expr("cum >= r_k AND cum_before < r_k"))
+        .select("k", F.col("bin").alias("tbin"), (F.col("r_k") - F.col("cum_before")).alias("r_in"))
+    )
+    wbin = Window.partitionBy("bin").orderBy("score")
+    # Pre-filter to the <=9 target bins (distinct, renamed to avoid join
+    # ambiguity), THEN rank within bin, THEN resolve each k's within-bin
+    # rank — two k's sharing a bin must not duplicate rows under the rank.
+    tbins = targets.select(F.col("tbin").alias("pbin")).distinct()
+    in_bin = (
+        users.join(F.broadcast(stats))
+        .withColumn("bin", bin_expr)
+        .join(F.broadcast(tbins), F.col("bin") == F.col("pbin"))
+        .drop("pbin")
+        .withColumn("rn", F.row_number().over(wbin))
+    )
+    bounds = (
+        in_bin.join(
+            F.broadcast(targets),
+            (F.col("bin") == F.col("tbin")) & (F.col("rn") == F.col("r_in")),
+        )
+        .select("k", F.col("score").alias("c"))
+    )
+    bounds_arr = bounds.agg(
+        F.sort_array(F.collect_list("c"), asc=False).alias("cs")
+    )
+    deciled = users.join(F.broadcast(bounds_arr)).select(
+        "conv",
+        F.expr("CAST(1 + size(filter(cs, b -> score < b)) AS BIGINT)").alias(
+            "decile"
+        ),
+    )
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "decile",
+        "n",
+        "n_conv",
+        F.sum("n").over(wc).cast("bigint").alias("cum_n"),
+        F.sum("n_conv").over(wc).cast("bigint").alias("cum_conv"),
+        F.expr(
+            "CAST(SUM(n_conv) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) * 1000000 div"
+            " SUM(n_conv) OVER () AS BIGINT)"
+        ).alias("gain_ppm"),
+        F.expr(
+            "CAST(SUM(n_conv) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) * SUM(n) OVER () * 1000000 div"
+            " (SUM(n) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) * SUM(n_conv) OVER ()) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
+
+
+ORACLE_LIFT_VALUE = """
+WITH users AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CAST(FLOOR(value * 1000) AS BIGINT)), 0) AS BIGINT)
+           AS score,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS conv
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), ranked AS (
+  SELECT score, row_number() OVER (ORDER BY score) AS rn,
+         COUNT(*) OVER () AS n
+  FROM users
+), bounds AS (
+  SELECT t.k, MAX(CASE WHEN rn = n - (t.k * n + 9) // 10 + 1 THEN score END)
+           AS c
+  FROM ranked CROSS JOIN range(1, 10) t(k)
+  GROUP BY t.k
+), dec AS (
+  SELECT u.conv,
+         CAST(1 + (SELECT COUNT(*) FROM bounds b WHERE u.score < b.c)
+              AS BIGINT) AS decile
+  FROM users u
+), per AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS n_conv
+  FROM dec GROUP BY decile
+)
+SELECT decile, n, n_conv,
+       CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+       CAST(SUM(n_conv) OVER w AS BIGINT) AS cum_conv,
+       CAST(SUM(n_conv) OVER w * 1000000 // SUM(n_conv) OVER () AS BIGINT)
+         AS gain_ppm,
+       CAST(SUM(n_conv) OVER w * SUM(n) OVER () * 1000000
+            // (SUM(n) OVER w * SUM(n_conv) OVER ()) AS BIGINT) AS lift_ppm
+FROM per
+WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["lift_gains_value_deciles"] = lift_gains_value_deciles
+ORACLES["lift_gains_value_deciles"] = ORACLE_LIFT_VALUE
+
+
 # -- Kaplan-Meier survival estimator -----------------------------------------------
 # Survival analysis, engine-exact: time from each user's FIRST click to the
 # first purchase strictly after it (event), censored at the study end (the
