@@ -110,6 +110,12 @@ SCALE_KEYS = (
     "lift_gains_table",
     "lift_gains_value_deciles",
     "kaplan_meier_survival",
+    "theil_sen_slope",
+    "mann_kendall_trend",
+    "gini_impurity_daily",
+    "hll_registers",
+    "holt_winters_level_trend",
+    "asof_join_forward",
     # attribution_linear is NOT in the tier: the self-union multiplies
     # per-user event DENSITY (not user count), so its touch x purchase
     # pairs grow quadratically under replication — a union artifact, not
@@ -160,6 +166,12 @@ SCALE_INPUT = {
     "lift_gains_table": "events",
     "lift_gains_value_deciles": "events",
     "kaplan_meier_survival": "events",
+    "theil_sen_slope": "events",
+    "mann_kendall_trend": "events",
+    "gini_impurity_daily": "events",
+    "hll_registers": "events",
+    "holt_winters_level_trend": "events",
+    "asof_join_forward": "events",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",

@@ -2823,3 +2823,300 @@ FROM rec
 
 QUERIES["kaplan_meier_survival"] = kaplan_meier_survival
 ORACLES["kaplan_meier_survival"] = ORACLE_KM
+
+
+# ==== round-6 additions (appended BELOW the rotation window) =====================
+
+
+# -- Theil-Sen robust slope ---------------------------------------------------------
+# The robust-regression companion to ols_two_features: the median of all
+# pairwise slopes of the per-type daily series — immune to the outliers
+# that wreck least squares. Exactness: slopes are integer milli-per-day
+# via truncating division ((xb - xa) DIV (db - da) — Spark DIV and DuckDB
+# // both truncate toward zero, so negative slopes agree bit-for-bit);
+# the median is the exact lower-median element picked by rank, never an
+# interpolated float. Scale: the pair join is per-type over the DAILY
+# aggregate (calendar-bounded, <=90 rows/type -> <=4005 pairs/type), so
+# the quadratic part never touches fact rows; the fact-scale work is one
+# ordinary groupBy.
+
+def theil_sen_slope(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("x")
+    ).select(
+        "event_type", F.datediff("day", F.lit("2020-01-01")).alias("d"), "x"
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("da"), F.col("x").alias("xa")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("db"), F.col("x").alias("xb")
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            F.expr("(xb - xa) DIV (db - da)").alias("slope_milli"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_milli")
+    stats_df = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    med = (
+        slopes.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(stats_df), "event_type")
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+        .select("event_type", "n_pairs", F.col("slope_milli").alias("ts_slope_milli"))
+    )
+    return med
+
+
+ORACLE_THEIL_SEN = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS d,
+         CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), slopes AS (
+  SELECT a.event_type, (b.x - a.x) // (b.d - a.d) AS slope_milli
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+), ranked AS (
+  SELECT event_type, slope_milli,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope_milli)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM slopes
+)
+SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+       slope_milli AS ts_slope_milli
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+"""
+
+QUERIES["theil_sen_slope"] = theil_sen_slope
+ORACLES["theil_sen_slope"] = ORACLE_THEIL_SEN
+
+
+# -- Mann-Kendall trend test --------------------------------------------------------
+# The non-parametric monotone-trend statistic S = sum_{i<j} sign(x_j - x_i)
+# over each type's daily series — all integer, no distributional math. The
+# classification threshold avoids the normal-approximation z-score (which
+# needs sqrt): |S| is compared against VAR(S) = n(n-1)(2n+5)/18 via the
+# exact integer cross-multiplication 18 * S^2 > 4 * n(n-1)(2n+5), i.e.
+# |z| > 2 without ever leaving int64 (n is calendar days; S^2 <= n^4 ~ 1e8).
+# Same pair-join shape as theil_sen_slope: quadratic only in DAYS.
+
+def mann_kendall_trend(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("x")
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("da"), F.col("x").alias("xa")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("db"), F.col("x").alias("xb")
+    )
+    return (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum(F.col("xb") - F.col("xa")).cast("bigint"))
+            .cast("bigint")
+            .alias("s_stat"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+        .select(
+            "event_type",
+            "s_stat",
+            "n_pairs",
+            # n from pair count: n_pairs = n(n-1)/2
+            F.expr(
+                "CAST((1 + CAST(SQRT(1 + 8 * n_pairs) AS BIGINT)) DIV 2"
+                " AS BIGINT)"
+            ).alias("n_days"),
+            F.expr(
+                "CASE WHEN 18 * s_stat * s_stat >"
+                " 4 * ((1 + CAST(SQRT(1 + 8 * n_pairs) AS BIGINT)) DIV 2)"
+                "   * (((1 + CAST(SQRT(1 + 8 * n_pairs) AS BIGINT)) DIV 2) - 1)"
+                "   * (2 * ((1 + CAST(SQRT(1 + 8 * n_pairs) AS BIGINT)) DIV 2) + 5)"
+                " THEN CASE WHEN s_stat > 0 THEN 'increasing'"
+                "           ELSE 'decreasing' END"
+                " ELSE 'no_trend' END"
+            ).alias("trend"),
+        )
+    )
+
+
+ORACLE_MANN_KENDALL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         CAST(SIGN(b.x - a.x) AS BIGINT) AS sgn
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), agg AS (
+  SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY event_type
+), named AS (
+  SELECT *, (1 + CAST(SQRT(1 + 8 * n_pairs) AS BIGINT)) // 2 AS n
+  FROM agg
+)
+SELECT event_type, s_stat, n_pairs, CAST(n AS BIGINT) AS n_days,
+       CASE WHEN 18 * s_stat * s_stat > 4 * n * (n - 1) * (2 * n + 5)
+            THEN CASE WHEN s_stat > 0 THEN 'increasing'
+                      ELSE 'decreasing' END
+            ELSE 'no_trend' END AS trend
+FROM named
+"""
+
+QUERIES["mann_kendall_trend"] = mann_kendall_trend
+ORACLES["mann_kendall_trend"] = ORACLE_MANN_KENDALL
+
+
+# -- Gini impurity / concentration per day ------------------------------------------
+# Daily event-type concentration: gini = 1 - sum(p_i^2), herfindahl =
+# sum(p_i^2) — both exact rationals emitted as cross-multiplied ppm
+# integers ((n^2 - sum c_i^2) * 1e6 DIV n^2; n <= fact rows/day so n^2*1e6
+# needs < 63 bits at any realistic daily volume... n up to 3e6/day before
+# overflow; at larger daily volumes the same recipe carries DECIMAL(38)).
+# One exchange: groupBy(day, type) then groupBy(day).
+
+def gini_impurity_daily(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return per.groupBy("day").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.expr(
+            "CAST((SUM(c) * SUM(c) - SUM(c * c)) * 1000000"
+            " DIV (SUM(c) * SUM(c)) AS BIGINT)"
+        ).alias("gini_ppm"),
+        F.expr(
+            "CAST(SUM(c * c) * 1000000 DIV (SUM(c) * SUM(c)) AS BIGINT)"
+        ).alias("hhi_ppm"),
+    )
+
+
+ORACLE_GINI = """
+WITH per AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT day, CAST(SUM(c) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST((SUM(c) * SUM(c) - SUM(c * c)) * 1000000
+            // (SUM(c) * SUM(c)) AS BIGINT) AS gini_ppm,
+       CAST(SUM(c * c) * 1000000 // (SUM(c) * SUM(c)) AS BIGINT) AS hhi_ppm
+FROM per GROUP BY day
+"""
+
+QUERIES["gini_impurity_daily"] = gini_impurity_daily
+ORACLES["gini_impurity_daily"] = ORACLE_GINI
+
+
+# -- HyperLogLog registers (engine-replayable) ---------------------------------------
+# The mergeable-register counterpart to approx_distinct_kmv: the classic
+# HLL construction with m=64 buckets over the same md5 hash family. A
+# 60-bit uniform splits into bucket = v % 64 and a 54-bit suffix w; the
+# register is the rank = (55 - bitlength(w)) of the suffix's leading-zero
+# run (bitlength via base-2 string length — Spark conv() / DuckDB bin(),
+# exact integers in both engines). The raw estimator alpha*m^2/sum(2^-r)
+# is carried entirely in int64 by scaling with 2^40 (ranks > 40 truncate
+# to 0 identically in both engines — probability 2^-40 per element):
+# est = 709 * 4096 * 2^40 DIV (1000 * S40), S40 = sum(1 << (40 - r)).
+# No small-range linear-counting branch (it needs ln; n >> m here, the raw
+# regime) — the bias posture is documented, the arithmetic is exact.
+# Registers are max-monoids: the per-bucket MAX is what a 1000-executor
+# merge tree ships, 64 longs per partial.
+
+def hll_registers(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    v = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    regs = (
+        ev.select(
+            (v % 64).alias("bucket"),
+            F.expr(
+                "CASE WHEN CAST(conv(substring(md5(CAST(user_id AS STRING)),"
+                " 1, 15), 16, 10) AS BIGINT) DIV 64 = 0 THEN 55"
+                " ELSE 55 - length(conv(CAST("
+                "   CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+                "        16, 10) AS BIGINT) DIV 64 AS STRING), 10, 2)) END"
+            ).alias("rank"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rank").cast("bigint").alias("r"))
+    )
+    agg = regs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v_buckets"),
+        F.max("r").cast("bigint").alias("max_rank"),
+        F.sum(F.expr("CASE WHEN r <= 40 THEN shiftleft(CAST(1 AS BIGINT),"
+                     " CAST(40 - r AS INT)) ELSE 0 END"))
+        .cast("bigint")
+        .alias("s40"),
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return agg.join(exact).select(
+        "v_buckets",
+        "max_rank",
+        "s40",
+        "n_exact",
+        F.expr(
+            f"CAST({709 * 4096} * shiftleft(CAST(1 AS BIGINT), 40)"
+            " DIV (1000 * s40) AS BIGINT)"
+        ).alias("hll_estimate"),
+        F.expr(
+            f"CAST(ABS({709 * 4096} * shiftleft(CAST(1 AS BIGINT), 40)"
+            " DIV (1000 * s40) - n_exact) * 1000000 DIV n_exact AS BIGINT)"
+        ).alias("rel_err_ppm"),
+    )
+
+
+ORACLE_HLL = """
+WITH hashed AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS v
+  FROM events WHERE user_id IS NOT NULL
+), ranked AS (
+  SELECT v % 64 AS bucket,
+         CASE WHEN v // 64 = 0 THEN 55
+              ELSE 55 - length(bin(v // 64)) END AS rank
+  FROM hashed
+), regs AS (
+  SELECT bucket, CAST(MAX(rank) AS BIGINT) AS r FROM ranked GROUP BY bucket
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v_buckets,
+         CAST(MAX(r) AS BIGINT) AS max_rank,
+         CAST(SUM(CASE WHEN r <= 40 THEN (CAST(1 AS BIGINT) << (40 - r))
+                       ELSE 0 END) AS BIGINT) AS s40
+  FROM regs
+), exact AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT v_buckets, max_rank, s40, n_exact,
+       CAST(2904064 * (CAST(1 AS BIGINT) << 40) // (1000 * s40) AS BIGINT)
+         AS hll_estimate,
+       CAST(ABS(2904064 * (CAST(1 AS BIGINT) << 40) // (1000 * s40)
+                - n_exact) * 1000000 // n_exact AS BIGINT) AS rel_err_ppm
+FROM agg, exact
+"""
+
+QUERIES["hll_registers"] = hll_registers
+ORACLES["hll_registers"] = ORACLE_HLL

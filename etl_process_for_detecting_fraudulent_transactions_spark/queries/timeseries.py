@@ -1146,3 +1146,179 @@ FROM s GROUP BY user_id, session_id
 
 QUERIES["session_window_builtin"] = session_window_builtin
 ORACLES["session_window_builtin"] = ORACLE_SESSION_WINDOW
+
+
+# ==== round-6 additions (appended BELOW the rotation window) =====================
+
+
+# -- Holt linear (double-exponential) smoothing ---------------------------------
+# Forecasting companion to ewma_anomaly: level + trend recurrence
+#   l_i = (x_i + 3*(l_{i-1} + b_{i-1})) tdiv 4        (alpha = 1/4)
+#   b_i = ((l_i - l_{i-1}) + 7*b_{i-1}) tdiv 8        (beta  = 1/8)
+# over each type's daily milli totals, one-step forecast = l_n + b_n.
+# Same grouped-applyInPandas / RECURSIVE-CTE recipe as ewma — but the
+# TREND can go negative, and Python's // floors while DuckDB's //
+# truncates toward zero, so the kernel uses an explicit truncating
+# division (sign * (|a| // |b|)) to replay DuckDB's semantics exactly.
+# Scale: recurrence depth is calendar days; fact-scale work is one
+# ordinary daily aggregate.
+
+_HOLT_OUT_SCHEMA = (
+    "event_type string, n_days bigint, level_milli bigint, "
+    "trend_milli bigint, forecast_milli bigint"
+)
+
+
+def holt_winters_level_trend(spark, sf_dir):
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("x")
+    )
+
+    def _tdiv(a: int, b: int) -> int:
+        # DuckDB's // truncates toward zero; Python's floors. Match DuckDB.
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def _scan(key, pdf):
+        xs = pdf.sort_values("day")["x"].tolist()
+        level, trend = xs[0], 0
+        for x in xs[1:]:
+            prev = level
+            level = _tdiv(x + 3 * (level + trend), 4)
+            trend = _tdiv((level - prev) + 7 * trend, 8)
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": key[0],
+                    "n_days": len(xs),
+                    "level_milli": level,
+                    "trend_milli": trend,
+                    "forecast_milli": level + trend,
+                }
+            ]
+        )
+
+    return daily.groupBy("event_type").applyInPandas(_scan, _HOLT_OUT_SCHEMA)
+
+
+ORACLE_HOLT = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+), rec AS (
+  SELECT event_type, rn, x AS l, CAST(0 AS BIGINT) AS b
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT seq.event_type, seq.rn,
+         (seq.x + 3 * (rec.l + rec.b)) // 4,
+         (((seq.x + 3 * (rec.l + rec.b)) // 4 - rec.l) + 7 * rec.b) // 8
+  FROM rec JOIN seq
+    ON seq.event_type = rec.event_type AND seq.rn = rec.rn + 1
+)
+SELECT event_type,
+       CAST(MAX(rn) AS BIGINT) AS n_days,
+       arg_max(l, rn) AS level_milli,
+       arg_max(b, rn) AS trend_milli,
+       arg_max(l, rn) + arg_max(b, rn) AS forecast_milli
+FROM rec GROUP BY event_type
+"""
+
+QUERIES["holt_winters_level_trend"] = holt_winters_level_trend
+ORACLES["holt_winters_level_trend"] = ORACLE_HOLT
+
+
+# -- forward as-of join ---------------------------------------------------------
+# The mirror of asof_join_nearest: each purchase matched to the user's
+# EARLIEST click at or after it (lead-time attribution, settlement
+# matching). Same union-window shape — tag both streams, ONE shuffle on
+# user_id — but the frame is the DESCENDING-order running frame, not
+# [currentRow, unboundedFollowing]: Spark evaluates an unbounded-FOLLOWING
+# frame by rescanning the remainder of the partition per row (the
+# UnboundedFollowingWindowFunctionFrame is O(rows²) per key — measured
+# 4.5 s vs 0.9 s on this gate), while the desc-sorted
+# [unboundedPreceding, currentRow] frame is the O(rows) streaming frame.
+# Order (ts DESC, kind DESC, id DESC) with clicks kind=1: at an equal
+# instant the click sorts before the purchase (inclusive match), and among
+# equal-ts clicks the LAST carried is the min event_id — deterministic in
+# both engines, no pre-dedup needed.
+
+def asof_join_forward(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("pid"),
+        F.col("event_id").alias("cid"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("pid"),
+        F.lit(None).cast("bigint").alias("cid"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").desc(),
+            F.col("kind").desc(),
+            F.coalesce("cid", "pid").desc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionByName(purchases).select(
+        "user_id",
+        "kind",
+        "pid",
+        F.expr("unix_micros(ts)").alias("t_us"),
+        F.last("cid", ignorenulls=True).over(w).alias("click_event_id"),
+        F.last(
+            F.when(F.col("kind") == 1, F.expr("unix_micros(ts)")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("click_us"),
+    )
+    return carried.filter(
+        (F.col("kind") == 0) & F.col("click_event_id").isNotNull()
+    ).select(
+        F.col("pid").alias("event_id"),
+        "user_id",
+        F.col("t_us").alias("purch_us"),
+        "click_us",
+        (F.col("click_us") - F.col("t_us")).alias("lead_us"),
+        "click_event_id",
+    )
+
+
+ORACLE_ASOF_FWD = """
+WITH c AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), matched AS (
+  SELECT p.event_id, p.user_id,
+         epoch_us(p.ts) AS purch_us,
+         epoch_us(c.ts) AS click_us,
+         epoch_us(c.ts) - epoch_us(p.ts) AS lead_us,
+         c.event_id AS click_event_id,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts, c.event_id) AS rn
+  FROM p JOIN c
+    ON p.user_id = c.user_id AND c.ts >= p.ts
+)
+SELECT event_id, user_id, purch_us, click_us, lead_us, click_event_id
+FROM matched WHERE rn = 1
+"""
+
+QUERIES["asof_join_forward"] = asof_join_forward
+ORACLES["asof_join_forward"] = ORACLE_ASOF_FWD
