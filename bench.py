@@ -116,6 +116,9 @@ SCALE_KEYS = (
     "hll_registers",
     "holt_winters_level_trend",
     "asof_join_forward",
+    "ks_two_sample",
+    "spearman_daily",
+    "autocorr_lag",
     # attribution_linear is NOT in the tier: the self-union multiplies
     # per-user event DENSITY (not user count), so its touch x purchase
     # pairs grow quadratically under replication — a union artifact, not
@@ -172,6 +175,9 @@ SCALE_INPUT = {
     "hll_registers": "events",
     "holt_winters_level_trend": "events",
     "asof_join_forward": "events",
+    "ks_two_sample": "events",
+    "spearman_daily": "events",
+    "autocorr_lag": "events",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",

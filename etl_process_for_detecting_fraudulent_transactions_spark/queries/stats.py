@@ -3120,3 +3120,189 @@ FROM agg, exact
 
 QUERIES["hll_registers"] = hll_registers
 ORACLES["hll_registers"] = ORACLE_HLL
+
+
+# -- two-sample Kolmogorov-Smirnov, distributed prefix-sum ---------------------------
+# D = max_v |F_click(v) - F_purchase(v)| over the pooled milli-value support,
+# carried exactly as the integer cross-difference |cum1*n2 - cum2*n1|. The
+# cumulative counts are computed WITHOUT a global-sort window: the same
+# 1024-range-bucket split as exact_median_2pass, a cumulative window
+# partitioned BY BUCKET (no task sees more than one bucket's support), and
+# per-bucket offsets from a <=1024-row ledger — the classic distributed
+# prefix sum, so the plan holds when the support is billions of distinct
+# values. The ppm emission goes through DECIMAL(38,0)/HUGEINT (cum*n2*1e6
+# exceeds int64 at ~100x this corpus — series_correlation's recipe).
+
+def ks_two_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    NBINS = 1024
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    vals = ev.select(
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is1"),
+    )
+    per_v = vals.groupBy("v").agg(
+        F.sum("is1").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("is1")).cast("bigint").alias("c2"),
+    )
+    bounds = per_v.agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    binned = per_v.join(F.broadcast(bounds)).withColumn(
+        "bucket", F.expr(f"(v - mn) * {NBINS} div (mx - mn + 1)")
+    )
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = binned.select(
+        "bucket",
+        "v",
+        "n1",
+        "n2",
+        F.sum("c1").over(wloc).alias("l1"),
+        F.sum("c2").over(wloc).alias("l2"),
+    )
+    # <=1024-row bucket ledger; its cumulative window is bounded metadata
+    ledger = binned.groupBy("bucket").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    wled = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    offsets = ledger.select(
+        "bucket",
+        (F.sum("b1").over(wled) - F.col("b1")).alias("o1"),
+        (F.sum("b2").over(wled) - F.col("b2")).alias("o2"),
+    )
+    cum = local.join(F.broadcast(offsets), "bucket").select(
+        "n1",
+        "n2",
+        (F.col("l1") + F.col("o1")).alias("cum1"),
+        (F.col("l2") + F.col("o2")).alias("cum2"),
+    )
+    return cum.groupBy("n1", "n2").agg(
+        F.max(
+            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+        )
+        .cast("bigint")
+        .alias("max_cross_diff")
+    ).select(
+        "n1",
+        "n2",
+        "max_cross_diff",
+        F.expr(
+            "CAST(CAST(max_cross_diff AS DECIMAL(38,0)) * 1000000"
+            " div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+        ).alias("ks_ppm"),
+    )
+
+
+ORACLE_KS = """
+WITH vals AS (
+  SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+), per_v AS (
+  SELECT v, CAST(SUM(is1) AS BIGINT) AS c1,
+         CAST(SUM(1 - is1) AS BIGINT) AS c2
+  FROM vals GROUP BY v
+), cum AS (
+  SELECT SUM(c1) OVER w AS cum1, SUM(c2) OVER w AS cum2,
+         SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+  FROM per_v
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS max_cross_diff,
+       CAST(CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS HUGEINT) * 1000000
+            // (CAST(MAX(n1) AS HUGEINT) * MAX(n2)) AS BIGINT) AS ks_ppm
+FROM cum GROUP BY n1, n2
+"""
+
+QUERIES["ks_two_sample"] = ks_two_sample
+ORACLES["ks_two_sample"] = ORACLE_KS
+
+
+# -- Spearman rank correlation -------------------------------------------------------
+# Rank-based correlation of the click vs purchase daily-total series: ranks
+# are average ranks carried as EXACT doubled integers (2*avg_rank =
+# 2*RANK() + ties - 1), so ties never produce a fractional rank; rho =
+# 1 - 6*sum(d^2)/(n(n^2-1)) emits as ppm with the doubled-rank d^2 folded
+# into the denominator's factor of 4. The rank windows run over the
+# calendar-bounded daily join (<=90 rows) — unpartitioned by contract, not
+# a fact-scale sort.
+
+def spearman_daily(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("tot")
+    )
+    x = daily.filter(F.col("event_type") == "click").select(
+        "day", F.col("tot").alias("x")
+    )
+    y = daily.filter(F.col("event_type") == "purchase").select(
+        "day", F.col("tot").alias("y")
+    )
+    j = x.join(y, "day")
+    wx = Window.orderBy("x")
+    wy = Window.orderBy("y")
+    cx = Window.partitionBy("x")
+    cy = Window.partitionBy("y")
+    ranked = j.select(
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - 1).alias("rx2"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - 1).alias("ry2"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(
+            (F.col("rx2") - F.col("ry2")) * (F.col("rx2") - F.col("ry2"))
+        )
+        .cast("bigint")
+        .alias("d2_sum4"),
+    ).select(
+        "n_days",
+        "d2_sum4",
+        F.expr(
+            "CAST(1000000 - 6 * d2_sum4 * 1000000"
+            " DIV (4 * n_days * (n_days * n_days - 1)) AS BIGINT)"
+        ).alias("rho_ppm"),
+    )
+
+
+ORACLE_SPEARMAN = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS tot
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
+), x AS (SELECT day, tot AS x FROM daily WHERE event_type = 'click'),
+y AS (SELECT day, tot AS y FROM daily WHERE event_type = 'purchase'),
+j AS (SELECT * FROM x JOIN y USING (day)),
+ranked AS (
+  SELECT 2 * RANK() OVER (ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY x) - 1 AS rx2,
+         2 * RANK() OVER (ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY y) - 1 AS ry2
+  FROM j
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM((rx2 - ry2) * (rx2 - ry2)) AS BIGINT) AS d2_sum4,
+       CAST(1000000 - 6 * SUM((rx2 - ry2) * (rx2 - ry2)) * 1000000
+            // (4 * COUNT(*) * (COUNT(*) * COUNT(*) - 1)) AS BIGINT)
+         AS rho_ppm
+FROM ranked
+"""
+
+QUERIES["spearman_daily"] = spearman_daily
+ORACLES["spearman_daily"] = ORACLE_SPEARMAN

@@ -1322,3 +1322,93 @@ FROM matched WHERE rn = 1
 
 QUERIES["asof_join_forward"] = asof_join_forward
 ORACLES["asof_join_forward"] = ORACLE_ASOF_FWD
+
+
+# -- lagged autocorrelation ------------------------------------------------------
+# ACF(1..3) of each type's daily-total series, emitted with
+# series_correlation's exact-integer recipe (num / var terms / r2_micro /
+# sign — sqrt never chained): one daily aggregate, a broadcast 3-row lag
+# spine, and a self-join on (event_type, day+lag). Totals floor to
+# seconds-units first, same DECIMAL(38,0)/HUGEINT headroom bound.
+
+def autocorr_lag(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("tot")
+        )
+        .selectExpr("event_type", "day", "CAST(tot div 1000 AS BIGINT) AS v")
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    a = daily.crossJoin(F.broadcast(lags)).select(
+        "event_type",
+        "lag",
+        F.expr("date_add(day, lag)").alias("match_day"),
+        F.col("v").alias("x"),
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("match_day"), F.col("v").alias("y")
+    )
+    j = a.join(b, ["event_type", "match_day"])
+    agg = j.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "CAST(lag AS BIGINT) AS lag",
+        "CAST(n AS BIGINT) AS n_pairs",
+        "CAST(CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0)) AS BIGINT) AS num",
+        """CAST(
+             CAST(CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))
+               * CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))
+               * 1000000 AS DECIMAL(38,0))
+             div
+             CAST(CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0))
+               * CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))
+               AS DECIMAL(38,0))
+           AS BIGINT) AS r2_micro""",
+        "CAST(SIGN(CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))) AS INT) AS r_sign",
+    )
+
+
+ORACLE_AUTOCORR = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+              // 1000 AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), lags AS (SELECT UNNEST([1, 2, 3]) AS lag),
+j AS (
+  SELECT a.event_type, l.lag, a.v AS x, b.v AS y
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b
+    ON b.event_type = a.event_type AND b.day = a.day + l.lag
+), agg AS (
+  SELECT event_type, lag, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM j GROUP BY event_type, lag
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT) AS num,
+       CAST((n * sxy - CAST(sx AS HUGEINT) * sy)
+            * (n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+            // ((n * sxx - CAST(sx AS HUGEINT) * sx)
+                * (n * syy - CAST(sy AS HUGEINT) * sy)) AS BIGINT)
+         AS r2_micro,
+       CAST(SIGN(n * sxy - CAST(sx AS HUGEINT) * sy) AS INT) AS r_sign
+FROM agg
+"""
+
+QUERIES["autocorr_lag"] = autocorr_lag
+ORACLES["autocorr_lag"] = ORACLE_AUTOCORR
