@@ -119,6 +119,8 @@ SCALE_KEYS = (
     "ks_two_sample",
     "spearman_daily",
     "autocorr_lag",
+    "k_anonymity_profile",
+    "l_diversity_events",
     # attribution_linear is NOT in the tier: the self-union multiplies
     # per-user event DENSITY (not user count), so its touch x purchase
     # pairs grow quadratically under replication — a union artifact, not
@@ -178,6 +180,8 @@ SCALE_INPUT = {
     "ks_two_sample": "events",
     "spearman_daily": "events",
     "autocorr_lag": "events",
+    "k_anonymity_profile": "documents",
+    "l_diversity_events": "events",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",

@@ -276,3 +276,106 @@ ORACLE_PROFILE = "\nUNION ALL\n".join(
 
 QUERIES["column_profile"] = column_profile
 ORACLES["column_profile"] = ORACLE_PROFILE
+
+
+# ==== round-6 additions (appended BELOW the rotation window) =====================
+
+
+# -- k-anonymity audit -----------------------------------------------------------
+# The privacy gate a training-data release pipeline runs before shipping a
+# corpus: group rows into equivalence classes by their quasi-identifier
+# tuple (lang, source, n_chars bucketed to 100) and report how identifiable
+# the worst class is. k = the SMALLEST class size (a class of 1 is a
+# unique, re-identifiable record); rows_at_risk counts everything in
+# classes below the k=5 release threshold. One fact-scale groupBy + one
+# tiny aggregate — map-side combinable, no window, no join.
+
+def k_anonymity_profile(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    classes = docs.groupBy(
+        "lang", "source", F.expr("n_chars DIV 100").alias("size_bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.min("c").cast("bigint").alias("k_anonymity"),
+        F.sum(F.when(F.col("c") < 5, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.sum(F.when(F.col("c") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_at_risk"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("unique_records"),
+    )
+
+
+ORACLE_K_ANON = """
+WITH classes AS (
+  SELECT lang, source, n_chars // 100 AS size_bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MIN(c) AS BIGINT) AS k_anonymity,
+       CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       CAST(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_at_risk,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS unique_records
+FROM classes
+"""
+
+QUERIES["k_anonymity_profile"] = k_anonymity_profile
+ORACLES["k_anonymity_profile"] = ORACLE_K_ANON
+
+
+# -- l-diversity audit -----------------------------------------------------------
+# k-anonymity's companion: a class can be large yet still leak if every
+# member shares the same SENSITIVE value. Quasi-identifier = (event_type,
+# hour-of-day); sensitive attribute = user_id; l = the smallest
+# per-class count of DISTINCT sensitive values. Distinct-inside-groupBy
+# is one exchange (partial distinct map-side); the summary is a second,
+# tiny aggregate.
+
+def l_diversity_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    classes = ev.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.countDistinct("user_id").cast("bigint").alias("l"),
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.min("l").cast("bigint").alias("l_diversity"),
+        F.sum(F.when(F.col("l") < 3, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_at_risk"),
+    )
+
+
+ORACLE_L_DIV = """
+WITH classes AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MIN(l) AS BIGINT) AS l_diversity,
+       CAST(SUM(CASE WHEN l < 3 THEN c ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_at_risk
+FROM classes
+"""
+
+QUERIES["l_diversity_events"] = l_diversity_events
+ORACLES["l_diversity_events"] = ORACLE_L_DIV
