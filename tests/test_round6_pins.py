@@ -384,3 +384,51 @@ def test_lift_gains_value_deciles_python_replay(spark, tmp_path):
                      cum_c * 1_000_000 // total_c,
                      cum_c * total_n * 1_000_000 // (cum_n * total_c))
     assert got == expect and len(got) >= 8
+
+
+def test_k_anonymity_profile_planted_unique_record(spark, tmp_path):
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.quality import (
+        k_anonymity_profile,
+    )
+
+    path = str(tmp_path / "docs")
+    rows = []
+    # class A: (en, web, bucket 1) x 6 rows; class B: (fr, web, bucket 2) x 3;
+    # class C: a single unique record
+    for i in range(6):
+        rows.append((i, "t", "en", "web", 150))
+    for i in range(6, 9):
+        rows.append((i, "t", "fr", "web", 250))
+    rows.append((9, "t", "de", "api", 999))
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(f"{path}/documents.parquet")
+
+    row = k_anonymity_profile(spark, path).collect()[0]
+    assert (row["n_classes"], row["n_rows"]) == (3, 10)
+    assert row["k_anonymity"] == 1          # the planted unique record
+    assert row["rows_at_risk"] == 4         # class B (3) + unique (1)
+    assert row["classes_at_risk"] == 2
+    assert row["unique_records"] == 1
+
+
+def test_l_diversity_events_planted_leaky_class(spark, tmp_path):
+    import datetime as dt
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.quality import (
+        l_diversity_events,
+    )
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows, eid = [], 0
+    # class (click, 10h): 5 rows all the SAME user -> l = 1 (leaky)
+    for _ in range(5):
+        rows.append((eid, base, 7, "click", 1.0)); eid += 1
+    # class (click, 11h): 6 rows over 4 users -> l = 4
+    for u in (1, 2, 3, 4, 1, 2):
+        rows.append((eid, base + dt.timedelta(hours=1), u, "click", 1.0)); eid += 1
+    path = _write_events(spark, tmp_path, rows)
+
+    row = l_diversity_events(spark, path).collect()[0]
+    assert (row["n_classes"], row["n_rows"]) == (2, 11)
+    assert row["l_diversity"] == 1
+    assert row["rows_at_risk"] == 5 and row["classes_at_risk"] == 1
