@@ -976,3 +976,105 @@ def asof_stream(ev: DataFrame, watermark: str = "48 hours") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# -- streaming distribution-drift monitor ----------------------------------------
+# The online form of queries.stats.ks_two_sample: each event type's VALUE
+# distribution is monitored against a fixed reference histogram (shipped to
+# executors as a closure constant — it is O(bins), not data). State per key
+# is the running per-bin count vector; every micro-batch emits the current
+# KS-style drift as the exact integer max cross-difference
+# |cum_stream * n_ref - cum_ref * n_stream| over the bin prefix — the same
+# arithmetic the batch gate hashes, so the final emission on a full drain
+# equals a batch replay bit-for-bit (pinned in tests/test_streaming.py).
+# State is bins+1 longs per key, independent of stream length.
+
+DRIFT_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("max_cross_diff", LongType()),
+        StructField("drift_ppm", LongType()),
+    ]
+)
+
+
+def drift_state_schema(nbins: int) -> StructType:
+    return StructType(
+        [
+            StructField("n", LongType()),
+            *(StructField(f"b{i}", LongType()) for i in range(nbins)),
+        ]
+    )
+
+
+def drift_stream(
+    ev: DataFrame,
+    ref_counts: list,
+    lo: int,
+    width: int,
+    watermark: str = "48 hours",
+) -> DataFrame:
+    nbins = len(ref_counts)
+    ref_n = sum(ref_counts)
+    ref_cum = []
+    acc = 0
+    for c in ref_counts:
+        acc += c
+        ref_cum.append(acc)
+    state_schema = drift_state_schema(nbins)
+
+    filtered = (
+        ev.filter(F.col("value").isNotNull())
+        .withWatermark("ts", watermark)
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+        )
+    )
+
+    def monitor(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            st = list(state.get)
+        else:
+            st = [0] * (nbins + 1)
+        n, counts = st[0], st[1:]
+        for pdf in pdfs:
+            for v in pdf["v"]:
+                b = (int(v) - lo) // width
+                b = 0 if b < 0 else (nbins - 1 if b >= nbins else b)
+                counts[b] += 1
+                n += 1
+        state.update((n, *counts))
+        state.setTimeoutDuration(6 * 60 * 60 * 1000)
+        cum = 0
+        maxd = 0
+        for i in range(nbins):
+            cum += counts[i]
+            d = abs(cum * ref_n - ref_cum[i] * n)
+            if d > maxd:
+                maxd = d
+        drift_ppm = (maxd * 1_000_000 // (n * ref_n)) if n and ref_n else 0
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": key[0],
+                    "n_seen": n,
+                    "max_cross_diff": maxd,
+                    "drift_ppm": drift_ppm,
+                }
+            ]
+        )
+
+    return filtered.groupBy("event_type").applyInPandasWithState(
+        monitor,
+        outputStructType=DRIFT_OUT_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -772,3 +772,85 @@ def test_asof_stream_matches_batch(spark, tmp_path):
         for r in asof_join_nearest(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_drift_stream_final_state_matches_python_replay(spark, tmp_path):
+    """The streaming drift monitor, fully drained over the sf0.001 events,
+    ends each key at EXACTLY the cross-difference a plain-Python replay of
+    the definition computes over the same rows — the online counterpart of
+    the batch ks_two_sample arithmetic (state = bins+1 longs per key)."""
+    import math
+
+    from tests.conftest import TESTDATA
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries._io import (
+        load_table,
+    )
+    from etl_process_for_detecting_fraudulent_transactions_spark.streaming.pipeline import (
+        drift_stream,
+    )
+
+    sf_dir = os.path.join(TESTDATA, "sf0.001")
+    ev = load_table(spark, sf_dir, "events").filter("value IS NOT NULL")
+    rows = [
+        (r["event_type"], math.floor(r["value"] * 1000), r["ts"])
+        for r in ev.select("event_type", "value", "ts").collect()
+    ]
+
+    # reference histogram: the click distribution, 16 bins over its range
+    NBINS, clicks = 16, sorted(v for t, v, _ in rows if t == "click")
+    lo, hi = clicks[0], clicks[-1]
+    width = max(1, (hi - lo + NBINS) // NBINS)
+    ref = [0] * NBINS
+    for v in clicks:
+        b = min(max((v - lo) // width, 0), NBINS - 1)
+        ref[b] += 1
+    ref_n = sum(ref)
+
+    landing = str(tmp_path / "landing_drift")
+    ev.select("event_type", "value", "ts").orderBy("ts").coalesce(1).write.parquet(
+        landing
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(landing).schema
+    ).parquet(landing)
+    q = (
+        drift_stream(stream, ref, lo, width)
+        .writeStream.format("memory")
+        .queryName("drift_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_drift"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain_until(
+        q, lambda: spark.sql("SELECT COUNT(*) FROM drift_out").collect()[0][0]
+    )
+    # last emission per key = the full-corpus state
+    final = {
+        r.event_type: (r.n_seen, r.max_cross_diff, r.drift_ppm)
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY n_seen DESC) rn FROM drift_out)"
+            " WHERE rn = 1"
+        ).collect()
+    }
+    assert final, "stream emitted nothing"
+
+    # python replay of the definition
+    per_type = {}
+    for t, v, _ts in rows:
+        b = min(max((v - lo) // width, 0), NBINS - 1)
+        counts = per_type.setdefault(t, [0] * NBINS)
+        counts[b] += 1
+    for t, counts in per_type.items():
+        n = sum(counts)
+        cum = rcum = maxd = 0
+        for i in range(NBINS):
+            cum += counts[i]
+            rcum += ref[i]
+            maxd = max(maxd, abs(cum * ref_n - rcum * n))
+        expect = (n, maxd, maxd * 1_000_000 // (n * ref_n))
+        assert final[t] == expect, t
+    # self-comparison sanity: click vs its own reference drifts ~0
+    assert final["click"][2] == 0
