@@ -624,3 +624,63 @@ def test_session_window_builtin_single_exchange(spark, sf_dir):
     plan = _plan(session_window_builtin(spark, sf_dir))
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_lift_value_deciles_has_no_unpartitioned_ntile(spark, sf_dir):
+    """The round-6 scale variant's reason to exist: no NTILE, and every
+    unpartitioned window runs over bounded metadata (the <=1024-bin
+    histogram / the 10-row decile table), never the user-scale aggregate.
+    The only sort keys allowed outside a partitionBy are bin/decile."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        lift_gains_value_deciles,
+    )
+
+    plan = _plan(lift_gains_value_deciles(spark, sf_dir))
+    assert "ntile" not in plan.lower(), plan
+    # the user-scale rank window is partitioned BY BIN
+    assert "windowspecdefinition(bin" in plan, plan
+    # no window is specified over (score) without a bin partition
+    assert "windowspecdefinition(score" not in plan, plan
+
+
+def test_asof_forward_uses_running_frame_not_following(spark, sf_dir):
+    """Spark's [currentRow, unboundedFollowing] frame re-scans the partition
+    remainder per row (O(rows^2) per key — measured 4.5 s vs 0.9 s on this
+    gate); the shipped plan must keep the descending RUNNING frame."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.timeseries import (
+        asof_join_forward,
+    )
+
+    plan = _plan(asof_join_forward(spark, sf_dir))
+    assert "unboundedfollowing" not in plan.lower(), plan
+    assert "unboundedpreceding$(), currentrow$()" in plan, plan
+    # union-window shape: one user_id exchange, no join
+    assert "Join" not in plan, plan
+
+
+def test_ks_two_sample_prefix_sum_is_bucket_partitioned(spark, sf_dir):
+    """The distributed prefix sum's load-bearing property: the cumulative
+    window over the value support is partitioned BY BUCKET — no global-sort
+    window ever sees the full support (the <=1024-row ledger window is the
+    only unpartitioned one)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        ks_two_sample,
+    )
+
+    plan = _plan(ks_two_sample(spark, sf_dir))
+    assert "windowspecdefinition(bucket" in plan, plan
+    # the support-level cumulative must not appear without the bucket key:
+    # any windowspec ordered by v alone would read "windowspecdefinition(v"
+    assert "windowspecdefinition(v#" not in plan, plan
+
+
+def test_privacy_gates_are_single_aggregate_no_window_no_join(spark, sf_dir):
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.quality import (
+        k_anonymity_profile,
+        l_diversity_events,
+    )
+
+    for fn in (k_anonymity_profile, l_diversity_events):
+        plan = _plan(fn(spark, sf_dir))
+        assert "Join" not in plan, plan
+        assert "Window" not in plan, plan
