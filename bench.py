@@ -121,6 +121,7 @@ SCALE_KEYS = (
     "autocorr_lag",
     "k_anonymity_profile",
     "l_diversity_events",
+    "equidepth_histogram_2pass",
     # attribution_linear is NOT in the tier: the self-union multiplies
     # per-user event DENSITY (not user count), so its touch x purchase
     # pairs grow quadratically under replication — a union artifact, not
@@ -182,6 +183,7 @@ SCALE_INPUT = {
     "autocorr_lag": "events",
     "k_anonymity_profile": "documents",
     "l_diversity_events": "events",
+    "equidepth_histogram_2pass": "events",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",

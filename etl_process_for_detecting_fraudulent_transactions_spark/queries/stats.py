@@ -2556,11 +2556,73 @@ ORACLES["lift_gains_table"] = ORACLE_LIFT
 # rule, and everything downstream of the 10-row per-decile aggregate is the
 # same exact-ppm arithmetic as lift_gains_table.
 
+def _value_boundaries(spark, vals, value_col, n_ks, rank_sql, nbins=1024):
+    """Exact values at chosen ranks WITHOUT a global sort — the
+    exact_median_2pass histogram route, generalized and shared by the
+    value-boundary gates: pass 1 histograms ``value_col`` into ``nbins``
+    integer bins (one map-side-combinable aggregate); cumulative counts
+    over <=nbins rows locate each target rank's bin; pass 2 rescans ONLY
+    those bins, with the rank window partitioned BY BIN so no task sees
+    more than one bin's rows. ``rank_sql`` maps (k, n) -> the target
+    ASCENDING rank, for k in 1..n_ks. Returns a 1-row DataFrame whose
+    ``cs`` column is the boundary values sorted descending — broadcast it
+    and assign membership with a size(filter(...)) codegen scan."""
+    from pyspark.sql import Window
+
+    bin_expr = F.expr(f"(bv - mn) * {nbins} div (mx - mn + 1)")
+    v = vals.select(F.col(value_col).alias("bv"))
+    stats_df = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("bv").alias("mn"),
+        F.max("bv").alias("mx"),
+    )
+    binned = (
+        v.join(F.broadcast(stats_df))
+        .withColumn("bin", bin_expr)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.select(
+        "bin",
+        (F.sum("c").over(wcum) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(wcum).alias("cum"),
+    )
+    ks = spark.range(1, n_ks + 1).select(F.col("id").cast("bigint").alias("k"))
+    targets = (
+        ks.join(F.broadcast(stats_df.select("n")))
+        .withColumn("r_k", F.expr(rank_sql))
+        .join(F.broadcast(cum), F.expr("cum >= r_k AND cum_before < r_k"))
+        .select(
+            "k",
+            F.col("bin").alias("tbin"),
+            (F.col("r_k") - F.col("cum_before")).alias("r_in"),
+        )
+    )
+    wbin = Window.partitionBy("bin").orderBy("bv")
+    # Pre-filter to the <=n_ks target bins (distinct, renamed to avoid join
+    # ambiguity), THEN rank within bin, THEN resolve each k's within-bin
+    # rank — two k's sharing a bin must not duplicate rows under the rank.
+    tbins = targets.select(F.col("tbin").alias("pbin")).distinct()
+    in_bin = (
+        v.join(F.broadcast(stats_df))
+        .withColumn("bin", bin_expr)
+        .join(F.broadcast(tbins), F.col("bin") == F.col("pbin"))
+        .drop("pbin")
+        .withColumn("rn", F.row_number().over(wbin))
+    )
+    bounds = in_bin.join(
+        F.broadcast(targets),
+        (F.col("bin") == F.col("tbin")) & (F.col("rn") == F.col("r_in")),
+    ).select("k", F.col("bv").alias("c"))
+    return bounds.agg(
+        F.sort_array(F.collect_list("c"), asc=False).alias("cs")
+    )
+
+
 def lift_gains_value_deciles(spark, sf_dir):
     from pyspark.sql import Window
 
-    NBINS = 1024
-    bin_expr = F.expr(f"(score - mn) * {NBINS} div (mx - mn + 1)")
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     users = ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("np"),
@@ -2578,53 +2640,10 @@ def lift_gains_value_deciles(spark, sf_dir):
     # user-scale. users is 1/66th of fact rows here and stays the bounded
     # side at any SF.
     users = users.localCheckpoint(eager=False)
-    stats = users.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.min("score").alias("mn"),
-        F.max("score").alias("mx"),
-    )
-    binned = (
-        users.join(F.broadcast(stats))
-        .withColumn("bin", bin_expr)
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
-    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = binned.select(
-        "bin",
-        (F.sum("c").over(wcum) - F.col("c")).alias("cum_before"),
-        F.sum("c").over(wcum).alias("cum"),
-    )
-    # Target ascending rank of boundary k: the descending-rank-ceil(k*n/10)
-    # element sits at ascending rank n - ceil(k*n/10) + 1.
-    ks = spark.range(1, 10).select(F.col("id").cast("bigint").alias("k"))
-    targets = (
-        ks.join(F.broadcast(stats.select("n")))
-        .withColumn("r_k", F.expr("n - (k * n + 9) div 10 + 1"))
-        .join(F.broadcast(cum), F.expr("cum >= r_k AND cum_before < r_k"))
-        .select("k", F.col("bin").alias("tbin"), (F.col("r_k") - F.col("cum_before")).alias("r_in"))
-    )
-    wbin = Window.partitionBy("bin").orderBy("score")
-    # Pre-filter to the <=9 target bins (distinct, renamed to avoid join
-    # ambiguity), THEN rank within bin, THEN resolve each k's within-bin
-    # rank — two k's sharing a bin must not duplicate rows under the rank.
-    tbins = targets.select(F.col("tbin").alias("pbin")).distinct()
-    in_bin = (
-        users.join(F.broadcast(stats))
-        .withColumn("bin", bin_expr)
-        .join(F.broadcast(tbins), F.col("bin") == F.col("pbin"))
-        .drop("pbin")
-        .withColumn("rn", F.row_number().over(wbin))
-    )
-    bounds = (
-        in_bin.join(
-            F.broadcast(targets),
-            (F.col("bin") == F.col("tbin")) & (F.col("rn") == F.col("r_in")),
-        )
-        .select("k", F.col("score").alias("c"))
-    )
-    bounds_arr = bounds.agg(
-        F.sort_array(F.collect_list("c"), asc=False).alias("cs")
+    # Boundary k = the score at DESCENDING rank ceil(k*n/10), i.e.
+    # ascending rank n - ceil(k*n/10) + 1.
+    bounds_arr = _value_boundaries(
+        spark, users, "score", 9, "n - (k * n + 9) div 10 + 1"
     )
     deciled = users.join(F.broadcast(bounds_arr)).select(
         "conv",
@@ -2697,6 +2716,72 @@ WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 
 QUERIES["lift_gains_value_deciles"] = lift_gains_value_deciles
 ORACLES["lift_gains_value_deciles"] = ORACLE_LIFT_VALUE
+
+
+# -- equi-depth histogram, value-boundary (the 100-TB variant) ----------------------
+# equidepth_histogram is the verification oracle for this family, and its
+# single-partition global NTILE is the measured-flat wall at 100x
+# (SCALING.md). This variant is the production shape: B-1 exact bucket
+# boundaries located by the shared _value_boundaries histogram route (two
+# linear scans + bounded-metadata windows), bucket membership assigned by
+# a broadcast boundary array — no global sort anywhere. Semantics differ
+# from NTILE exactly at ties: rows with equal milli values always land in
+# the same bucket (value semantics), so bucket sizes are only
+# approximately n/B under mass ties — the documented trade, mirrored in
+# the oracle. lo/hi are SELECTED raw doubles (never summed), n is exact.
+
+def equidepth_histogram_2pass(spark, sf_dir):
+    B = HIST_BUCKETS
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vals = e.select(
+        "value", F.floor(F.col("value") * 1000).cast("bigint").alias("v")
+    )
+    bounds_arr = _value_boundaries(
+        spark, vals, "v", B - 1, f"(k * n + {B - 1}) div {B}"
+    )
+    return (
+        vals.join(F.broadcast(bounds_arr))
+        .select(
+            "value",
+            F.expr("CAST(1 + size(filter(cs, b -> v > b)) AS INT)").alias(
+                "bucket"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+ORACLE_EQUIDEPTH_2PASS = f"""
+WITH vals AS (
+  SELECT value, CAST(FLOOR(value * 1000) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n
+  FROM vals
+), bounds AS (
+  SELECT t.k,
+         MAX(CASE WHEN rn = (t.k * n + {HIST_BUCKETS - 1}) // {HIST_BUCKETS}
+                  THEN v END) AS c
+  FROM ranked CROSS JOIN range(1, {HIST_BUCKETS}) t(k)
+  GROUP BY t.k
+), assigned AS (
+  SELECT u.value,
+         CAST(1 + (SELECT COUNT(*) FROM bounds b WHERE u.v > b.c) AS INT)
+           AS bucket
+  FROM vals u
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS lo, MAX(value) AS hi
+FROM assigned GROUP BY bucket
+"""
+
+QUERIES["equidepth_histogram_2pass"] = equidepth_histogram_2pass
+ORACLES["equidepth_histogram_2pass"] = ORACLE_EQUIDEPTH_2PASS
 
 
 # -- Kaplan-Meier survival estimator -----------------------------------------------

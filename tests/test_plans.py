@@ -684,3 +684,16 @@ def test_privacy_gates_are_single_aggregate_no_window_no_join(spark, sf_dir):
         plan = _plan(fn(spark, sf_dir))
         assert "Join" not in plan, plan
         assert "Window" not in plan, plan
+
+
+def test_equidepth_2pass_has_no_ntile_no_global_sort_window(spark, sf_dir):
+    """The 2-pass equi-depth variant exists to remove the NTILE wall: the
+    only rank window must be bin-partitioned, and no NTILE appears."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        equidepth_histogram_2pass,
+    )
+
+    plan = _plan(equidepth_histogram_2pass(spark, sf_dir))
+    assert "ntile" not in plan.lower(), plan
+    assert "windowspecdefinition(bin" in plan, plan
+    assert "windowspecdefinition(v#" not in plan, plan
