@@ -432,3 +432,45 @@ def test_l_diversity_events_planted_leaky_class(spark, tmp_path):
     assert (row["n_classes"], row["n_rows"]) == (2, 11)
     assert row["l_diversity"] == 1
     assert row["rows_at_risk"] == 5 and row["classes_at_risk"] == 1
+
+
+def test_equidepth_2pass_value_ties_never_split(spark, tmp_path):
+    """The variant's tie contract: rows with equal milli values always land
+    in ONE bucket (value semantics — the documented difference from NTILE,
+    which splits ties positionally), and boundaries are the exact
+    rank-ceil(k*n/B) elements."""
+    import datetime as dt
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        equidepth_histogram_2pass,
+        HIST_BUCKETS,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    # 40 rows of a single massively-tied value (5.0) + 24 distinct values:
+    # the tie block spans several would-be NTILE buckets
+    for _ in range(40):
+        rows.append((eid, base, 1, "click", 5.0)); eid += 1
+    for i in range(24):
+        rows.append((eid, base, 1, "click", 10.0 + i)); eid += 1
+    path = _write_events(spark, tmp_path, rows)
+
+    got = {r["bucket"]: (r["n"], r["lo"], r["hi"])
+           for r in equidepth_histogram_2pass(spark, path).collect()}
+
+    # python replay of the definition
+    vals = sorted(math.floor(v * 1000) for _e, _ts, _u, _t, v in rows)
+    n, B = len(vals), HIST_BUCKETS
+    bounds = [vals[(k * n + B - 1) // B - 1] for k in range(1, B)]
+    per = {}
+    raw = sorted(v for _e, _ts, _u, _t, v in rows)
+    for v in raw:
+        m = math.floor(v * 1000)
+        b = 1 + sum(1 for c in bounds if m > c)
+        cnt, lo, hi = per.get(b, (0, None, None))
+        per[b] = (cnt + 1, v if lo is None else min(lo, v),
+                  v if hi is None else max(hi, v))
+    assert got == per
+    # all 40 tied rows share one bucket
+    tied_buckets = [b for b, (c, lo, hi) in got.items() if lo <= 5.0 <= hi]
+    assert len(tied_buckets) == 1 and got[tied_buckets[0]][0] >= 40
