@@ -122,6 +122,7 @@ SCALE_KEYS = (
     "k_anonymity_profile",
     "l_diversity_events",
     "equidepth_histogram_2pass",
+    "pettitt_changepoint",
     # attribution_linear is NOT in the tier: the self-union multiplies
     # per-user event DENSITY (not user count), so its touch x purchase
     # pairs grow quadratically under replication — a union artifact, not
@@ -184,6 +185,7 @@ SCALE_INPUT = {
     "k_anonymity_profile": "documents",
     "l_diversity_events": "events",
     "equidepth_histogram_2pass": "events",
+    "pettitt_changepoint": "events",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",

@@ -3391,3 +3391,97 @@ FROM ranked
 
 QUERIES["spearman_daily"] = spearman_daily
 ORACLES["spearman_daily"] = ORACLE_SPEARMAN
+
+
+# -- Pettitt changepoint test --------------------------------------------------------
+# The offline, nonparametric companion to the online CUSUM gate: the
+# Pettitt statistic U_t = sum_{i<=t, j>t} sign(x_i - x_j) over each type's
+# daily series, with the changepoint at argmax |U_t| (min t on ties —
+# deterministic in both engines). cp_day is the LAST day of the
+# pre-change segment: cut t separates day t from day t+1. Exact formulation without recursion:
+# each ordered pair (i < j) contributes sign(x_i - x_j) to every cut t in
+# [i, j-1], materialized via sequence+explode — O(days^3/6) rows, bounded
+# by the CALENDAR (90 days -> ~120k rows/type), never by fact volume; the
+# fact-scale work is one daily aggregate.
+
+def pettitt_changepoint(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("x")
+    )
+    wr = Window.partitionBy("event_type").orderBy("day")
+    ranked = daily.select(
+        "event_type", "day", "x", F.row_number().over(wr).alias("rn")
+    )
+    a = ranked.select(
+        "event_type", F.col("rn").alias("i"), F.col("x").alias("xi")
+    )
+    b = ranked.select(
+        "event_type", F.col("rn").alias("j"), F.col("x").alias("xj")
+    )
+    cuts = (
+        a.join(b, "event_type")
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            "event_type",
+            F.signum(F.col("xi") - F.col("xj")).cast("bigint").alias("s"),
+            F.explode(F.expr("sequence(i, j - 1)")).alias("t"),
+        )
+        .groupBy("event_type", "t")
+        .agg(F.sum("s").cast("bigint").alias("u"))
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("u")).desc(), F.col("t")
+    )
+    best = (
+        cuts.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select("event_type", "t", F.col("u").alias("u_at_cp"))
+    )
+    return (
+        best.join(
+            ranked.select("event_type", F.col("rn").alias("t"), "day"),
+            ["event_type", "t"],
+        )
+        .select(
+            "event_type",
+            F.col("t").cast("bigint").alias("cp_index"),
+            F.col("day").alias("cp_day"),
+            "u_at_cp",
+            F.abs(F.col("u_at_cp")).cast("bigint").alias("u_abs"),
+        )
+    )
+
+
+ORACLE_PETTITT = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, day, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+), cuts AS (
+  SELECT a.event_type, u.t,
+         CAST(SUM(SIGN(a.x - b.x)) AS BIGINT) AS u
+  FROM ranked a
+  JOIN ranked b ON a.event_type = b.event_type AND a.rn < b.rn
+  CROSS JOIN UNNEST(generate_series(a.rn, b.rn - 1)) AS u(t)
+  GROUP BY a.event_type, u.t
+), best AS (
+  SELECT event_type, t, u,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ABS(u) DESC, t) AS rk
+  FROM cuts
+)
+SELECT b.event_type, CAST(b.t AS BIGINT) AS cp_index, r.day AS cp_day,
+       b.u AS u_at_cp, CAST(ABS(b.u) AS BIGINT) AS u_abs
+FROM best b JOIN ranked r ON r.event_type = b.event_type AND r.rn = b.t
+WHERE b.rk = 1
+"""
+
+QUERIES["pettitt_changepoint"] = pettitt_changepoint
+ORACLES["pettitt_changepoint"] = ORACLE_PETTITT

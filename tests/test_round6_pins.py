@@ -474,3 +474,39 @@ def test_equidepth_2pass_value_ties_never_split(spark, tmp_path):
     # all 40 tied rows share one bucket
     tied_buckets = [b for b, (c, lo, hi) in got.items() if lo <= 5.0 <= hi]
     assert len(tied_buckets) == 1 and got[tied_buckets[0]][0] >= 40
+
+
+def test_pettitt_changepoint_finds_planted_level_shift(spark, tmp_path):
+    """A planted step (level 100 for days 0-9, level 900 for days 10-19)
+    must put the changepoint at the step (cut index 10) with the maximal
+    |U|, replayed against the O(n^2) definition."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        pettitt_changepoint,
+    )
+
+    base = dt.datetime(2024, 3, 1, 12)
+    rows, eid = [], 0
+    for d in range(20):
+        v = 100.0 if d < 10 else 900.0
+        rows.append((eid, base + dt.timedelta(days=d), 1, "click", v)); eid += 1
+    path = _write_events(spark, tmp_path, rows)
+
+    row = pettitt_changepoint(spark, path).collect()[0]
+
+    xs = [math.floor((100.0 if d < 10 else 900.0) * 1000) for d in range(20)]
+    n = len(xs)
+
+    def sgn(a):
+        return (a > 0) - (a < 0)
+
+    us = {
+        t: sum(sgn(xs[i] - xs[j]) for i in range(t) for j in range(t, n))
+        for t in range(1, n)
+    }
+    best_t = min(us, key=lambda t: (-abs(us[t]), t))
+    assert (row["cp_index"], row["u_at_cp"], row["u_abs"]) == (
+        best_t, us[best_t], abs(us[best_t]))
+    assert best_t == 10 and abs(us[best_t]) == 100  # 10*10 cross pairs
+    # cp_day = the LAST day of the pre-change segment (cut t sits between
+    # day t and day t+1): days 0-9 are the low level, so day index 9
+    assert row["cp_day"].isoformat() == "2024-03-10"
