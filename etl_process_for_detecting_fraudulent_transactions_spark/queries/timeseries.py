@@ -553,10 +553,15 @@ def resample_interpolate(spark, sf_dir):
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Next-neighbor lookup as the DESC-order running frame, not
+    # [currentRow, unboundedFollowing]: Spark evaluates a following frame
+    # by rescanning the partition remainder per row — O(rows²) per key
+    # (the asof_join_forward lesson, round 6). Identical output: "first
+    # non-null at-or-after" == "last seen scanning from the end".
     wf = (
         Window.partitionBy("prio")
-        .orderBy("day")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("day").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     g = (
         spine.join(daily, ["prio", "day"], "left")
@@ -567,10 +572,10 @@ def resample_interpolate(spark, sf_dir):
                 F.when(F.col("rev").isNotNull(), F.col("day")), ignorenulls=True
             ).over(wb),
         )
-        .withColumn("next_v", F.first("rev", ignorenulls=True).over(wf))
+        .withColumn("next_v", F.last("rev", ignorenulls=True).over(wf))
         .withColumn(
             "next_day",
-            F.first(
+            F.last(
                 F.when(F.col("rev").isNotNull(), F.col("day")), ignorenulls=True
             ).over(wf),
         )
