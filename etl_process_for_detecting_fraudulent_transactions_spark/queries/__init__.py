@@ -32,26 +32,26 @@ from . import (
 )
 
 # Order matters: the driver's correctness budget covers the first ~50
-# registered queries (r1-r5 each checked exactly the first 50). Round-6
-# rotation executes the plan committed in r5 (VERDICT r5 #1) verbatim —
-# CORRECTNESS_r05 was 50/50 green (zero reds to re-run), so the window is:
-#   1-22  the 22 round-5 gates that have NEVER been driver-checked
-#         (appended below the frozen window last round by design);
-#   23-50 the first 28 of the 34 r2-stale keys (sessionize, tpch_q12/q18,
-#         json_props_stats, the dedup/text/sampling core,
-#         quantity_percentiles .. pii_redact_names).
-# After position 50: the remaining 6 r2-stale keys (seq_packing ..
-# merge_upsert), then family order (stalest-family first — the 46 r3-stale
-# keys). Registry additions this round are again appended BELOW the window.
+# registered queries (r1-r6 each checked exactly the first 50). Round-7
+# rotation executes the r6 judge's amended plan (VERDICT r6 "Next round" #1):
+# never-driver-checked evidence is WORSE than stale-but-once-green, so the
+# window is:
+#   1-14  the 14 round-6 gates that have never been driver-checked
+#         (lift_gains_value_deciles .. l_diversity_events);
+#   15-20 the 6 remaining r2-stale keys (seq_packing .. merge_upsert);
+#   21-50 the first 30 of the 46 r3-stale keys (countmin_heavy_hitters ..
+#         join_residual_ineq, in `tools/rotation_check.py` order).
+# After position 50: the remaining 16 r3-stale keys, then family order.
+# Round-7 additions are appended BELOW the window (growth throttled to ≤5
+# per VERDICT r6 #2 so evidence debt converges).
 #
-# ROUND-7 ROTATION PLAN (write it now so the next session executes, not
-# re-derives): assuming CORRECTNESS_r06 goes green on this window, the r7
-# priority list should be (1) any r6 reds, fixed, first; (2) the 6 remaining
-# r2-stale keys (seq_packing, eval_contamination, resample_ffill,
-# hopping_window_stats, integrity_checks, merge_upsert); (3) ~40 of the 46
-# r3-stale keys (countmin_heavy_hitters .. tpch_q21_waiting_suppliers —
-# `tools/rotation_check.py` lists them); (4) any round-6 additions, stalest
-# first. That clears all pre-r4 evidence debt in one more round.
+# ROUND-8 ROTATION PLAN (written now so the next session executes, not
+# re-derives): assuming CORRECTNESS_r07 goes green on this window, the r8
+# priority list should be (1) any r7 reds, fixed, first; (2) the 16
+# remaining r3-stale keys (window_lead_gap .. tpch_q21_waiting_suppliers);
+# (3) ~34 of the 46 r4-stale keys stalest-first (approx_distinct_kmv ..
+# variant_json_ops — `tools/rotation_check.py` lists them); (4) any round-7
+# additions. That clears all pre-r5 evidence debt by round 8 close.
 _MODULES = (
     relational,
     extra,
@@ -68,68 +68,79 @@ _MODULES = (
     multimodal,
 )
 
-# Keys verified first this round (never-driver-checked first, then r2-stale).
+# Keys verified first this round (never-driver-checked first, then stalest).
 _PRIORITY_KEYS = (
-    # -- 1-22: the round-5 additions, never driver-checked (VERDICT r5 #1) --
-    "ab_proportion_test",
-    "mad_outliers",
-    "groupwise_mode",
-    "ols_two_features",
-    "winsorized_stats",
-    "ratio_to_report",
-    "exact_median_2pass",
-    "lift_gains_table",
-    "kaplan_meier_survival",
-    "editdist_topk",
-    "phrase_search",
-    "sssp_weighted",
-    "asof_join_nearest",
-    "rolling_median_7d",
-    "cumulative_distinct_users",
-    "seasonal_baseline_dev",
-    "session_window_builtin",
-    "golden_record_merge",
-    "salted_join_agg",
-    "attribution_linear",
-    "pca_power_iteration",
-    "multimodal_gif_features",
-    # -- 23-50: first 28 of the 34 r2-stale keys --
-    "sessionize",
-    "tpch_q12_priority_class",
-    "tpch_q18_large_orders",
-    "json_props_stats",
-    "dedup_exact",
-    "dedup_bow_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "fuzzy_name_pairs",
-    "curation_pipeline",
-    "text_token_stats",
-    "text_quality",
-    "train_test_split",
-    "stratified_sample",
-    "quantity_percentiles",
-    "rolling_7day_window",
-    "embedding_hof_stats",
-    "unpivot_line_metrics",
-    "doc_word_topk",
-    "grouping_sets_revenue",
-    "incremental_monthly_rollup",
-    "lang_id_markers",
-    "doc_fingerprint",
-    "text_bpe_tokens",
-    "doc_chunk_windows",
-    "doc_repetition_ratio",
-    "pii_redact_names",
-    # ---- window boundary (driver checks ~50) ----
-    # -- the remaining 6 r2-stale keys (round-7 window, per the plan above) --
+    # -- 1-14: the round-6 additions, never driver-checked (VERDICT r6 #1) --
+    "lift_gains_value_deciles",
+    "equidepth_histogram_2pass",
+    "theil_sen_slope",
+    "mann_kendall_trend",
+    "gini_impurity_daily",
+    "hll_registers",
+    "ks_two_sample",
+    "spearman_daily",
+    "pettitt_changepoint",
+    "holt_winters_level_trend",
+    "asof_join_forward",
+    "autocorr_lag",
+    "k_anonymity_profile",
+    "l_diversity_events",
+    # -- 15-20: the 6 remaining r2-stale keys --
     "seq_packing",
     "eval_contamination",
     "resample_ffill",
     "hopping_window_stats",
     "integrity_checks",
     "merge_upsert",
+    # -- 21-50: first 30 of the 46 r3-stale keys (rotation_check order) --
+    "countmin_heavy_hitters",
+    "substring_dedup",
+    "gopher_quality_filter",
+    "tfidf_keywords",
+    "bigram_lm_counts",
+    "data_skew_profile",
+    "domain_mix_sample",
+    "per_source_cap",
+    "dedup_minhash_mllib",
+    "dedup_prefix_jaccard",
+    "dedup_incremental",
+    "range_join_events",
+    "funnel_steps",
+    "retention_cohorts",
+    "knn_brute_force",
+    "knn_lsh",
+    "embedding_cosine_pairs",
+    "knn_ivf",
+    "knn_lsh_multiprobe",
+    "label_centroid_assign",
+    "semantic_dedup",
+    "multimodal_frame_sample",
+    "pricing_summary",
+    "groupby_having_countdistinct",
+    "groupby_max",
+    "join_3hop_agg",
+    "left_join_count",
+    "anti_join",
+    "semi_join",
+    "join_residual_ineq",
+    # ---- window boundary (driver checks ~50) ----
+    # -- the remaining 16 r3-stale keys (round-8 window, per the plan above) --
+    "window_lead_gap",
+    "window_lag_seq",
+    "concat_null",
+    "prefix_int_cast",
+    "between_filter",
+    "order_by_report",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
 )
 
 # Family order after the priority keys: remaining r2-stale families first

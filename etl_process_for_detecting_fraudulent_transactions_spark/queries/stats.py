@@ -3215,8 +3215,12 @@ ORACLES["hll_registers"] = ORACLE_HLL
 # partitioned BY BUCKET (no task sees more than one bucket's support), and
 # per-bucket offsets from a <=1024-row ledger — the classic distributed
 # prefix sum, so the plan holds when the support is billions of distinct
-# values. The ppm emission goes through DECIMAL(38,0)/HUGEINT (cum*n2*1e6
-# exceeds int64 at ~100x this corpus — series_correlation's recipe).
+# values. ALL cross-products (cum1*n2, cum2*n1, and the ppm emission) go
+# through DECIMAL(38,0)/HUGEINT: the cross product itself exceeds int64 once
+# n1*n2 approaches 2^63 (~3e9 rows per sample — well inside the 100-TB
+# posture), not just the *1e6 ppm term (series_correlation's recipe). The
+# emitted max_cross_diff column stays BIGINT for driver dtype parity with
+# the oracle's CAST(... AS BIGINT).
 
 def ks_two_sample(spark, sf_dir):
     from pyspark.sql import Window
@@ -3272,9 +3276,13 @@ def ks_two_sample(spark, sf_dir):
         (F.col("l1") + F.col("o1")).alias("cum1"),
         (F.col("l2") + F.col("o2")).alias("cum2"),
     )
+    dec = "decimal(38,0)"
     return cum.groupBy("n1", "n2").agg(
         F.max(
-            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+            F.abs(
+                F.col("cum1").cast(dec) * F.col("n2")
+                - F.col("cum2").cast(dec) * F.col("n1")
+            )
         )
         .cast("bigint")
         .alias("max_cross_diff")
@@ -3321,9 +3329,13 @@ ORACLES["ks_two_sample"] = ORACLE_KS
 # are average ranks carried as EXACT doubled integers (2*avg_rank =
 # 2*RANK() + ties - 1), so ties never produce a fractional rank; rho =
 # 1 - 6*sum(d^2)/(n(n^2-1)) emits as ppm with the doubled-rank d^2 folded
-# into the denominator's factor of 4. The rank windows run over the
-# calendar-bounded daily join (<=90 rows) — unpartitioned by contract, not
-# a fact-scale sort.
+# into the denominator's factor of 4. APPROXIMATION POSTURE: under tied
+# daily totals this is the classic d^2 shortcut applied to AVERAGE ranks,
+# WITHOUT the tie-correction term — it deviates from tie-corrected Spearman
+# (Pearson on ranks) when ties exist; the oracle mirrors the same
+# formulation so engine parity is exact either way. The rank windows run
+# over the calendar-bounded daily join (<=90 rows) — unpartitioned by
+# contract, not a fact-scale sort.
 
 def spearman_daily(spark, sf_dir):
     from pyspark.sql import Window

@@ -854,3 +854,45 @@ def test_drift_stream_final_state_matches_python_replay(spark, tmp_path):
         assert final[t] == expect, t
     # self-comparison sanity: click vs its own reference drifts ~0
     assert final["click"][2] == 0
+
+
+def test_drift_bin_counts_vectorized_kernel():
+    """The drift monitor's per-batch binning kernel: (a) bit-equal to the
+    scalar min/max/floor-div rule across randomized int64 values including
+    negatives and both out-of-range sides; (b) fast enough that the kernel
+    is plainly not a per-row Python loop (the r6 verdict's one hot-path
+    finding) — 1M values must bin at >5M values/s, a floor ~50x below what
+    np.bincount actually does, so the pin only trips on a loop regression."""
+    import random
+    import time
+
+    import numpy as np
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.streaming.pipeline import (
+        bin_counts,
+    )
+
+    rng = random.Random(42)
+    for _ in range(25):
+        nbins = rng.randint(1, 64)
+        lo = rng.randint(-10_000, 10_000)
+        width = rng.randint(1, 500)
+        span = nbins * width
+        vals = [
+            rng.randint(lo - 3 * span, lo + 3 * span) for _ in range(rng.randint(0, 400))
+        ]
+        expect = [0] * nbins
+        for v in vals:
+            expect[min(max((v - lo) // width, 0), nbins - 1)] += 1
+        got = bin_counts(np.asarray(vals, dtype=np.int64), lo, width, nbins)
+        assert got.tolist() == expect
+
+    big = np.random.default_rng(7).integers(-(10**6), 10**6, size=1_000_000)
+    bin_counts(big[:1000], -(10**6), 125_000, 16)  # warm numpy dispatch
+    dt = float("inf")
+    for _ in range(3):  # best-of-3: immune to a one-off host-contention blip
+        t0 = time.perf_counter()
+        out = bin_counts(big, -(10**6), 125_000, 16)
+        dt = min(dt, time.perf_counter() - t0)
+    assert int(out.sum()) == 1_000_000
+    assert 1_000_000 / dt > 5_000_000, f"binning kernel too slow: {dt:.3f}s for 1M"
