@@ -3410,11 +3410,20 @@ ORACLES["spearman_daily"] = ORACLE_SPEARMAN
 # Pettitt statistic U_t = sum_{i<=t, j>t} sign(x_i - x_j) over each type's
 # daily series, with the changepoint at argmax |U_t| (min t on ties —
 # deterministic in both engines). cp_day is the LAST day of the
-# pre-change segment: cut t separates day t from day t+1. Exact formulation without recursion:
-# each ordered pair (i < j) contributes sign(x_i - x_j) to every cut t in
-# [i, j-1], materialized via sequence+explode — O(days^3/6) rows, bounded
-# by the CALENDAR (90 days -> ~120k rows/type), never by fact volume; the
-# fact-scale work is one daily aggregate.
+# pre-change segment: cut t separates day t from day t+1.
+#
+# Formulation (round 7): U_t = SUM_{i<=t} R_i, where R_i = #(x_j < x_i) -
+# #(x_j > x_i) over the type's WHOLE series — the within-prefix pair terms
+# cancel by antisymmetry, so the prefix sum of the per-day sign-rank R_i
+# equals the triple sum exactly (integer identity, verified against the
+# O(n^2) definition in tests/test_round6_pins.py). R_i comes from rank
+# windows: R_i = 2*RANK(x) + ties - n - 2. This replaced the round-6
+# sequence+explode cut materialization, which was O(days^3/6) rows — fine
+# at a 90-day calendar but 64.6 s at the 900-day tier
+# (tools/trend_scale_bench.py) where this form is window-bounded. All
+# windows run over the DAILY aggregate (calendar-bounded per type), never
+# fact rows; |U_t| <= n^2 stays inside int64 for any calendar (100 years
+# -> 1.3e9). The fact-scale work is one daily aggregate.
 
 def pettitt_changepoint(spark, sf_dir):
     from pyspark.sql import Window
@@ -3424,45 +3433,43 @@ def pettitt_changepoint(spark, sf_dir):
         F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("x")
     )
     wr = Window.partitionBy("event_type").orderBy("day")
+    wx = Window.partitionBy("event_type").orderBy("x")
+    wtie = Window.partitionBy("event_type", "x")
+    wn = Window.partitionBy("event_type")
     ranked = daily.select(
-        "event_type", "day", "x", F.row_number().over(wr).alias("rn")
-    )
-    a = ranked.select(
-        "event_type", F.col("rn").alias("i"), F.col("x").alias("xi")
-    )
-    b = ranked.select(
-        "event_type", F.col("rn").alias("j"), F.col("x").alias("xj")
-    )
-    cuts = (
-        a.join(b, "event_type")
-        .filter(F.col("i") < F.col("j"))
-        .select(
-            "event_type",
-            F.signum(F.col("xi") - F.col("xj")).cast("bigint").alias("s"),
-            F.explode(F.expr("sequence(i, j - 1)")).alias("t"),
+        "event_type",
+        "day",
+        F.row_number().over(wr).alias("rn"),
+        (
+            2 * F.rank().over(wx)
+            + F.count(F.lit(1)).over(wtie)
+            - F.count(F.lit(1)).over(wn)
+            - 2
         )
-        .groupBy("event_type", "t")
-        .agg(F.sum("s").cast("bigint").alias("u"))
+        .cast("bigint")
+        .alias("r_i"),
+        F.count(F.lit(1)).over(wn).alias("n_days"),
     )
+    wcum = wr.rowsBetween(Window.unboundedPreceding, 0)
+    cuts = ranked.select(
+        "event_type",
+        "day",
+        "rn",
+        "n_days",
+        F.sum("r_i").over(wcum).cast("bigint").alias("u"),
+    ).filter(F.col("rn") < F.col("n_days"))
     wbest = Window.partitionBy("event_type").orderBy(
-        F.abs(F.col("u")).desc(), F.col("t")
-    )
-    best = (
-        cuts.withColumn("rk", F.row_number().over(wbest))
-        .filter(F.col("rk") == 1)
-        .select("event_type", "t", F.col("u").alias("u_at_cp"))
+        F.abs(F.col("u")).desc(), F.col("rn")
     )
     return (
-        best.join(
-            ranked.select("event_type", F.col("rn").alias("t"), "day"),
-            ["event_type", "t"],
-        )
+        cuts.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
         .select(
             "event_type",
-            F.col("t").cast("bigint").alias("cp_index"),
+            F.col("rn").cast("bigint").alias("cp_index"),
             F.col("day").alias("cp_day"),
-            "u_at_cp",
-            F.abs(F.col("u_at_cp")).cast("bigint").alias("u_abs"),
+            F.col("u").alias("u_at_cp"),
+            F.abs(F.col("u")).cast("bigint").alias("u_abs"),
         )
     )
 
@@ -3473,26 +3480,30 @@ WITH daily AS (
          CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x
   FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ), ranked AS (
-  SELECT event_type, day, x,
-         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  SELECT event_type, day,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         2 * RANK() OVER (PARTITION BY event_type ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY event_type, x)
+           - COUNT(*) OVER (PARTITION BY event_type) - 2 AS r_i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days
   FROM daily
 ), cuts AS (
-  SELECT a.event_type, u.t,
-         CAST(SUM(SIGN(a.x - b.x)) AS BIGINT) AS u
-  FROM ranked a
-  JOIN ranked b ON a.event_type = b.event_type AND a.rn < b.rn
-  CROSS JOIN UNNEST(generate_series(a.rn, b.rn - 1)) AS u(t)
-  GROUP BY a.event_type, u.t
+  SELECT * FROM (
+    SELECT event_type, day, rn, n_days,
+           CAST(SUM(r_i) OVER (PARTITION BY event_type ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS u
+    FROM ranked
+  ) WHERE rn < n_days
 ), best AS (
-  SELECT event_type, t, u,
+  SELECT event_type, rn, day, u,
          row_number() OVER (PARTITION BY event_type
-                            ORDER BY ABS(u) DESC, t) AS rk
+                            ORDER BY ABS(u) DESC, rn) AS rk
   FROM cuts
 )
-SELECT b.event_type, CAST(b.t AS BIGINT) AS cp_index, r.day AS cp_day,
-       b.u AS u_at_cp, CAST(ABS(b.u) AS BIGINT) AS u_abs
-FROM best b JOIN ranked r ON r.event_type = b.event_type AND r.rn = b.t
-WHERE b.rk = 1
+SELECT event_type, CAST(rn AS BIGINT) AS cp_index, day AS cp_day,
+       u AS u_at_cp, CAST(ABS(u) AS BIGINT) AS u_abs
+FROM best WHERE rk = 1
 """
 
 QUERIES["pettitt_changepoint"] = pettitt_changepoint
