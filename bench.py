@@ -125,6 +125,10 @@ SCALE_KEYS = (
     "l_diversity_events",
     "equidepth_histogram_2pass",
     "pettitt_changepoint",
+    "wasserstein_1d",
+    "top_value_share",
+    "t_closeness_profile",
+    "cohort_overlap_jaccard",
     # attribution_linear is NOT in the tier: the self-union multiplies
     # per-user event DENSITY (not user count), so its touch x purchase
     # pairs grow quadratically under replication — a union artifact, not
@@ -188,6 +192,10 @@ SCALE_INPUT = {
     "l_diversity_events": "events",
     "equidepth_histogram_2pass": "events",
     "pettitt_changepoint": "events",
+    "wasserstein_1d": "events",
+    "top_value_share": "events",
+    "t_closeness_profile": "events",
+    "cohort_overlap_jaccard": "events",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",

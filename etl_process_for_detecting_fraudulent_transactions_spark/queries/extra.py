@@ -1155,3 +1155,83 @@ FROM credited GROUP BY channel
 
 QUERIES["attribution_linear"] = attribution_linear
 ORACLES["attribution_linear"] = ORACLE_ATTRIB_LINEAR
+
+
+# ==== round-7 additions (appended BELOW the rotation window) =====================
+
+
+# -- day-over-day audience overlap (Jaccard) ---------------------------------------
+# The churn-vs-stickiness companion to retention_cohorts (weekly, anchored
+# at first activity): for each consecutive day pair (d, d+1), the Jaccard
+# similarity of the two days' ACTIVE USER sets — |A ∩ B| / |A ∪ B| with
+# the union by inclusion-exclusion, all integer, ppm-scaled with
+# truncating division. Scale shape: one distinct over (day, user) (single
+# key shuffle, partial map-side), the intersection via an equi-join of
+# that distinct set against itself shifted by one day (user+day keyed —
+# co-partitioned key shuffle, never a cross join), and the day-pair spine
+# is the per-day count table joined to itself shifted — calendar-bounded.
+# Only day pairs where BOTH days have activity emit (inner spine); a pair
+# with zero overlap emits 0 via the left join + coalesce. inter*1e6 <=
+# 1e17 for 1e11 daily actives — inside int64 with room.
+
+def cohort_overlap_jaccard(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    counts = du.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_day")
+    )
+    nxt = du.select(F.date_sub("day", 1).alias("day"), "user_id")
+    inter = du.join(nxt, ["day", "user_id"]).groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ni")
+    )
+    spine = counts.join(
+        counts.select(
+            F.date_sub("day", 1).alias("day"), F.col("n_day").alias("n_next")
+        ),
+        "day",
+    )
+    return (
+        spine.join(inter, "day", "left")
+        .select(
+            "day",
+            "n_day",
+            "n_next",
+            F.coalesce("ni", F.lit(0)).cast("bigint").alias("n_inter"),
+        )
+        .select(
+            "day",
+            "n_day",
+            "n_next",
+            "n_inter",
+            F.expr(
+                "CAST(n_inter * 1000000"
+                " div (n_day + n_next - n_inter) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+ORACLE_COHORT_OVERLAP = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+  FROM events WHERE user_id IS NOT NULL
+), counts AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_day FROM du GROUP BY day
+), inter AS (
+  SELECT a.day, CAST(COUNT(*) AS BIGINT) AS ni
+  FROM du a JOIN du b ON b.user_id = a.user_id AND b.day = a.day + 1
+  GROUP BY a.day
+), spine AS (
+  SELECT c1.day, c1.n_day, c2.n_day AS n_next
+  FROM counts c1 JOIN counts c2 ON c2.day = c1.day + 1
+)
+SELECT s.day, s.n_day, s.n_next,
+       CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_inter,
+       CAST(COALESCE(i.ni, 0) * 1000000
+            // (s.n_day + s.n_next - COALESCE(i.ni, 0)) AS BIGINT)
+         AS jaccard_ppm
+FROM spine s LEFT JOIN inter i ON i.day = s.day
+"""
+
+QUERIES["cohort_overlap_jaccard"] = cohort_overlap_jaccard
+ORACLES["cohort_overlap_jaccard"] = ORACLE_COHORT_OVERLAP

@@ -379,3 +379,149 @@ FROM classes
 
 QUERIES["l_diversity_events"] = l_diversity_events
 ORACLES["l_diversity_events"] = ORACLE_L_DIV
+
+
+# ==== round-7 additions (appended BELOW the rotation window) =====================
+
+
+# -- t-closeness audit -------------------------------------------------------------
+# Completes the k-anonymity / l-diversity privacy triad: a class can be
+# large AND diverse yet still leak if its sensitive-attribute DISTRIBUTION
+# deviates from the corpus-wide one. Classes = calendar day; ordered
+# sensitive attribute = event_type (lexical order); t(class) = the EMD
+# between the class and global distributions = (1/(m-1)) * SUM_i
+# |Pcum_class(i) - Pcum_global(i)| over the m sensitive values. Exact
+# integer form: per class c, SUM_i |cumc_i*N - cumg_i*n_c| ppm-scaled over
+# (m-1)*n_c*N, all cross-products in DECIMAL(38,0) (cumc*N ~ 1e24 at the
+# 100-TB posture). Scale shape: ONE fact-scale groupBy(day, event_type);
+# everything after runs on the dense day x type grid (calendar x domain
+# bounded — the grid is built by cross-joining the two broadcast distinct
+# lists so zero-count cells exist), with cumulative windows of m rows per
+# class and one <=m-row global ledger. greatest(m-1, 1) guards the m=1
+# division exactly: with one sensitive value every numerator term is
+# |n_c*N - N*n_c| = 0, so the guard never changes a value.
+
+def t_closeness_profile(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    days = cell.select("day").distinct()
+    types = cell.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("g")
+    )
+    tot = types.agg(
+        F.sum("g").cast("bigint").alias("big_n"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    wg = Window.orderBy("event_type").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # <=m rows — bounded metadata
+    gcum = types.select(
+        "event_type", F.sum("g").over(wg).cast("bigint").alias("cumg")
+    )
+    grid = (
+        days.crossJoin(F.broadcast(types.select("event_type")))
+        .join(cell, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("c", F.lit(0)).alias("c0"))
+    )
+    wclass = Window.partitionBy("day")
+    wccum = Window.partitionBy("day").orderBy("event_type").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # m rows per class
+    dec = "decimal(38,0)"
+    terms = (
+        grid.select(
+            "day",
+            F.sum("c0").over(wclass).cast("bigint").alias("n_c"),
+            F.sum("c0").over(wccum).cast("bigint").alias("cumc"),
+            "event_type",
+        )
+        .join(F.broadcast(gcum), "event_type")
+        .join(F.broadcast(tot))
+        .select(
+            "day",
+            "n_c",
+            "m",
+            "big_n",
+            F.abs(
+                F.col("cumc").cast(dec) * F.col("big_n")
+                - F.col("cumg").cast(dec) * F.col("n_c")
+            ).alias("term"),
+        )
+    )
+    per_class = terms.groupBy("day", "n_c", "m", "big_n").agg(
+        F.sum("term").alias("t_num")
+    ).select(
+        "day",
+        "n_c",
+        F.expr(
+            "CAST(t_num * 1000000 div (greatest(m - 1, 1)"
+            " * CAST(n_c AS DECIMAL(38,0)) * big_n) AS BIGINT)"
+        ).alias("t_ppm"),
+    )
+    return per_class.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.max("t_ppm").cast("bigint").alias("max_t_ppm"),
+        F.sum(F.when(F.col("t_ppm") > 200000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_at_risk"),
+        F.sum(F.when(F.col("t_ppm") > 200000, F.col("n_c")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+    )
+
+
+ORACLE_T_CLOSE = """
+WITH cell AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), types AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS g FROM cell GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS big_n,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM types
+), gcum AS (
+  SELECT event_type,
+         CAST(SUM(g) OVER (ORDER BY event_type ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cumg
+  FROM types
+), grid AS (
+  SELECT d.day, t.event_type, COALESCE(c.c, 0) AS c0
+  FROM (SELECT DISTINCT day FROM cell) d
+  CROSS JOIN (SELECT event_type FROM types) t
+  LEFT JOIN cell c ON c.day = d.day AND c.event_type = t.event_type
+), terms AS (
+  SELECT g.day,
+         CAST(SUM(c0) OVER (PARTITION BY g.day) AS BIGINT) AS n_c,
+         ABS(CAST(SUM(c0) OVER (PARTITION BY g.day ORDER BY g.event_type
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS HUGEINT) * tot.big_n
+             - CAST(gc.cumg AS HUGEINT) * SUM(c0) OVER (PARTITION BY g.day))
+           AS term,
+         tot.m, tot.big_n
+  FROM grid g
+  JOIN gcum gc ON gc.event_type = g.event_type
+  CROSS JOIN tot
+), per_class AS (
+  SELECT day, n_c,
+         CAST(SUM(term) * 1000000
+              // (GREATEST(m - 1, 1) * CAST(n_c AS HUGEINT) * big_n)
+           AS BIGINT) AS t_ppm
+  FROM terms GROUP BY day, n_c, m, big_n
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MAX(t_ppm) AS BIGINT) AS max_t_ppm,
+       CAST(SUM(CASE WHEN t_ppm > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_at_risk,
+       CAST(SUM(CASE WHEN t_ppm > 200000 THEN n_c ELSE 0 END) AS BIGINT)
+         AS rows_at_risk
+FROM per_class
+"""
+
+QUERIES["t_closeness_profile"] = t_closeness_profile
+ORACLES["t_closeness_profile"] = ORACLE_T_CLOSE

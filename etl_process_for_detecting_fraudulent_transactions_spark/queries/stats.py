@@ -3508,3 +3508,219 @@ FROM best WHERE rk = 1
 
 QUERIES["pettitt_changepoint"] = pettitt_changepoint
 ORACLES["pettitt_changepoint"] = ORACLE_PETTITT
+
+
+# ==== round-7 additions (appended BELOW the rotation window; growth =============
+# ==== throttled to <=5 gates this round per VERDICT r6 #2) ======================
+
+
+# -- 1-Wasserstein (earth-mover) distance, distributed prefix-sum -----------------
+# The integral companion to ks_two_sample (KS = max CDF deviation, W1 =
+# AREA between the CDFs): W1 = (1/(n1*n2)) * SUM over the pooled
+# milli-value support of |cum1*n2 - cum2*n1| * (next_v - v). Same scale
+# machinery as the KS gate: 1024-range-bucket split, cumulative window
+# partitioned BY BUCKET, <=1024-row offset ledger. The support-gap lead()
+# is ALSO bucket-local: each bucket's last row takes its successor from
+# the next non-empty bucket's min(v), computed on the bounded ledger — no
+# global window anywhere. Cross-products and the area sum ride
+# DECIMAL(38,0) (area <= n1*n2*range ~ 1e26 at the 100-TB posture); the
+# emitted area column is BIGINT for driver dtype parity (documented bound:
+# it wraps only past ~9e18, the same emission posture as max_cross_diff).
+
+def wasserstein_1d(spark, sf_dir):
+    from pyspark.sql import Window
+
+    NBINS = 1024
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    vals = ev.select(
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is1"),
+    )
+    per_v = vals.groupBy("v").agg(
+        F.sum("is1").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("is1")).cast("bigint").alias("c2"),
+    )
+    bounds = per_v.agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    binned = per_v.join(F.broadcast(bounds)).withColumn(
+        "bucket", F.expr(f"(v - mn) * {NBINS} div (mx - mn + 1)")
+    )
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wlead = Window.partitionBy("bucket").orderBy("v")
+    local = binned.select(
+        "bucket",
+        "v",
+        "n1",
+        "n2",
+        F.sum("c1").over(wloc).alias("l1"),
+        F.sum("c2").over(wloc).alias("l2"),
+        F.lead("v").over(wlead).alias("v_next_local"),
+    )
+    # <=1024-row ledger: per-bucket totals for the prefix offsets, plus each
+    # bucket's min(v) so the bucket's LAST support point can see its
+    # successor across the boundary (lead over the ledger, bounded metadata)
+    ledger = binned.groupBy("bucket").agg(
+        F.sum("c1").alias("b1"),
+        F.sum("c2").alias("b2"),
+        F.min("v").alias("bmn"),
+    )
+    wled = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wnext = Window.orderBy("bucket")
+    offsets = ledger.select(
+        "bucket",
+        (F.sum("b1").over(wled) - F.col("b1")).alias("o1"),
+        (F.sum("b2").over(wled) - F.col("b2")).alias("o2"),
+        F.lead("bmn").over(wnext).alias("next_bucket_v"),
+    )
+    dec = "decimal(38,0)"
+    steps = (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "n1",
+            "n2",
+            (F.col("l1") + F.col("o1")).alias("cum1"),
+            (F.col("l2") + F.col("o2")).alias("cum2"),
+            (
+                F.coalesce(F.col("v_next_local"), F.col("next_bucket_v"))
+                - F.col("v")
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    return (
+        steps.groupBy("n1", "n2")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum1").cast(dec) * F.col("n2")
+                    - F.col("cum2").cast(dec) * F.col("n1")
+                )
+                * F.col("gap")
+            ).alias("area_dec")
+        )
+        .select(
+            "n1",
+            "n2",
+            F.col("area_dec").cast("bigint").alias("area"),
+            F.expr(
+                "CAST(area_dec * 1000"
+                " div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+            ).alias("w1_micro"),
+        )
+    )
+
+
+ORACLE_WASSERSTEIN = """
+WITH vals AS (
+  SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+), per_v AS (
+  SELECT v, CAST(SUM(is1) AS BIGINT) AS c1,
+         CAST(SUM(1 - is1) AS BIGINT) AS c2
+  FROM vals GROUP BY v
+), cum AS (
+  SELECT SUM(c1) OVER w AS cum1, SUM(c2) OVER w AS cum2,
+         SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2,
+         LEAD(v) OVER (ORDER BY v) - v AS gap
+  FROM per_v
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(SUM(ABS(CAST(cum1 AS HUGEINT) * n2 - cum2 * n1) * gap)
+            AS BIGINT) AS area,
+       CAST(SUM(ABS(CAST(cum1 AS HUGEINT) * n2 - cum2 * n1) * gap) * 1000
+            // (CAST(MAX(n1) AS HUGEINT) * MAX(n2)) AS BIGINT) AS w1_micro
+FROM cum WHERE gap IS NOT NULL GROUP BY n1, n2
+"""
+
+QUERIES["wasserstein_1d"] = wasserstein_1d
+ORACLES["wasserstein_1d"] = ORACLE_WASSERSTEIN
+
+
+# -- top-1% value concentration via the shared boundary route ---------------------
+# "What share of total value do the top-1%-by-value events carry?" — the
+# revenue-concentration audit. The p99 boundary comes from the shared
+# _value_boundaries two-pass histogram (one ascending rank: n - ceil(n/100)
+# + 1), membership from a broadcast 1-element boundary array — no global
+# sort, no NTILE; the fact table sees two linear codegen scans and hash
+# aggregates. Tie posture matches the 2pass family: every row with v >=
+# boundary counts as top (value semantics), so n_top >= ceil(n/100) under
+# boundary ties. Milli-value sums emit as BIGINT (exact until total value
+# ~9e15 currency units); the share division rides DECIMAL(38,0). Requires
+# a non-empty value column (events.value is NOT NULL-total here by data
+# contract; the gate filters NULLs first).
+
+def top_value_share(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vals = ev.select(
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v")
+    )
+    bounds_arr = _value_boundaries(
+        spark, vals, "v", 1, "n - (n + 99) div 100 + 1"
+    )
+    joined = vals.join(F.broadcast(bounds_arr)).select(
+        "v", F.element_at("cs", 1).alias("b")
+    )
+    return (
+        joined.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.max("b").cast("bigint").alias("p99_boundary_milli"),
+            F.sum(F.when(F.col("v") >= F.col("b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_top"),
+            F.sum("v").cast("bigint").alias("total_milli"),
+            F.sum(F.when(F.col("v") >= F.col("b"), F.col("v")).otherwise(0))
+            .cast("bigint")
+            .alias("top_milli"),
+        )
+        .select(
+            "n_rows",
+            "p99_boundary_milli",
+            "n_top",
+            "total_milli",
+            "top_milli",
+            F.expr(
+                "CAST(CAST(top_milli AS DECIMAL(38,0)) * 1000000"
+                " div total_milli AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+ORACLE_TOP_SHARE = """
+WITH vals AS (
+  SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n
+  FROM vals
+), b AS (
+  SELECT MAX(CASE WHEN rn = n - (n + 99) // 100 + 1 THEN v END) AS b
+  FROM ranked
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(b.b) AS BIGINT) AS p99_boundary_milli,
+       CAST(SUM(CASE WHEN v >= b.b THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+       CAST(SUM(v) AS BIGINT) AS total_milli,
+       CAST(SUM(CASE WHEN v >= b.b THEN v ELSE 0 END) AS BIGINT)
+         AS top_milli,
+       CAST(SUM(CASE WHEN v >= b.b THEN CAST(v AS HUGEINT) ELSE 0 END)
+            * 1000000 // SUM(v) AS BIGINT) AS share_ppm
+FROM vals CROSS JOIN b
+"""
+
+QUERIES["top_value_share"] = top_value_share
+ORACLES["top_value_share"] = ORACLE_TOP_SHARE
