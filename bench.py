@@ -129,6 +129,7 @@ SCALE_KEYS = (
     "top_value_share",
     "t_closeness_profile",
     "cohort_overlap_jaccard",
+    "sessionize_2phase",
     # attribution_linear is NOT in the tier: the self-union multiplies
     # per-user event DENSITY (not user count), so its touch x purchase
     # pairs grow quadratically under replication — a union artifact, not
@@ -196,6 +197,7 @@ SCALE_INPUT = {
     "top_value_share": "events",
     "t_closeness_profile": "events",
     "cohort_overlap_jaccard": "events",
+    "sessionize_2phase": "events",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",

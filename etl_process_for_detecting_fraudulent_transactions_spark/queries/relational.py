@@ -818,3 +818,102 @@ FROM snap1 FULL OUTER JOIN snap2 USING (key)
 
 QUERIES["scd3_update"] = scd3_update
 ORACLES["scd3_update"] = ORACLE_SCD3
+
+
+# ==== round-7 additions (appended BELOW the rotation window) =====================
+
+
+# -- segmented sessionization (the degenerate-key scale path) ----------------------
+# sessionize's one structural bound, measured by tools/skew_scale_bench.py:
+# its per-user window puts ALL of a user's rows in one task, so a
+# degenerate head key (one user owning 56.5% of a 10M-row corpus) runs
+# 6.3x slower than uniform keys — and AQE cannot subdivide a window
+# partition. This variant is the classic segmented formulation with
+# IDENTICAL output (it shares sessionize's oracle):
+#   phase 1 — windows partitioned by (user_id, day-bucket): within-bucket
+#     lag/flag/running-seq, so the head user's rows spread across as many
+#     tasks as they span days;
+#   phase 2 — per-(user, bucket) metadata (first/last ts, local session
+#     count): a per-user window over BUCKET rows (calendar-bounded),
+#     deciding for each bucket whether its first event continues the
+#     previous non-empty bucket's last session (gap <= 30 min across the
+#     boundary) and prefix-summing the global session offsets;
+#   phase 3 — map each event's local seq to the global seq via a
+#     (user_id, bucket) equi-join (co-partitioned with phase 1) and run
+#     the same per-session aggregate.
+# Correct because bucket(ts) is monotone in ts: the ONLY cross-bucket
+# adjacency is (last event of previous non-empty bucket, first event of
+# this one) — same-ts ties always share a bucket, so within-bucket lag
+# covers everything else. Both gates ship: sessionize stays the faster
+# plan under real key distributions (one exchange, two window passes);
+# this is the shape that survives a pathological key, and the pairing is
+# recorded in plan_audit.BASELINE_PAIRS.
+
+def sessionize_2phase(spark, sf_dir):
+    GAP_US = 30 * 60 * 1_000_000
+    BUCKET_US = 86_400 * 1_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(f"unix_micros(ts) div {BUCKET_US}").alias("bkt"),
+    )
+    wloc = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+    wrunloc = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = (
+        ev.withColumn("prev_ts", F.lag("ts").over(wloc))
+        .withColumn(
+            "new_loc",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros("prev_ts")
+                    > GAP_US
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("loc_seq", F.sum("new_loc").over(wrunloc))
+    )
+    # per-(user, bucket) ledger: rows = users x active days, never events
+    meta = local.groupBy("user_id", "bkt").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum("new_loc").cast("bigint").alias("n_starts"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("bkt")
+    wboff = wb.rowsBetween(Window.unboundedPreceding, -1)
+    bridged = meta.withColumn(
+        "cont",
+        F.when(
+            F.unix_micros("first_ts")
+            - F.unix_micros(F.lag("last_ts").over(wb))
+            <= GAP_US,
+            1,
+        ).otherwise(0),
+    ).select(
+        "user_id",
+        "bkt",
+        "cont",
+        F.coalesce(
+            F.sum(F.col("n_starts") - F.col("cont")).over(wboff), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("offset"),
+    )
+    mapped = local.join(bridged, ["user_id", "bkt"]).select(
+        "user_id",
+        "ts",
+        (F.col("offset") + F.col("loc_seq") - F.col("cont"))
+        .cast("bigint")
+        .alias("session_seq"),
+    )
+    return mapped.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+QUERIES["sessionize_2phase"] = sessionize_2phase
+ORACLES["sessionize_2phase"] = ORACLE_SESSIONIZE

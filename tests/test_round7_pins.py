@@ -217,3 +217,104 @@ def test_cohort_overlap_jaccard_on_planted_days(spark, tmp_path):
         "2024-08-01": (3, 4, 2, _tdiv(2 * 1_000_000, 5)),
         "2024-08-02": (4, 1, 0, 0),
     }
+
+
+def test_sessionize_2phase_equals_sessionize_on_boundary_fixture(spark, tmp_path):
+    """The segmented formulation must equal the single-window gate row for
+    row on a fixture built to stress every boundary case: a session
+    CHAINING across three midnights (<=30-min bridges), a bucket whose
+    first event starts a fresh session (>30-min bridge), an empty day
+    between active days, an exactly-30-minute gap (same session: the rule
+    is strictly greater), a multi-session day, and a second user whose
+    events interleave in time."""
+    import datetime as dt
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.relational import (
+        sessionize,
+        sessionize_2phase,
+    )
+
+    d0 = dt.datetime(2024, 9, 1, 0, 0, 0)
+
+    def at(day, h, m, s=0):
+        return dt.datetime(2024, 9, day, h, m, s)
+
+    rows, eid = [], 0
+    for u, ts in [
+        # user 1: one session chaining across midnights of days 1->2->3
+        (1, at(1, 23, 50)),
+        (1, at(2, 0, 10)),    # 20 min across the boundary -> same session
+        (1, at(2, 12, 0)),    # >30 min inside day 2 -> NEW session
+        (1, at(2, 23, 45)),   # >30 min -> NEW session ...
+        (1, at(3, 0, 5)),     # ... chaining into day 3 (20 min)
+        # user 1: >30-min boundary -> day 4 starts fresh
+        (1, at(4, 9, 0)),
+        # user 1: empty day 5; day 6 with an exactly-30:00 gap (same
+        # session — the rule is strictly greater than 30 min)
+        (1, at(6, 10, 0)),
+        (1, at(6, 10, 30)),
+        (1, at(6, 11, 0, 1)),  # 30:01 -> NEW session
+        # user 2 interleaves
+        (2, at(1, 23, 55)),
+        (2, at(2, 0, 40)),    # 45 min -> NEW session
+    ]:
+        rows.append((eid, ts, u, "click", 1.0))
+        eid += 1
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).write.parquet(f"{path}/events.parquet")
+
+    key = lambda r: (r["user_id"], r["session_seq"])  # noqa: E731
+    base = {key(r): (r["n_events"], r["session_start"], r["session_end"])
+            for r in sessionize(spark, path).collect()}
+    seg = {key(r): (r["n_events"], r["session_start"], r["session_end"])
+           for r in sessionize_2phase(spark, path).collect()}
+    assert seg == base
+    # independent truth for user 1: sessions are
+    # {23:50, 0:10}, {12:00}, {23:45, 0:05}, {9:00}, {10:00, 10:30}, {11:00:01}
+    u1 = sorted((s, v[0]) for (u, s), v in base.items() if u == 1)
+    assert u1 == [(1, 2), (2, 1), (3, 2), (4, 1), (5, 2), (6, 1)]
+
+
+def test_sessionize_2phase_equals_sessionize_on_random_corpus(spark, tmp_path):
+    """Randomized equivalence sweep: 2500 events, 12 users, inter-event
+    gaps drawn to land on both sides of the 30-min threshold and to cross
+    midnights often (gap distribution peaks near the threshold and near
+    the bucket width). Exact row-set equality with the single-window
+    gate."""
+    import datetime as dt
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.relational import (
+        sessionize,
+        sessionize_2phase,
+    )
+
+    rng = random.Random(1234)
+    rows, eid = [], 0
+    for u in range(1, 13):
+        t = dt.datetime(2024, 9, 1, rng.randrange(24), rng.randrange(60))
+        for _ in range(rng.randrange(120, 260)):
+            rows.append((eid, t, u, "click", 1.0))
+            eid += 1
+            # adversarial gap mix: tiny, just-under, exactly-at, just-over
+            # threshold, hours, and near-a-day (forces empty buckets and
+            # boundary bridges); duplicates (gap 0) exercise the
+            # (ts, event_id) tie-break
+            gap = rng.choice(
+                [0, 1, 60, 1799, 1800, 1801, 3600, 7200, 80000, 90000]
+            )
+            t = t + dt.timedelta(seconds=gap)
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).write.parquet(f"{path}/events.parquet")
+
+    canon = lambda df: sorted(  # noqa: E731
+        (r["user_id"], r["session_seq"], r["n_events"],
+         r["session_start"], r["session_end"])
+        for r in df.collect()
+    )
+    assert canon(sessionize_2phase(spark, path)) == canon(
+        sessionize(spark, path)
+    )

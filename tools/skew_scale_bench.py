@@ -43,6 +43,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 GATES = (
     "sessionize",
+    "sessionize_2phase",
     "session_window_builtin",
     "asof_join_nearest",
     "cumulative_distinct_users",
