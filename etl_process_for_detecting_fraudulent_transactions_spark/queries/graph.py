@@ -523,8 +523,17 @@ ORACLES["bfs_distance"] = ORACLE_BFS
 # so both engines agree bit-for-bit. MIN_SUP pruning is applied to the
 # PAIR counts before any per-item join: at 100 TB the support threshold is
 # what bounds the candidate-pair volume (the Apriori monotonicity
-# argument); pair generation itself is basket-bounded (~deg² per order,
-# baskets are small), identical in shape to _copurchase_edges.
+# argument).
+#
+# Pair generation (round 7): BASKET-LOCAL double explode — groupBy(order)
+# collects each basket's part list (deg-bounded: TPC-H baskets are <=7
+# parts), then two chained explodes emit the ordered pairs map-side. The
+# round-6 shape self-joined the (order, part) fact table on the order key;
+# the measured shuffle inventory (tools/shuffle_audit.py) caught its local
+# AQE broadcast of the SF-PROPORTIONAL build side spilling 300+ MB at
+# sf0.1 — size-gated at scale (AQE degrades it to an SMJ of two
+# fact-table sorts), but the basket-local form needs ONE order-keyed
+# exchange and no join/broadcast at any scale, and the spill is gone.
 
 ASSOC_MIN_SUP = 2
 ASSOC_TOP = 100
@@ -541,10 +550,12 @@ def assoc_rules(spark, sf_dir):
     )
     n_orders = op.select("o").distinct().count()  # bounded driver scalar
     item = op.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
-    a, b = op.alias("a"), op.alias("b")
+    baskets = op.groupBy("o").agg(F.collect_list("p").alias("ps"))
     pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
-        .groupBy(F.col("a.p").alias("ant"), F.col("b.p").alias("cons"))
+        baskets.select("ps", F.explode("ps").alias("ant"))
+        .select("ant", F.explode("ps").alias("cons"))
+        .filter(F.col("ant") != F.col("cons"))
+        .groupBy("ant", "cons")
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= ASSOC_MIN_SUP)
     )

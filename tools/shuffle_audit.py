@@ -1,0 +1,200 @@
+"""MEASURED shuffle inventory per gate (round 7).
+
+PLANS.md counts exchange NODES; SCALING.md argues which shuffles carry
+bounded metadata vs data-scale rows. This tool closes the loop with
+measured bytes: it runs every gate once with the Spark event log enabled,
+tags each gate's jobs via setJobGroup, and aggregates per-task metrics
+from the event log (public JSON format) into per-gate totals:
+
+  - shuffle_write_mb  — bytes written by all shuffle map stages
+  - shuffle_read_mb   — bytes read by all shuffle reduce stages
+  - spill_mem_mb      — in-memory size of data that was spilled (inflated:
+                        it counts the unserialized form)
+  - spill_disk_mb     — compressed bytes actually written to disk by
+                        spills; non-zero locally means an operator's
+                        working set outgrew its memory-manager share
+  - input_mb          — bytes read from the source AFTER column pruning
+                        (so a 2-column projection of a wide parquet shows
+                        the pruned scan, not the file size)
+
+A gate whose plan "shuffles only bounded metadata" must show
+shuffle_write ≪ input; a gate whose shuffle_write exceeds its input has
+write amplification worth explaining (wide pre-aggregation rows, exploded
+intermediates). The table prints sorted by shuffle_write so regressions
+surface at the top of a diff.
+
+Usage: python tools/shuffle_audit.py [sf_dir] [key ...]
+Writes SHUFFLES.md at the repo root when run over the full registry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_gates(sf_dir: str, only: set[str], event_dir: str) -> list[str]:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", f"file://{event_dir}")
+        # plain JSON lines — the default zstd stream has no stdlib reader
+        .config("spark.eventLog.compress", "false")
+        .appName("shuffle_audit")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries import all_queries
+
+    ran = []
+    sc = spark.sparkContext
+    for key, fn in all_queries().items():
+        if only and key not in only:
+            continue
+        sc.setJobGroup(key, key)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            ran.append(key)
+        except Exception as exc:  # noqa: BLE001 — audit must cover the rest
+            print(f"# {key}: ERROR {str(exc)[:160]}", file=sys.stderr)
+        finally:
+            spark.catalog.clearCache()
+    spark.stop()  # flushes the event log
+    return ran
+
+
+def parse_event_log(event_dir: str) -> dict[str, dict[str, float]]:
+    """group -> aggregated task metrics, from the public event-log JSON."""
+    # Spark 4 writes a rolling event-log DIRECTORY (eventlog_v2_<appid>/
+    # events_*) rather than a single file; walk both shapes
+    logs = []
+    for root, _dirs, files in os.walk(event_dir):
+        for f in files:
+            if not f.startswith(".") and "appstatus" not in f:
+                logs.append(os.path.join(root, f))
+    job_group_by_stage: dict[int, str] = {}
+    agg: dict[str, dict[str, float]] = {}
+    for path in sorted(logs):
+        with open(path, errors="replace") as fh:
+            for line in fh:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                etype = ev.get("Event")
+                if etype == "SparkListenerJobStart":
+                    grp = (ev.get("Properties") or {}).get("spark.jobGroup.id")
+                    if grp:
+                        for si in ev.get("Stage Infos", []):
+                            job_group_by_stage[si["Stage ID"]] = grp
+                elif etype == "SparkListenerTaskEnd":
+                    grp = job_group_by_stage.get(ev.get("Stage ID"))
+                    tm = ev.get("Task Metrics")
+                    if not grp or not tm:
+                        continue
+                    a = agg.setdefault(
+                        grp,
+                        {"write": 0.0, "read": 0.0, "spill_mem": 0.0,
+                         "spill_disk": 0.0, "input": 0.0},
+                    )
+                    sw = tm.get("Shuffle Write Metrics") or {}
+                    sr = tm.get("Shuffle Read Metrics") or {}
+                    inp = tm.get("Input Metrics") or {}
+                    a["write"] += sw.get("Shuffle Bytes Written", 0)
+                    a["read"] += sr.get("Remote Bytes Read", 0) + sr.get(
+                        "Local Bytes Read", 0
+                    )
+                    a["spill_mem"] += tm.get("Memory Bytes Spilled", 0)
+                    a["spill_disk"] += tm.get("Disk Bytes Spilled", 0)
+                    a["input"] += inp.get("Bytes Read", 0)
+    return agg
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])
+
+    with tempfile.TemporaryDirectory(prefix="shuffle_audit_") as event_dir:
+        ran = run_gates(sf_dir, only, event_dir)
+        agg = parse_event_log(event_dir)
+
+    mb = 1024.0 * 1024.0
+    rows = []
+    for key in ran:
+        a = agg.get(
+            key,
+            {"write": 0, "read": 0, "spill_mem": 0, "spill_disk": 0,
+             "input": 0},
+        )
+        rows.append(
+            (
+                key,
+                a["write"] / mb,
+                a["read"] / mb,
+                a["spill_mem"] / mb,
+                a["spill_disk"] / mb,
+                a["input"] / mb,
+            )
+        )
+    rows.sort(key=lambda r: -r[1])
+
+    out = [
+        "# SHUFFLES — measured shuffle inventory per gate",
+        "",
+        f"Generated by `python tools/shuffle_audit.py` at `{sf_dir}`"
+        " (one cold run per gate, noop sink, event-log task metrics).",
+        "",
+        "shuffle_write = bytes all map stages wrote; a gate whose plan",
+        "claims bounded-metadata shuffles must show write ≪ input (input",
+        "is the PRUNED scan, so it can be near 0 for narrow projections).",
+        "spill_disk > 0 means an operator's working set outgrew its",
+        "memory-manager share on this host — investigate, and check",
+        "whether the spilling operator is size-gated (an AQE broadcast",
+        "degrades to SMJ at scale; a window partition does not split).",
+        "Sorted by shuffle_write so regressions surface in diffs.",
+        "",
+        "| gate | shuffle_write MB | shuffle_read MB | spill_mem MB |"
+        " spill_disk MB | input MB |",
+        "|---|---|---|---|---|---|",
+    ]
+    for key, w, r, sm, sd, i in rows:
+        out.append(
+            f"| {key} | {w:.1f} | {r:.1f} | {sm:.1f} | {sd:.1f} | {i:.1f} |"
+        )
+    text = "\n".join(out) + "\n"
+    if not only:
+        dest = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SHUFFLES.md",
+        )
+        with open(dest, "w") as fh:
+            fh.write(text)
+        print(f"wrote {dest}: {len(rows)} gates")
+    else:
+        print(text)
+
+    # >1 MB: a full-suite pass accumulates memory pressure that can push a
+    # few KB to disk on a healthy gate; a real working-set overflow (the
+    # pre-rewrite assoc_rules broadcast build: 300+ MB) clears this bar by
+    # orders of magnitude
+    spilled = [
+        (k, round(sd, 1)) for k, w, r, sm, sd, i in rows if sd > 1.0
+    ]
+    if spilled:
+        print(f"DISK SPILL DETECTED (MB): {spilled}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
