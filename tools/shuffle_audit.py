@@ -156,7 +156,9 @@ def main() -> int:
         "",
         "shuffle_write = bytes all map stages wrote; a gate whose plan",
         "claims bounded-metadata shuffles must show write ≪ input (input",
-        "is the PRUNED scan, so it can be near 0 for narrow projections).",
+        "is the PRUNED, dictionary-compressed scan, so it reads near 0 for",
+        "narrow or low-cardinality projections — treat it as a lower",
+        "bound, not the parquet file size).",
         "spill_disk > 0 means an operator's working set outgrew its",
         "memory-manager share on this host — investigate, and check",
         "whether the spilling operator is size-gated (an AQE broadcast",
