@@ -52,6 +52,11 @@ from . import (
 # (3) ~34 of the 46 r4-stale keys stalest-first (approx_distinct_kmv ..
 # variant_json_ops — `tools/rotation_check.py` lists them); (4) any round-7
 # additions. That clears all pre-r5 evidence debt by round 8 close.
+# Round-8 gate-slot candidates (keep the ≤5 throttle): segmented siblings
+# for the two remaining degenerate-key window walls the round-7 skew tier
+# measured (asof_join_nearest 2.8×, session_window_builtin 9.4× at a
+# 56%-head key — tools/skew_scale_bench.py; sessionize already has its
+# sibling, the same ledger-merge recipe applies).
 _MODULES = (
     relational,
     extra,
