@@ -399,12 +399,17 @@ ORACLES["l_diversity_events"] = ORACLE_L_DIV
 # lists so zero-count cells exist), with cumulative windows of m rows per
 # class and one <=m-row global ledger. greatest(m-1, 1) guards the m=1
 # division exactly: with one sensitive value every numerator term is
-# |n_c*N - N*n_c| = 0, so the guard never changes a value.
+# |n_c*N - N*n_c| = 0, so the guard never changes a value. NULL day/type
+# rows are excluded up front: the cumulative windows ORDER BY event_type,
+# and Spark sorts NULLS FIRST where DuckDB sorts NULLS LAST — filtering
+# (a no-op on this corpus) keeps the engines aligned on any input.
 
 def t_closeness_profile(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     cell = ev.groupBy(
         F.to_date("ts").alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
@@ -478,7 +483,9 @@ ORACLE_T_CLOSE = """
 WITH cell AS (
   SELECT CAST(ts AS DATE) AS day, event_type,
          CAST(COUNT(*) AS BIGINT) AS c
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
 ), types AS (
   SELECT event_type, CAST(SUM(c) AS BIGINT) AS g FROM cell GROUP BY 1
 ), tot AS (
