@@ -837,6 +837,17 @@ def test_drift_stream_final_state_matches_python_replay(spark, tmp_path):
     }
     assert final, "stream emitted nothing"
 
+    # state-size pin (the O(keys) claim, measured in-suite): the state
+    # store holds exactly one row per event type — never a function of the
+    # number of events streamed (tools/state_audit.py measures the same
+    # invariant across a 10x input step)
+    state_rows = max(
+        p.stateOperators[0].numRowsTotal
+        for p in q.recentProgress
+        if p.stateOperators
+    )
+    assert state_rows == len({t for t, _v, _ts in rows})
+
     # python replay of the definition
     per_type = {}
     for t, v, _ts in rows:
