@@ -318,3 +318,62 @@ def test_sessionize_2phase_equals_sessionize_on_random_corpus(spark, tmp_path):
     assert canon(sessionize_2phase(spark, path)) == canon(
         sessionize(spark, path)
     )
+
+
+def test_top_value_share_tiny_corpus_boundary_is_max(spark, tmp_path):
+    """n=5 < 100: ceil(n/100)=1, so the p99 boundary is the MAX value and
+    the top set is exactly the max's tie group (value semantics)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        top_value_share,
+    )
+
+    base = dt.datetime(2024, 6, 2, 8)
+    vals = [1.0, 2.0, 9.5, 9.5, 3.0]  # max 9.5 tied twice
+    rows = [(i, base, 1, "click", v) for i, v in enumerate(vals)]
+    path = _write_events(spark, tmp_path, rows)
+
+    row = top_value_share(spark, path).collect()[0]
+    assert row["n_rows"] == 5
+    assert row["p99_boundary_milli"] == 9500
+    assert row["n_top"] == 2 and row["top_milli"] == 19000
+    assert row["share_ppm"] == _tdiv(19000 * 1_000_000, 25000)
+
+
+def test_wasserstein_disjoint_supports(spark, tmp_path):
+    """Fully disjoint supports: every click below every purchase. W1 must
+    equal the gap between the means (for equal counts) — here click at
+    {1.0, 2.0} vs purchase at {10.0, 11.0}: W1 = 9.0 exactly."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.stats import (
+        wasserstein_1d,
+    )
+
+    base = dt.datetime(2024, 5, 2, 9)
+    rows = [
+        (0, base, 1, "click", 1.0),
+        (1, base, 1, "click", 2.0),
+        (2, base, 1, "purchase", 10.0),
+        (3, base, 1, "purchase", 11.0),
+    ]
+    path = _write_events(spark, tmp_path, rows)
+    row = wasserstein_1d(spark, path).collect()[0]
+    # equal counts + equal shapes shifted by 9000 milli -> W1 = 9000 milli
+    assert row["w1_micro"] == 9_000_000
+    expect = _w1_replay([1000, 2000], [10000, 11000])
+    assert (row["n1"], row["n2"], row["area"], row["w1_micro"]) == expect
+
+
+def test_cohort_overlap_skips_calendar_gaps(spark, tmp_path):
+    """A missing day between two active days produces NO row for either
+    neighbor (the spine joins day to day+1 among ACTIVE days only): day 1
+    and day 3 active, day 2 empty -> zero output rows."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.extra import (
+        cohort_overlap_jaccard,
+    )
+
+    base = dt.datetime(2024, 8, 10, 12)
+    rows = [
+        (0, base, 1, "click", 1.0),
+        (1, base + dt.timedelta(days=2), 1, "click", 1.0),
+    ]
+    path = _write_events(spark, tmp_path, rows)
+    assert cohort_overlap_jaccard(spark, path).count() == 0
