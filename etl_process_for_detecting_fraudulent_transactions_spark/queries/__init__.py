@@ -32,31 +32,27 @@ from . import (
 )
 
 # Order matters: the driver's correctness budget covers the first ~50
-# registered queries (r1-r6 each checked exactly the first 50). Round-7
-# rotation executes the r6 judge's amended plan (VERDICT r6 "Next round" #1):
-# never-driver-checked evidence is WORSE than stale-but-once-green, so the
-# window is:
-#   1-14  the 14 round-6 gates that have never been driver-checked
-#         (lift_gains_value_deciles .. l_diversity_events);
-#   15-20 the 6 remaining r2-stale keys (seq_packing .. merge_upsert);
-#   21-50 the first 30 of the 46 r3-stale keys (countmin_heavy_hitters ..
-#         join_residual_ineq, in `tools/rotation_check.py` order).
-# After position 50: the remaining 16 r3-stale keys, then family order.
-# Round-7 additions are appended BELOW the window (growth throttled to ≤5
-# per VERDICT r6 #2 so evidence debt converges).
+# registered queries (r1-r7 each checked exactly the first 50). Round-8
+# rotation executes the r7 judge's amended plan (VERDICT r7 "Next round"
+# #1): never-driver-checked evidence is WORSE than stale-but-once-green,
+# so the window is:
+#   1-5   the 5 round-7 gates that have never been driver-checked
+#         (wasserstein_1d .. sessionize_2phase, rotation_check order);
+#   6-21  the 16 remaining r3-stale keys (window_lead_gap ..
+#         tpch_q21_waiting_suppliers);
+#   22-50 the first 29 of the 46 r4-stale keys (approx_distinct_kmv ..
+#         dedup_signature_est, in `tools/rotation_check.py` order).
+# After position 50: the remaining 17 r4-stale keys, then family order.
+# Round-8 additions are appended BELOW the window (growth throttled to ≤5
+# per VERDICT r7 #4 so evidence debt converges; registry ≤222 at close).
 #
-# ROUND-8 ROTATION PLAN (written now so the next session executes, not
-# re-derives): assuming CORRECTNESS_r07 goes green on this window, the r8
-# priority list should be (1) any r7 reds, fixed, first; (2) the 16
-# remaining r3-stale keys (window_lead_gap .. tpch_q21_waiting_suppliers);
-# (3) ~34 of the 46 r4-stale keys stalest-first (approx_distinct_kmv ..
-# variant_json_ops — `tools/rotation_check.py` lists them); (4) any round-7
-# additions. That clears all pre-r5 evidence debt by round 8 close.
-# Round-8 gate-slot candidates (keep the ≤5 throttle): segmented siblings
-# for the two remaining degenerate-key window walls the round-7 skew tier
-# measured (asof_join_nearest 2.8×, session_window_builtin 9.4× at a
-# 56%-head key — tools/skew_scale_bench.py; sessionize already has its
-# sibling, the same ledger-merge recipe applies).
+# ROUND-9 ROTATION PLAN (written now so the next session executes, not
+# re-derives): assuming CORRECTNESS_r08 goes green on this window, the r9
+# priority list should be (1) any r8 reds, fixed, first; (2) the round-8
+# additions (never-checked); (3) the 17 remaining r4-stale keys
+# (minhash_containment .. variant_json_ops); (4) the r5-stale cohort,
+# stalest-first per `tools/rotation_check.py`. That makes max staleness r5
+# at round-9 open (VERDICT r7 #4's bar) and clears r4 debt entirely.
 _MODULES = (
     relational,
     extra,
@@ -75,61 +71,13 @@ _MODULES = (
 
 # Keys verified first this round (never-driver-checked first, then stalest).
 _PRIORITY_KEYS = (
-    # -- 1-14: the round-6 additions, never driver-checked (VERDICT r6 #1) --
-    "lift_gains_value_deciles",
-    "equidepth_histogram_2pass",
-    "theil_sen_slope",
-    "mann_kendall_trend",
-    "gini_impurity_daily",
-    "hll_registers",
-    "ks_two_sample",
-    "spearman_daily",
-    "pettitt_changepoint",
-    "holt_winters_level_trend",
-    "asof_join_forward",
-    "autocorr_lag",
-    "k_anonymity_profile",
-    "l_diversity_events",
-    # -- 15-20: the 6 remaining r2-stale keys --
-    "seq_packing",
-    "eval_contamination",
-    "resample_ffill",
-    "hopping_window_stats",
-    "integrity_checks",
-    "merge_upsert",
-    # -- 21-50: first 30 of the 46 r3-stale keys (rotation_check order) --
-    "countmin_heavy_hitters",
-    "substring_dedup",
-    "gopher_quality_filter",
-    "tfidf_keywords",
-    "bigram_lm_counts",
-    "data_skew_profile",
-    "domain_mix_sample",
-    "per_source_cap",
-    "dedup_minhash_mllib",
-    "dedup_prefix_jaccard",
-    "dedup_incremental",
-    "range_join_events",
-    "funnel_steps",
-    "retention_cohorts",
-    "knn_brute_force",
-    "knn_lsh",
-    "embedding_cosine_pairs",
-    "knn_ivf",
-    "knn_lsh_multiprobe",
-    "label_centroid_assign",
-    "semantic_dedup",
-    "multimodal_frame_sample",
-    "pricing_summary",
-    "groupby_having_countdistinct",
-    "groupby_max",
-    "join_3hop_agg",
-    "left_join_count",
-    "anti_join",
-    "semi_join",
-    "join_residual_ineq",
-    # ---- window boundary (driver checks ~50) ----
-    # -- the remaining 16 r3-stale keys (round-8 window, per the plan above) --
+    # -- 1-5: the round-7 additions, never driver-checked (VERDICT r7 #1) --
+    "wasserstein_1d",
+    "top_value_share",
+    "t_closeness_profile",
+    "cohort_overlap_jaccard",
+    "sessionize_2phase",
+    # -- 6-21: the 16 remaining r3-stale keys --
     "window_lead_gap",
     "window_lag_seq",
     "concat_null",
@@ -146,6 +94,54 @@ _PRIORITY_KEYS = (
     "tpch_q15_top_supplier",
     "tpch_q20_promotion_suppliers",
     "tpch_q21_waiting_suppliers",
+    # -- 22-50: first 29 of the 46 r4-stale keys (rotation_check order) --
+    "approx_distinct_kmv",
+    "zscore_outliers",
+    "equidepth_histogram",
+    "kmv_set_ops",
+    "incremental_join_view",
+    "drift_ks_test",
+    "trend_slope_ols",
+    "auc_mann_whitney",
+    "decision_stump_train",
+    "bloom_filter_probe",
+    "doc_novelty_score",
+    "inverted_index",
+    "keyword_search_topk",
+    "bpe_merge_step",
+    "bm25_topk",
+    "classifier_eval",
+    "max_concurrent_events",
+    "event_path_trigrams",
+    "bfs_distance",
+    "assoc_rules",
+    "gap_islands",
+    "ewma_anomaly",
+    "ohlc_bars",
+    "twap_daily",
+    "interval_union",
+    "weighted_sample",
+    "dedup_clusters",
+    "dedup_canonical_pick",
+    "dedup_signature_est",
+    # ---- window boundary (driver checks ~50) ----
+    # -- the remaining 17 r4-stale keys (round-9 window, per the plan above) --
+    "minhash_containment",
+    "record_linkage_fs",
+    "datetime_ops",
+    "regex_ops",
+    "attribution_last_touch",
+    "pq_encode",
+    "knn_pq_adc",
+    "knn_ivf_pq",
+    "multimodal_features",
+    "multimodal_audio_features",
+    "multimodal_resize",
+    "multimodal_bmp_features",
+    "multimodal_png_features",
+    "multimodal_jpeg_features",
+    "multimodal_jpeg_color",
+    "variant_json_ops",
 )
 
 # Family order after the priority keys: remaining r2-stale families first

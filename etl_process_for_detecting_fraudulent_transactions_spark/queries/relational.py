@@ -591,7 +591,15 @@ def sessionize(spark, sf_dir):
     lag → new-session flag → running SUM (ROWS UNBOUNDED PRECEDING) builds
     session ids in two window passes over ONE user_id exchange; per-session
     aggregate rides the same partitioning."""
-    ev = _t(spark, sf_dir, "events")
+    # Null posture (shared contract with sessionize_2phase and the oracle):
+    # rows with NULL user_id or NULL ts are not sessionizable — a null key
+    # has no owner and a null ts has no order position (and Spark sorts
+    # NULLS FIRST where DuckDB sorts NULLS LAST, so any other posture
+    # diverges across engines). Both gates and ORACLE_SESSIONIZE filter
+    # them explicitly.
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = (
@@ -619,6 +627,7 @@ WITH s AS (
   SELECT event_id, user_id, ts,
          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 flagged AS (
   SELECT *, CASE WHEN prev_ts IS NULL
@@ -852,7 +861,13 @@ ORACLES["scd3_update"] = ORACLE_SCD3
 def sessionize_2phase(spark, sf_dir):
     GAP_US = 30 * 60 * 1_000_000
     BUCKET_US = 86_400 * 1_000_000
-    ev = _t(spark, sf_dir, "events").select(
+    # Same explicit null posture as sessionize (see its comment): NULL
+    # user_id / NULL ts rows are filtered in both gates and the shared
+    # oracle, so the inner (user_id, bkt) ledger join here is exact — no
+    # null-key row can exist to be dropped by it.
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
         "event_id",
         "user_id",
         "ts",

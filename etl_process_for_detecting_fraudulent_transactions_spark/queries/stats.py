@@ -3613,9 +3613,14 @@ def wasserstein_1d(spark, sf_dir):
             "n1",
             "n2",
             F.col("area_dec").cast("bigint").alias("area"),
+            # Empty-side posture: with only clicks or only purchases the
+            # n1*n2 normalizer is 0 — under ANSI mode a bare div would
+            # raise DIVIDE_BY_ZERO, so the denominator rides nullif and
+            # w1_micro is NULL for a one-sided input (area stays 0).
+            # Mirrored in the oracle's NULLIF.
             F.expr(
                 "CAST(area_dec * 1000"
-                " div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+                " div nullif(CAST(n1 AS DECIMAL(38,0)) * n2, 0) AS BIGINT)"
             ).alias("w1_micro"),
         )
     )
@@ -3642,7 +3647,8 @@ SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
        CAST(SUM(ABS(CAST(cum1 AS HUGEINT) * n2 - cum2 * n1) * gap)
             AS BIGINT) AS area,
        CAST(SUM(ABS(CAST(cum1 AS HUGEINT) * n2 - cum2 * n1) * gap) * 1000
-            // (CAST(MAX(n1) AS HUGEINT) * MAX(n2)) AS BIGINT) AS w1_micro
+            // NULLIF(CAST(MAX(n1) AS HUGEINT) * MAX(n2), 0)
+            AS BIGINT) AS w1_micro
 FROM cum WHERE gap IS NOT NULL GROUP BY n1, n2
 """
 

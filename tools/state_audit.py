@@ -75,15 +75,23 @@ def _drive(spark, df_stream, name: str, ckpt: str):
     )
     t0 = time.time()
     last = None
+    last_batch = -1
     idle = 0
     while time.time() - t0 < 600:
+        progressed = False
         for p in q.recentProgress:
             so = p.stateOperators
             if p.numInputRows > 0 and so:
                 last = so[0]
+                if p.batchId > last_batch:
+                    last_batch = p.batchId
+                    progressed = True
+        # Drain until NEW data batches stop arriving: the idle counter only
+        # advances on polls that saw no fresh batch and resets whenever one
+        # lands, so a slow host can't snapshot state mid-stream (the old
+        # counter ticked on every poll after the FIRST batch).
         if last is not None:
-            # drain until input batches stop arriving
-            idle += 1
+            idle = 0 if progressed else idle + 1
             if idle >= 6:
                 break
         time.sleep(0.5)
