@@ -1102,9 +1102,14 @@ def session_window_builtin(spark, sf_dir):
     """Per-user sessionization through Spark's BUILT-IN ``F.session_window``
     (the operator Structured Streaming shares for stateful session aggs) —
     gated against the lag-gap islands oracle, proving the built-in's merge
-    semantics equal the classic SQL formulation: a 30-minute gap closes a
-    session, and an event landing EXACTLY on the boundary starts a new one
-    (session windows are end-exclusive; the oracle's >= mirrors it).
+    semantics equal the classic SQL formulation: a gap STRICTLY longer
+    than 30 minutes closes a session. An event landing EXACTLY on the
+    boundary CONTINUES the session — session windows merge when touching
+    (next.start <= prev.end), measured on a planted exact-30-minute gap in
+    tests/test_round8_pins.py; the oracle's strict > mirrors it. (Round 8
+    corrected both this comment and the oracle from the >= reading — the
+    synthetic corpus's microsecond jitter never plants an exact boundary,
+    so parity alone could not distinguish the two.)
     Output stays integer-exact: event counts and the min/max-ts epoch
     bounds in microseconds. One shuffle on user_id; session merging is
     local within the partition."""
@@ -1130,7 +1135,7 @@ ORACLE_SESSION_WINDOW = """
 WITH e AS (
   SELECT user_id, ts,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   >= INTERVAL 30 MINUTE
+                   > INTERVAL 30 MINUTE
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events WHERE user_id IS NOT NULL
@@ -1417,3 +1422,232 @@ FROM agg
 
 QUERIES["autocorr_lag"] = autocorr_lag
 ORACLES["autocorr_lag"] = ORACLE_AUTOCORR
+
+
+# ==== round-8 additions (appended BELOW the rotation window) =====================
+#
+# Segmented, skew-IMMUNE siblings for the two per-user window gates the
+# round-7 planted-skew tier measured hitting a degenerate-key wall
+# (tools/skew_scale_bench.py: session_window_builtin 9.4x, asof_join_nearest
+# 2.8x at a 56%-head user — one task owns the head user under the
+# Window.partitionBy(user_id) contract and AQE cannot split a window
+# partition). Both apply sessionize_2phase's ledger-merge recipe: do the
+# per-user work inside (user_id, day-bucket) segments — so a celebrity
+# user's rows split across as many tasks as they have active days — then
+# reconcile across segment boundaries with a per-(user, bucket) LEDGER
+# whose size is users x active-days (bounded metadata, never event-scale).
+# Each sibling shares its baseline's oracle, is paired machine-visibly in
+# tools/plan_audit.BASELINE_PAIRS, and has a pinned planted-data
+# equivalence test against its baseline (tests/test_round8_pins.py).
+
+
+def session_window_segmented(spark, sf_dir):
+    """Skew-immune sibling of ``session_window_builtin`` — IDENTICAL output
+    (shares ORACLE_SESSION_WINDOW): per-user 30-minute-gap sessions with
+    the built-in's merge semantics — a gap STRICTLY longer than 30 minutes
+    starts a new session; an event EXACTLY on the boundary continues it
+    (touching session windows merge; pinned on a planted exact gap in
+    tests/test_round8_pins.py).
+
+    Phase 1 sessionizes inside (user_id, day-bucket) windows — the head
+    user's rows split across active days instead of one task. Phase 2
+    reconciles boundaries on the per-(user, bucket) ledger: a bucket whose
+    first event is <= 30 min after the previous active bucket's last event
+    CONTINUES that session, so its local session 1 is merged via a running
+    offset of session starts. The ledger windows and the (user_id, bkt)
+    equi-join touch users x active-days rows only.
+
+    Null posture: NULL user_id rows are filtered exactly as in the builtin
+    gate and the shared oracle; NULL ts rows are filtered too (a null ts
+    has no session position — the family contract, see sessionize)."""
+    GAP_US = 30 * 60 * 1_000_000
+    BUCKET_US = 86_400 * 1_000_000
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t_us"),
+            F.expr(f"unix_micros(ts) div {BUCKET_US}").alias("bkt"),
+        )
+    )
+    wloc = Window.partitionBy("user_id", "bkt").orderBy("t_us")
+    wrunloc = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = (
+        ev.withColumn("prev_us", F.lag("t_us").over(wloc))
+        .withColumn(
+            "new_loc",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("t_us") - F.col("prev_us") > GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("loc_seq", F.sum("new_loc").over(wrunloc))
+    )
+    # per-(user, bucket) ledger: rows = users x active days, never events
+    meta = local.groupBy("user_id", "bkt").agg(
+        F.min("t_us").alias("first_us"),
+        F.max("t_us").alias("last_us"),
+        F.sum("new_loc").cast("bigint").alias("n_starts"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("bkt")
+    wboff = wb.rowsBetween(Window.unboundedPreceding, -1)
+    # cont=1: this bucket's first event continues the previous active
+    # bucket's last session (gap <= 30 min — the builtin merges touching
+    # windows, so only a STRICTLY longer gap starts a new session; same
+    # boundary algebra as sessionize_2phase).
+    bridged = meta.withColumn(
+        "cont",
+        F.when(
+            F.col("first_us") - F.lag("last_us").over(wb) <= GAP_US, 1
+        ).otherwise(0),
+    ).select(
+        "user_id",
+        "bkt",
+        "cont",
+        F.coalesce(
+            F.sum(F.col("n_starts") - F.col("cont")).over(wboff), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("offset"),
+    )
+    mapped = local.join(bridged, ["user_id", "bkt"]).select(
+        "user_id",
+        "t_us",
+        (F.col("offset") + F.col("loc_seq") - F.col("cont"))
+        .cast("bigint")
+        .alias("session_seq"),
+    )
+    return (
+        mapped.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("t_us").alias("start_us"),
+            F.max("t_us").alias("last_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "start_us",
+            "last_us",
+            "n_events",
+            (F.col("last_us") - F.col("start_us")).alias("span_us"),
+        )
+    )
+
+
+QUERIES["session_window_segmented"] = session_window_segmented
+ORACLES["session_window_segmented"] = ORACLE_SESSION_WINDOW
+
+
+def asof_join_segmented(spark, sf_dir):
+    """Skew-immune sibling of ``asof_join_nearest`` — IDENTICAL output
+    (shares ORACLE_ASOF): each purchase matched to the user's most recent
+    click at or before it (inclusive, DuckDB ASOF's >=).
+
+    Phase 1 runs the union-window carry inside (user_id, day-bucket)
+    segments. Phase 2 builds a per-(user, bucket) ledger holding each
+    bucket's LAST click (one struct row per active bucket) and carries the
+    latest preceding click across buckets with one ledger-scale
+    ``last(ignorenulls)`` window; a purchase with no click earlier in its
+    own bucket takes the carried-in click. Ledger windows and the
+    (user_id, bkt) join are users x active-days sized.
+
+    Clicks are deduped to one per (user, ts) by max event_id FIRST via a
+    hash aggregate (skew-immune — no per-user window), making the tie at
+    an identical timestamp deterministic in both engines.
+
+    Null posture: NULL user_id / NULL ts rows are filtered explicitly —
+    the oracle's ASOF equi-join on user_id never matches null keys, so the
+    filter makes the Spark plan's posture match the oracle exactly (the
+    baseline gate instead groups nulls into one window partition — a
+    documented, corpus-protected divergence this sibling does not have)."""
+    BUCKET_US = 86_400 * 1_000_000
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("cid"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("bigint").alias("pid"),
+            "cid",
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("pid"),
+        F.lit(None).cast("bigint").alias("cid"),
+    )
+    tagged = clicks.unionByName(purchases).select(
+        "user_id",
+        "kind",
+        "pid",
+        "cid",
+        F.unix_micros("ts").alias("t_us"),
+        F.expr(f"unix_micros(ts) div {BUCKET_US}").alias("bkt"),
+    )
+    # phase 1: local carry within (user, day-bucket); click-before-purchase
+    # at an identical instant via the kind sort key, as in the baseline
+    wloc = (
+        Window.partitionBy("user_id", "bkt")
+        .orderBy("t_us", "kind", F.coalesce("pid", "cid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = tagged.select(
+        "user_id",
+        "bkt",
+        "kind",
+        "pid",
+        "t_us",
+        F.last("cid", ignorenulls=True).over(wloc).alias("loc_cid"),
+        F.last(F.when(F.col("kind") == 0, F.col("t_us")), ignorenulls=True)
+        .over(wloc)
+        .alias("loc_click_us"),
+    )
+    # phase 2 ledger: every active (user, bucket) with its LAST click (null
+    # struct for click-free buckets), then carry the latest preceding
+    # click across buckets — ledger-scale rows only
+    ledger = tagged.groupBy("user_id", "bkt").agg(
+        F.max(
+            F.when(
+                F.col("kind") == 0, F.struct(F.col("t_us"), F.col("cid"))
+            )
+        ).alias("lastc")
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bridged = ledger.select(
+        "user_id",
+        "bkt",
+        F.last("lastc", ignorenulls=True).over(wb).alias("carry"),
+    )
+    return (
+        local.join(bridged, ["user_id", "bkt"])
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("pid").alias("event_id"),
+            "user_id",
+            F.col("t_us").alias("purch_us"),
+            F.coalesce("loc_click_us", F.col("carry.t_us")).alias("click_us"),
+            (
+                F.col("t_us")
+                - F.coalesce("loc_click_us", F.col("carry.t_us"))
+            ).alias("gap_us"),
+            F.coalesce("loc_cid", F.col("carry.cid")).alias("click_event_id"),
+        )
+        .filter(F.col("click_event_id").isNotNull())
+    )
+
+
+QUERIES["asof_join_segmented"] = asof_join_segmented
+ORACLES["asof_join_segmented"] = ORACLE_ASOF

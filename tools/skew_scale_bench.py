@@ -45,7 +45,9 @@ GATES = (
     "sessionize",
     "sessionize_2phase",
     "session_window_builtin",
+    "session_window_segmented",
     "asof_join_nearest",
+    "asof_join_segmented",
     "cumulative_distinct_users",
     "cohort_overlap_jaccard",
     "salted_join_agg",
