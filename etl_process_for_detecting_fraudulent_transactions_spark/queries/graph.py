@@ -705,7 +705,13 @@ def kcore_peel(spark, sf_dir):
     bfs_distance trade). Emits (round, n_nodes, n_edges) per round, all
     exact counts. Spark plan: per round one degree aggregate + two
     semi joins to induce the subgraph; at 100 TB each round is
-    edge-linear and the round count is the contract."""
+    edge-linear and the round count is the contract.
+
+    ONE action per round (round 8): n_nodes and n_edges both come from a
+    single aggregate over the degree table — every distinct pa<pb edge
+    contributes exactly two degree endpoints, so n_edges = sum(deg) div 2
+    — instead of the former deg.count() + cur.count() pair, which ran two
+    jobs and scanned the checkpointed edge set twice per round."""
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     rows = []
     cur = edges
@@ -716,9 +722,11 @@ def kcore_peel(spark, sf_dir):
             .groupBy("p")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        n_nodes = deg.count()
-        n_edges = cur.count()
-        rows.append((rnd, n_nodes, n_edges))
+        stat = deg.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.expr("coalesce(sum(deg), 0) div 2").alias("n_edges"),
+        ).collect()[0]
+        rows.append((rnd, stat["n_nodes"], stat["n_edges"]))
         if rnd == KCORE_ROUNDS:
             break
         surv = deg.filter(F.col("deg") >= KCORE_K).select("p")

@@ -1,0 +1,132 @@
+"""Calibration-normalized cross-round bench table (VERDICT r7 #7).
+
+Mines every committed version of ``bench_full.json`` from git history, keeps
+the canonical full sf0.1 runs — the driver's per-round bench (commit subject
+``round N: verdict/advice/correctness/bench``) and the builder's closing
+bench immediately preceding each driver run — appends the current
+working-tree ``bench_full.json``, and rewrites the table between the
+``<!-- bench-history:begin/end -->`` markers in ROUNDLOG.md.
+
+Totals are shown raw AND in calibration units (total / calibration_sec,
+the fixed-work CPU probe bench.py has recorded since round 7) so
+cross-round comparisons are host-drift-normalized instead of re-litigated;
+pre-probe rounds show a dash. Run after each closing bench:
+
+    python tools/bench_history.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BEGIN = "<!-- bench-history:begin -->"
+END = "<!-- bench-history:end -->"
+
+
+def _bench_at(commit: str | None) -> dict | None:
+    try:
+        if commit is None:
+            with open(os.path.join(ROOT, "bench_full.json")) as fh:
+                return json.load(fh)
+        out = subprocess.check_output(
+            ["git", "show", f"{commit}:bench_full.json"],
+            cwd=ROOT,
+            stderr=subprocess.DEVNULL,
+        )
+        return json.loads(out)
+    except Exception:
+        return None
+
+
+def _history_rows() -> list[tuple[str, str, dict]]:
+    """(label, commit, bench) rows, oldest first — driver rounds plus the
+    builder closing run directly before each, full sf0.1 runs only."""
+    log = subprocess.check_output(
+        ["git", "log", "--format=%h\t%s", "--", "bench_full.json"],
+        cwd=ROOT,
+        text=True,
+    ).strip().splitlines()
+    entries = [line.split("\t", 1) for line in log if "\t" in line]
+    entries.reverse()  # oldest first
+    picked: list[tuple[str, str, dict]] = []
+    pending_builder: tuple[str, str, dict] | None = None
+    for sha, subject in entries:
+        b = _bench_at(sha)
+        if not b or b.get("sf") != 0.1 or len(b.get("queries", {})) < 90:
+            continue
+        m = re.match(r"round (\d+):", subject)
+        if m:
+            n = m.group(1)
+            if pending_builder:
+                picked.append((f"r{n} builder closing", *pending_builder[1:]))
+                pending_builder = None
+            picked.append((f"r{n} driver", sha, b))
+        else:
+            pending_builder = ("", sha, b)
+    if pending_builder:
+        picked.append(("builder closing (pre-driver)", *pending_builder[1:]))
+    return picked
+
+
+def _fmt(rows: list[tuple[str, str, dict]]) -> str:
+    out = [
+        BEGIN,
+        "",
+        "| run | commit | queries | total s | calibration s | cal units |",
+        "|---|---|---|---|---|---|",
+    ]
+    for label, sha, b in rows:
+        cal = b.get("calibration_sec")
+        units = f"{b['value'] / cal:.0f}" if cal else "—"
+        cal_s = f"{cal:.3f}" if cal else "—"
+        out.append(
+            f"| {label} | {sha} | {len(b.get('queries', {}))} |"
+            f" {b['value']:.1f} | {cal_s} | {units} |"
+        )
+    out += [
+        "",
+        "Cal units = total / the fixed-work CPU calibration probe bench.py"
+        " records (shipped round 7) — host drift divides out, so only"
+        " ratios between cal-unit rows are meaningful. Pre-probe rounds"
+        " cannot be normalized retroactively. Regenerate with"
+        " `python tools/bench_history.py` after each closing bench.",
+        END,
+    ]
+    return "\n".join(out)
+
+
+def main() -> int:
+    rows = _history_rows()
+    wt = _bench_at(None)
+    if wt and wt.get("sf") == 0.1 and len(wt.get("queries", {})) >= 90:
+        head = subprocess.check_output(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=ROOT, text=True
+        ).strip()
+        committed = _bench_at(head)
+        if committed != wt:
+            rows.append(("working tree", "—", wt))
+    table = _fmt(rows)
+    path = os.path.join(ROOT, "ROUNDLOG.md")
+    with open(path) as fh:
+        text = fh.read()
+    if BEGIN in text and END in text:
+        pre, rest = text.split(BEGIN, 1)
+        _, post = rest.split(END, 1)
+        text = pre + table + post
+    else:
+        print("markers not found in ROUNDLOG.md — printing table", file=sys.stderr)
+        print(table)
+        return 1
+    with open(path, "w") as fh:
+        fh.write(text)
+    print(f"wrote bench-history table: {len(rows)} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
