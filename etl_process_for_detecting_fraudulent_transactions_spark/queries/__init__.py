@@ -45,12 +45,17 @@ from . import (
 # After position 50: the remaining 17 r4-stale keys, then family order.
 # Round-8 additions are appended BELOW the window (growth throttled to ≤5
 # per VERDICT r7 #4 so evidence debt converges; registry ≤222 at close).
+# Round-8 used 4 of the 5 slots: session_window_segmented +
+# asof_join_segmented (the skew siblings VERDICT r7 #2/#3 ordered) and
+# dsir_importance_weights + hybrid_search_rrf (LLM-pipeline data selection
+# and hybrid retrieval) — registry 221 at close.
 #
 # ROUND-9 ROTATION PLAN (written now so the next session executes, not
 # re-derives): assuming CORRECTNESS_r08 goes green on this window, the r9
-# priority list should be (1) any r8 reds, fixed, first; (2) the round-8
-# additions (never-checked); (3) the 17 remaining r4-stale keys
-# (minhash_containment .. variant_json_ops); (4) the r5-stale cohort,
+# priority list should be (1) any r8 reds, fixed, first; (2) the 4 round-8
+# additions (never-checked): session_window_segmented, asof_join_segmented,
+# dsir_importance_weights, hybrid_search_rrf; (3) the 17 remaining r4-stale
+# keys (minhash_containment .. variant_json_ops); (4) the r5-stale cohort,
 # stalest-first per `tools/rotation_check.py`. That makes max staleness r5
 # at round-9 open (VERDICT r7 #4's bar) and clears r4 debt entirely.
 _MODULES = (

@@ -302,8 +302,10 @@ def knn_lsh(spark, sf_dir):
     )
 
 
-ORACLE_KNN_LSH = f"""
-WITH {EMB_D},
+# CTE chain shared by ORACLE_KNN_LSH and ORACLE_HYBRID_RRF (the hybrid gate
+# reuses the LSH ANN leg verbatim — same buckets, same candidates, same
+# exact-cosine rerank input).
+_KNN_LSH_CTES = f"""{EMB_D},
 banded AS (
 SELECT vec_id, embedding, '0|' || {_sql_signs_bucket('embedding', _TABLE_SIGNS[0])} AS bucket FROM emb_d
 UNION ALL
@@ -321,7 +323,10 @@ cand AS (
 ),
 scored AS (
   SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim FROM cand
-)
+)"""
+
+ORACLE_KNN_LSH = f"""
+WITH {_KNN_LSH_CTES}
 SELECT query_id, neighbor_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
 FROM scored
@@ -1233,3 +1238,156 @@ ORACLE_PCA = ORACLE_PCA_TEMPLATE.format(
 
 QUERIES["pca_power_iteration"] = pca_power_iteration
 ORACLES["pca_power_iteration"] = ORACLE_PCA
+
+
+# -- hybrid retrieval: reciprocal-rank fusion ------------------------------------
+# The modern retrieval-stack combiner (Cormack/Clarke/Buettcher SIGIR'09 RRF;
+# the default hybrid mode of every production vector store): fuse a LEXICAL
+# ranking and a SEMANTIC ranking per query with score
+# sum_legs 1/(K + rank_leg), K=60. Both legs are engine-exact here, so the
+# fusion is too — RRF contributions are the integral floor(1e6/(60+rank)),
+# distinct per rank, and ties across docs break on cand_id.
+#
+# Legs:
+#  * semantic — the production multi-table sign-LSH ANN gate (``knn_lsh``),
+#    reused verbatim: bucket-first candidates, exact cosine rerank, rank ≤
+#    TOP_K. Bucket-first is the 100 TB path; fusion consumes ANY ranker.
+#  * lexical — idf-weighted distinct-term overlap against the query
+#    document's token set (keyword_search_topk's integer idf:
+#    (n_docs << 10) div df — ln-free, hash-exact). The per-query term+weight
+#    probe table is tiny (queries × their terms) and BROADCASTS, so the
+#    corpus token stream never shuffles for the join; the one wide exchange
+#    is the (query_id, cand_id) score rollup. Rank ≤ HYBRID_LEX_K per query
+#    via WindowGroupLimit (partial map-side limit).
+#
+# Corpus posture: documents is only PARTIALLY embedded (sf0.1: 5000 docs,
+# 2000 vectors) — the realistic mid-backfill state. Queries are documents
+# that HAVE embeddings (vec_id % QUERY_MOD = 0); the lexical leg ranks over
+# ALL documents while the semantic leg ranks over the embedded subset, and
+# the full-outer fusion unions the two lists (a doc missing from one leg
+# contributes 0 from that leg — standard RRF over top-list unions).
+
+HYBRID_RRF_K = 60
+HYBRID_LEX_K = 10
+HYBRID_OUT_K = 10
+
+
+def hybrid_search_rrf(spark, sf_dir):
+    """RRF fusion of the LSH-ANN ranking and an idf-overlap lexical ranking."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+        ).alias("term"),
+    )
+    dfx = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    q_ids = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    # queries × their terms × idf weight: tiny, broadcast to the corpus side
+    qw = (
+        toks.join(F.broadcast(q_ids), toks.doc_id == q_ids.query_id)
+        .select("query_id", "term")
+        .join(dfx, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .selectExpr(
+            "query_id", "term", "CAST(shiftleft(n_docs, 10) DIV df AS BIGINT) AS w"
+        )
+    )
+    lex = (
+        toks.withColumnRenamed("doc_id", "cand_id")
+        .join(F.broadcast(qw), "term")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("w").alias("lex_score"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("lex_score"), F.asc("cand_id"))
+    lexr = (
+        lex.withColumn("lex_rank", F.row_number().over(wl).cast("int"))
+        .filter(F.col("lex_rank") <= HYBRID_LEX_K)
+        .select("query_id", "cand_id", "lex_rank")
+    )
+    sem = knn_lsh(spark, sf_dir).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("rank").cast("int").alias("sem_rank"),
+    )
+    # rank 0 = "not in that leg's top list" (sentinel, contributes 0 to the
+    # fusion) — NULL-free rank columns keep every downstream hasher's row
+    # sort total-ordered.
+    fused = lexr.join(sem, ["query_id", "cand_id"], "full_outer").selectExpr(
+        "query_id",
+        "cand_id",
+        "CAST(coalesce(lex_rank, 0) AS INT) AS lex_rank",
+        "CAST(coalesce(sem_rank, 0) AS INT) AS sem_rank",
+        f"CAST(coalesce(1000000 div ({HYBRID_RRF_K} + lex_rank), 0)"
+        f"   + coalesce(1000000 div ({HYBRID_RRF_K} + sem_rank), 0)"
+        " AS BIGINT) AS rrf_micro",
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), F.asc("cand_id"))
+    return fused.withColumn("fused_rank", F.row_number().over(wf).cast("int")).filter(
+        F.col("fused_rank") <= HYBRID_OUT_K
+    )
+
+
+ORACLE_HYBRID_RRF = f"""
+WITH {{LSH_CTES}},
+sem AS (
+  SELECT query_id, neighbor_id AS cand_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS sem_rank
+  FROM scored
+  QUALIFY sem_rank <= {TOP_K}
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(str_split(text, ' '), x -> x <> ''))) AS term
+  FROM documents
+),
+dfx AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+qt AS (
+  SELECT qq.query_id, t.term
+  FROM (SELECT DISTINCT query_id FROM q) qq JOIN toks t ON t.doc_id = qq.query_id
+),
+qw AS (
+  SELECT qt.query_id, qt.term, (n.n_docs * 1024) // dfx.df AS w
+  FROM qt JOIN dfx USING (term) CROSS JOIN n
+),
+lex AS (
+  SELECT qw.query_id, t.doc_id AS cand_id, SUM(w) AS lex_score
+  FROM qw JOIN toks t USING (term)
+  WHERE t.doc_id <> qw.query_id
+  GROUP BY qw.query_id, t.doc_id
+),
+lexr AS (
+  SELECT query_id, cand_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY lex_score DESC, cand_id) AS INT) AS lex_rank
+  FROM lex
+  QUALIFY lex_rank <= {HYBRID_LEX_K}
+),
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.cand_id, s.cand_id) AS cand_id,
+         CAST(COALESCE(l.lex_rank, 0) AS INT) AS lex_rank,
+         CAST(COALESCE(s.sem_rank, 0) AS INT) AS sem_rank,
+         CAST(COALESCE(1000000 // ({HYBRID_RRF_K} + l.lex_rank), 0)
+            + COALESCE(1000000 // ({HYBRID_RRF_K} + s.sem_rank), 0) AS BIGINT) AS rrf_micro
+  FROM lexr l FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.cand_id = s.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, lex_rank, sem_rank, rrf_micro,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, cand_id) AS INT) AS fused_rank
+  FROM fused
+)
+SELECT * FROM ranked WHERE fused_rank <= {HYBRID_OUT_K}
+""".replace("{LSH_CTES}", _KNN_LSH_CTES)
+
+QUERIES["hybrid_search_rrf"] = hybrid_search_rrf
+ORACLES["hybrid_search_rrf"] = ORACLE_HYBRID_RRF
+
+

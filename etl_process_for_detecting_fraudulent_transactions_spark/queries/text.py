@@ -1567,3 +1567,134 @@ GROUP BY doc_id
 
 QUERIES["phrase_search"] = phrase_search
 ORACLES["phrase_search"] = ORACLE_PHRASE
+
+
+# -- DSIR-style importance-weighted data selection -------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023, arXiv:2302.03169):
+# score every candidate document by how much more likely its tokens are under
+# a TARGET distribution than under the RAW corpus distribution, then take the
+# top non-target documents into the training mix. The published method uses
+# hashed-ngram log-ratios; this gate keeps the same selection semantics with
+# an INTEGER ratio LM (the lm_doc_score discipline — ln() is not
+# bit-reproducible across engines): per-token weight
+# floor(1e6 * p_target(w) / p_raw(w)) under add-1 smoothing, where
+# p(w) = (c(w)+1)/(N+V), so the weight is the exact integral
+# (ct+1)(Nraw+V) * 1e6 div (cr+1)(Ntgt+V); per-doc score is the exact
+# integral mean of its token weights (mean-of-ratios, not mean-of-logs — a
+# deterministic, engine-exact ordering for the selection step; posture
+# documented here, not hidden). Target cohort = lang='en', the largest.
+#
+# Scale shape: ONE corpus scan builds both unigram tables in a single
+# groupBy(token) (the target count is a conditional sum — no second pass);
+# the three scalars (N_raw, N_target, V) ride a broadcast 1-row crossJoin;
+# the doc-token stream joins the weight table on the token key — the one
+# wide shuffle, identical to lm_doc_score's LM-attach — and the per-doc
+# rollup clusters on doc_id. Top-K selection compiles to
+# TakeOrderedAndProject (no global sort); the final sel_rank window runs on
+# the already-LIMITed K-row frame (bounded constant, not a corpus window).
+#
+# Edge postures: a document with zero tokens never reaches the token stream
+# and is absent from the selection pool (corpus min n_chars=48, no such
+# docs); n_tokens >= 1 for every emitted group so the integral mean divides
+# by a nonzero count by construction; an all-target corpus yields an empty
+# selection (WHERE lang <> target), not an error.
+
+DSIR_TARGET_LANG = "en"
+DSIR_SELECT_K = 50
+DSIR_SCALE = 1_000_000
+
+
+def dsir_importance_weights(spark, sf_dir):
+    """Top-K non-English docs most 'English-like' under the unigram
+    importance ratio — the DSIR selection step with exact integer math."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", "lang", F.explode(_tokens()).alias("w"))
+    # cached: counts feeds BOTH the scalar aggregate and the weight table —
+    # without the cache Catalyst instantiates the subtree twice and the
+    # corpus pays a third full token pass (vocab is corpus-sublinear, the
+    # canonical cacheable frame)
+    counts = (
+        tok.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("ct"),
+        )
+        .cache()
+    )
+    scal = counts.agg(
+        F.sum("cr").alias("n_raw"),
+        F.sum("ct").alias("n_tgt"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    wts = counts.crossJoin(F.broadcast(scal)).selectExpr(
+        "w",
+        f"CAST(CAST(ct + 1 AS DECIMAL(38,0)) * CAST(n_raw + vocab AS DECIMAL(38,0))"
+        f" * {DSIR_SCALE}"
+        f" div (CAST(cr + 1 AS DECIMAL(38,0)) * CAST(n_tgt + vocab AS DECIMAL(38,0)))"
+        " AS BIGINT) AS w_micro",
+    )
+    per_doc = (
+        tok.join(wts, "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("w_micro").cast("decimal(38,0)")).alias("s"),
+        )
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "CAST(s div CAST(n_tokens AS DECIMAL(38,0)) AS BIGINT) AS score_micro",
+        )
+    )
+    sel = (
+        per_doc.filter(F.col("lang") != DSIR_TARGET_LANG)
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(DSIR_SELECT_K)
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return sel.withColumn("sel_rank", F.row_number().over(wr).cast("int"))
+
+
+ORACLE_DSIR = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+),
+counts AS (
+  SELECT w, COUNT(*) AS cr,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct
+  FROM t GROUP BY w
+),
+scal AS (SELECT SUM(cr) AS n_raw, SUM(ct) AS n_tgt, COUNT(*) AS vocab FROM counts),
+wts AS (
+  SELECT w,
+         CAST(CAST(ct + 1 AS HUGEINT) * CAST(n_raw + vocab AS HUGEINT)
+              * {DSIR_SCALE}
+              // (CAST(cr + 1 AS HUGEINT) * CAST(n_tgt + vocab AS HUGEINT))
+              AS BIGINT) AS w_micro
+  FROM counts CROSS JOIN scal
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(w_micro AS HUGEINT)) // COUNT(*) AS BIGINT) AS score_micro
+  FROM t JOIN wts USING (w)
+  GROUP BY doc_id, lang
+),
+sel AS (
+  SELECT * FROM per_doc WHERE lang <> '{DSIR_TARGET_LANG}'
+  ORDER BY score_micro DESC, doc_id LIMIT {DSIR_SELECT_K}
+)
+SELECT doc_id, lang, n_tokens, score_micro,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS sel_rank
+FROM sel
+"""
+
+QUERIES["dsir_importance_weights"] = dsir_importance_weights
+ORACLES["dsir_importance_weights"] = ORACLE_DSIR
