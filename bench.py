@@ -56,6 +56,12 @@ SCALE_KEYS = (
     "max_concurrent_events",
     "approx_distinct_kmv",
     "doc_novelty_score",
+    # round-8: linear-shape corpus gates. hybrid_search_rrf stays OUT of the
+    # uniform tier: the synthetic corpus's ~50-word vocabulary makes every
+    # query lexically overlap every document, so its candidate set is
+    # contractually dense here (same posture as the pair-output dedup gates
+    # — measured one-off at the 10x tier in SCALING.md instead).
+    "dsir_importance_weights",
     "weighted_sample",
     "inverted_index",
     "keyword_search_topk",
@@ -214,6 +220,7 @@ SCALE_INPUT = {
     "max_concurrent_events": "events",
     "approx_distinct_kmv": "events",
     "doc_novelty_score": "documents",
+    "dsir_importance_weights": "documents",
     "weighted_sample": "documents",
     "inverted_index": "documents",
     "keyword_search_topk": "documents",
