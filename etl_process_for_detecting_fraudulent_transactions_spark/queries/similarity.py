@@ -1254,11 +1254,14 @@ ORACLES["pca_power_iteration"] = ORACLE_PCA
 #    TOP_K. Bucket-first is the 100 TB path; fusion consumes ANY ranker.
 #  * lexical — idf-weighted distinct-term overlap against the query
 #    document's token set (keyword_search_topk's integer idf:
-#    (n_docs << 10) div df — ln-free, hash-exact). The per-query term+weight
-#    probe table is tiny (queries × their terms) and BROADCASTS, so the
-#    corpus token stream never shuffles for the join; the one wide exchange
-#    is the (query_id, cand_id) score rollup. Rank ≤ HYBRID_LEX_K per query
-#    via WindowGroupLimit (partial map-side limit).
+#    (n_docs << 10) div df — ln-free, hash-exact), with a per-query
+#    SELECTIVITY BUDGET: only each query's HYBRID_QUERY_TERMS lowest-df
+#    terms score (df asc, term asc — deterministic; the measured stop-word
+#    lever, see token_skew_bench note at the constant). The per-query
+#    term+weight probe table is tiny (queries × ≤K terms) and BROADCASTS,
+#    so the corpus token stream never shuffles for the join; the one wide
+#    exchange is the (query_id, cand_id) score rollup. Rank ≤ HYBRID_LEX_K
+#    per query via WindowGroupLimit (partial map-side limit).
 #
 # Corpus posture: documents is only PARTIALLY embedded (sf0.1: 5000 docs,
 # 2000 vectors) — the realistic mid-backfill state. Queries are documents
@@ -1270,6 +1273,15 @@ ORACLES["pca_power_iteration"] = ORACLE_PCA
 HYBRID_RRF_K = 60
 HYBRID_LEX_K = 10
 HYBRID_OUT_K = 10
+# per-query term budget: keep each query's K most SELECTIVE terms (df asc,
+# term asc — deterministic). Standard IR query pruning, and the measured
+# scale lever: on the planted 50%-head Zipf corpus the stop-word-grade head
+# token is in ~every doc AND ~every query, so unpruned lexical scoring pays
+# sum(df·qf) ≈ queries×docs through the rollup (7.7x at
+# tools/token_skew_bench.py's tier); the budget drops exactly the
+# least-selective terms first. The window is per-query (≤ doc-length rows) —
+# bounded, never corpus-wide.
+HYBRID_QUERY_TERMS = 10
 
 
 def hybrid_search_rrf(spark, sf_dir):
@@ -1289,10 +1301,13 @@ def hybrid_search_rrf(spark, sf_dir):
         .select(F.col("vec_id").alias("query_id"))
     )
     # queries × their terms × idf weight: tiny, broadcast to the corpus side
+    wq = Window.partitionBy("query_id").orderBy(F.asc("df"), F.asc("term"))
     qw = (
         toks.join(F.broadcast(q_ids), toks.doc_id == q_ids.query_id)
         .select("query_id", "term")
         .join(dfx, "term")
+        .withColumn("sel_rn", F.row_number().over(wq))
+        .filter(F.col("sel_rn") <= HYBRID_QUERY_TERMS)
         .crossJoin(F.broadcast(n_docs))
         .selectExpr(
             "query_id", "term", "CAST(shiftleft(n_docs, 10) DIV df AS BIGINT) AS w"
@@ -1353,9 +1368,16 @@ qt AS (
   SELECT qq.query_id, t.term
   FROM (SELECT DISTINCT query_id FROM q) qq JOIN toks t ON t.doc_id = qq.query_id
 ),
+qsel AS (
+  SELECT query_id, term, df,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY df ASC, term ASC)
+           AS sel_rn
+  FROM qt JOIN dfx USING (term)
+  QUALIFY sel_rn <= {HYBRID_QUERY_TERMS}
+),
 qw AS (
-  SELECT qt.query_id, qt.term, (n.n_docs * 1024) // dfx.df AS w
-  FROM qt JOIN dfx USING (term) CROSS JOIN n
+  SELECT query_id, term, (n.n_docs * 1024) // df AS w
+  FROM qsel CROSS JOIN n
 ),
 lex AS (
   SELECT qw.query_id, t.doc_id AS cand_id, SUM(w) AS lex_score

@@ -1635,12 +1635,25 @@ def dsir_importance_weights(spark, sf_dir):
         f" div (CAST(cr + 1 AS DECIMAL(38,0)) * CAST(n_tgt + vocab AS DECIMAL(38,0)))"
         " AS BIGINT) AS w_micro",
     )
+    # pre-aggregate occurrences to (doc, token, k) BEFORE the token-keyed
+    # weight join: a stop-word-grade hot token (the planted 50%-head Zipf
+    # tier, tools/token_skew_bench.py) otherwise pushes every OCCURRENCE row
+    # through one join partition — measured 2.02x; per-(doc,token) counts
+    # flow once per document instead and map-side partial aggregation
+    # absorbs the heat. Σ k·w_micro ≡ Σ-over-occurrences w_micro exactly,
+    # so the oracle's occurrence-level form is unchanged.
+    dtok = tok.groupBy("doc_id", "lang", "w").agg(
+        F.count(F.lit(1)).alias("k")
+    )
     per_doc = (
-        tok.join(wts, "w")
+        dtok.join(wts, "w")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum(F.col("w_micro").cast("decimal(38,0)")).alias("s"),
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.col("k").cast("decimal(38,0)")
+                * F.col("w_micro").cast("decimal(38,0)")
+            ).alias("s"),
         )
         .selectExpr(
             "doc_id",

@@ -133,7 +133,15 @@ def _hybrid_fixture():
         (2, "join table batch", "en", "s1"),
         (3, "window scan batch table", "en", "s1"),
         (4, "scan scan scan join", "en", "s2"),
-        (50, "merge sort spill", "en", "s2"),
+        # query with 14 DISTINCT terms — exercises the per-query selectivity
+        # budget (HYBRID_QUERY_TERMS=10): its four highest-df terms are
+        # pruned from lexical scoring
+        (
+            50,
+            "merge sort spill aa bb cc dd ee ff gg hh join window scan",
+            "en",
+            "s2",
+        ),
         (100, "qqq www eee", "en", "s3"),  # shares no term: semantic-only query
         # doc-only ids (no embedding): lexical-only candidates
         (200, "join window scan table", "en", "s3"),  # duplicate of doc 0 text
@@ -147,6 +155,7 @@ def _hybrid_expected(docs, embs):
         _TABLE_SIGNS,
         HYBRID_LEX_K,
         HYBRID_OUT_K,
+        HYBRID_QUERY_TERMS,
         HYBRID_RRF_K,
         QUERY_MOD,
         TOP_K,
@@ -167,11 +176,15 @@ def _hybrid_expected(docs, embs):
             df[t] = df.get(t, 0) + 1
     lex_rank = {}
     for q in queries:
+        # per-query selectivity budget: K lowest-df terms (df asc, term asc)
+        kept = set(
+            sorted(tok[q], key=lambda t: (df[t], t))[:HYBRID_QUERY_TERMS]
+        )
         scores = {}
         for c, terms in tok.items():
             if c == q:
                 continue
-            s = sum((n_docs << 10) // df[t] for t in set(tok[q]) & set(terms))
+            s = sum((n_docs << 10) // df[t] for t in kept & set(terms))
             if s > 0:
                 scores[c] = s
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:HYBRID_LEX_K]
@@ -244,3 +257,11 @@ def test_hybrid_rrf_definition_replay(spark, tmp_path):
     # the no-shared-term query fuses from the semantic leg alone
     q100 = [r for r in got if r[0] == 100]
     assert q100 and all(r[2] == 0 for r in q100)
+    # fixture guard: query 50 has MORE distinct terms than the budget, so
+    # the pruning path is actually exercised by the main equality above
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.similarity import (
+        HYBRID_QUERY_TERMS,
+    )
+
+    q50_terms = {t for d, text, _, _ in docs if d == 50 for t in text.split()}
+    assert len(q50_terms) > HYBRID_QUERY_TERMS
