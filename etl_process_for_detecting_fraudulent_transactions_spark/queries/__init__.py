@@ -146,6 +146,7 @@ _PRIORITY_KEYS = (
     "multimodal_png_features",
     "multimodal_jpeg_features",
     "multimodal_jpeg_color",
+    "multimodal_phash",
     "variant_json_ops",
 )
 

@@ -1302,10 +1302,18 @@ def hybrid_search_rrf(spark, sf_dir):
     )
     # queries × their terms × idf weight: tiny, broadcast to the corpus side
     wq = Window.partitionBy("query_id").orderBy(F.asc("df"), F.asc("term"))
+    # join documents to the query ids BEFORE tokenizing: Catalyst does not
+    # push joins through Generate, so filtering `toks` would pay a full
+    # corpus tokenize+explode pass just to extract the tiny query-term
+    # table — this way the qw subtree explodes only the ~n_queries docs
+    q_docs = d.join(F.broadcast(q_ids), d.doc_id == q_ids.query_id).select(
+        "query_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+        ).alias("term"),
+    )
     qw = (
-        toks.join(F.broadcast(q_ids), toks.doc_id == q_ids.query_id)
-        .select("query_id", "term")
-        .join(dfx, "term")
+        q_docs.join(dfx, "term")
         .withColumn("sel_rn", F.row_number().over(wq))
         .filter(F.col("sel_rn") <= HYBRID_QUERY_TERMS)
         .crossJoin(F.broadcast(n_docs))

@@ -1112,8 +1112,15 @@ def session_window_builtin(spark, sf_dir):
     so parity alone could not distinguish the two.)
     Output stays integer-exact: event counts and the min/max-ts epoch
     bounds in microseconds. One shuffle on user_id; session merging is
-    local within the partition."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    local within the partition.
+
+    Null posture (round 8, the sessionize-family contract): rows with NULL
+    user_id OR NULL ts are excluded — the ts filter is explicit here (not
+    left to the builtin's own null-timestamp drop) so gate, segmented
+    sibling, and shared oracle state the same contract in the same way."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(
@@ -1138,7 +1145,10 @@ WITH e AS (
                    > INTERVAL 30 MINUTE
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
-  FROM events WHERE user_id IS NOT NULL
+  -- ts IS NOT NULL mirrors BOTH gates: Spark's builtin session_window drops
+  -- null-timestamp rows, and the segmented sibling filters them explicitly
+  -- (the sessionize-family null posture, round 8)
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ), s AS (
   SELECT user_id, ts,
          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts

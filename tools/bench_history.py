@@ -57,16 +57,21 @@ def _history_rows() -> list[tuple[str, str, dict]]:
     pending_builder: tuple[str, str, dict] | None = None
     for sha, subject in entries:
         b = _bench_at(sha)
-        if not b or b.get("sf") != 0.1 or len(b.get("queries", {})) < 90:
-            continue
+        full_run = bool(b) and b.get("sf") == 0.1 and len(b.get("queries", {})) >= 90
         m = re.match(r"round (\d+):", subject)
         if m:
+            # a driver commit ALWAYS closes the round: flush the pending
+            # builder row even when the driver's own bench fails the
+            # full-run filter (e.g. an sf0.01 or subset bench got
+            # committed) — otherwise that builder row would silently
+            # attach to the NEXT driver round
             n = m.group(1)
             if pending_builder:
                 picked.append((f"r{n} builder closing", *pending_builder[1:]))
                 pending_builder = None
-            picked.append((f"r{n} driver", sha, b))
-        else:
+            if full_run:
+                picked.append((f"r{n} driver", sha, b))
+        elif full_run:
             pending_builder = ("", sha, b)
     if pending_builder:
         picked.append(("builder closing (pre-driver)", *pending_builder[1:]))
