@@ -854,8 +854,17 @@ def asof_join_nearest(spark, sf_dir):
     columnar formulation). Clicks are deduped to one per (user, ts) by max
     event_id first, so the tie at an identical timestamp is deterministic
     in both engines; a click AT the purchase instant matches (inclusive,
-    = DuckDB ASOF's >=). Epochs emitted as integer microseconds."""
-    ev = _t(spark, sf_dir, "events")
+    = DuckDB ASOF's >=). Epochs emitted as integer microseconds.
+
+    Null posture (round 8, the family contract): rows with NULL user_id OR
+    NULL ts are excluded in gate, segmented sibling, and oracle alike —
+    without the filter the union-window formulation gives null keys their
+    own window partition while the oracle's ASOF equi-join drops them (a
+    divergence only a null-planting corpus sees;
+    tests/test_round8_property.py plants one)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     wc = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -909,10 +918,12 @@ WITH cd AS (
   SELECT user_id, ts, event_id,
          row_number() OVER (PARTITION BY user_id, ts
                             ORDER BY event_id DESC) AS rn
-  FROM events WHERE event_type = 'click'
+  FROM events
+  WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL
 ), c AS (SELECT user_id, ts, event_id FROM cd WHERE rn = 1),
 p AS (
-  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
 )
 SELECT p.event_id, p.user_id,
        epoch_us(p.ts) AS purch_us,
@@ -1271,7 +1282,11 @@ ORACLES["holt_winters_level_trend"] = ORACLE_HOLT
 # both engines, no pre-dedup needed.
 
 def asof_join_forward(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    # round-8 family null posture: NULL user_id/ts rows excluded (mirrors
+    # the oracle's equi-join; see asof_join_nearest's docstring)
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
         "ts",
@@ -1322,9 +1337,11 @@ def asof_join_forward(spark, sf_dir):
 
 ORACLE_ASOF_FWD = """
 WITH c AS (
-  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL
 ), p AS (
-  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
 ), matched AS (
   SELECT p.event_id, p.user_id,
          epoch_us(p.ts) AS purch_us,
