@@ -24,7 +24,13 @@ def shingle_vectors(docs: DataFrame, n: int = 3) -> DataFrame:
     # split ONCE into a named column: an inlined split(text) expression is
     # re-evaluated at every ws[i+j] element access inside the lambda (no CSE
     # inside higher-order functions), turning shingling O(tokens^2) per doc
-    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    # short/empty/null-text docs have no n-gram and are excluded up front
+    # (split(NULL) -> NULL, size(NULL) -> NULL -> filter false); without the
+    # guard the transform below indexes past the array on sub-n-word docs
+    # and ANSI aborts the job (null-robustness audit, round 8)
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= n
+    )
     # NO filter on size(shingles): the transform always yields >=1 element
     # (sequence(0, greatest(..,0)) is never empty), so such a filter is
     # vacuous — and, filter-pushed below this projection, Catalyst would
@@ -35,7 +41,9 @@ def shingle_vectors(docs: DataFrame, n: int = 3) -> DataFrame:
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.greatest(F.size("ws") - n, F.lit(0))),
-                lambda i: F.concat_ws("_", *[F.col("ws")[i + j] for j in range(n)]),
+                lambda i: F.concat_ws(
+                    "_", *[F.get(F.col("ws"), i + j) for j in range(n)]
+                ),
             )
         ).alias("shingles"),
     )

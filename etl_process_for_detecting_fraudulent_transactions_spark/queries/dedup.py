@@ -106,12 +106,20 @@ def _ngram_set_arrays(docs: DataFrame, n: int, out: str = "shs") -> DataFrame:
         docs.select("doc_id", F.split("text", " ").alias("ws"))
         .filter(F.size("ws") >= n)  # guard: F.sequence would run descending
     )
+    # F.get (OOB -> NULL) instead of ws[i+j]: the size guard above makes
+    # every access valid on rows that REACH the projection, but Spark's
+    # InferFiltersFromGenerate can synthesize a predicate referencing this
+    # transform and evaluate it on pre-filter rows — under ANSI a plain
+    # index then aborts the job on any sub-n-word doc (null-robustness
+    # audit, round 8). For valid rows F.get is value-identical.
     return d.select(
         "doc_id",
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size("ws") - n),
-                lambda i: F.concat_ws("_", *[F.col("ws")[i + j] for j in range(n)]),
+                lambda i: F.concat_ws(
+                    "_", *[F.get(F.col("ws"), i + j) for j in range(n)]
+                ),
             )
         ).alias(out),
     )
@@ -1168,7 +1176,15 @@ def golden_record_merge(spark, sf_dir):
     w_text = Window.partitionBy("bow_fp").orderBy(
         F.length("text").desc(), F.col("doc_id")
     )
-    lang_votes = m.groupBy("bow_fp", "lang").agg(F.count(F.lit(1)).alias("v"))
+    # null posture (round-8 audit): a NULL lang is not a vote — and the
+    # vote tie-break (ORDER BY lang) puts NULL first in Spark, last in
+    # DuckDB, so it must not be rankable; a cluster with only NULL langs
+    # drops from the output in both engines (inner join on the vote)
+    lang_votes = (
+        m.filter(F.col("lang").isNotNull())
+        .groupBy("bow_fp", "lang")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
     w_lang = Window.partitionBy("bow_fp").orderBy(F.col("v").desc(), F.col("lang"))
     best_lang = (
         lang_votes.withColumn("r", F.row_number().over(w_lang))
@@ -1205,7 +1221,7 @@ WITH m AS (
     SELECT bow_fp, lang,
            row_number() OVER (PARTITION BY bow_fp
                               ORDER BY COUNT(*) DESC, lang) AS r
-    FROM m GROUP BY bow_fp, lang
+    FROM m WHERE lang IS NOT NULL GROUP BY bow_fp, lang
   ) WHERE r = 1
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY bow_fp

@@ -241,7 +241,12 @@ def event_path_trigrams(spark, sf_dir):
     the path multiset is engine-deterministic. Top-k is count-then-
     TakeOrderedAndProject; the heavy exchange is the per-user one, which at
     100 TB is the same partitioning sessionize/funnels already reuse."""
-    ev = _t(spark, sf_dir, "events")
+    # null posture (round-8 audit): NULL ts orders NULLS-FIRST in Spark and
+    # NULLS-LAST in DuckDB (different adjacency), and a NULL event_type
+    # would be skipped by concat_ws but propagated by SQL || — both excluded
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     paths = (
         ev.select(
@@ -267,6 +272,7 @@ WITH lagged AS (
          LAG(event_type, 1) OVER w AS t2,
          event_type AS t3
   FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n

@@ -30,6 +30,19 @@ from ..operators.multimodal import (
 _HEX = "0123456789abcdef"
 
 
+def _media_docs(spark: SparkSession, sf_dir: str):
+    """Documents that can seed a synthetic media payload.
+
+    Null posture (round-8 null-robustness audit): a NULL-text doc has no
+    payload — md5(NULL) is NULL in both engines, so dimensions/sample
+    counts would be NULL and the Arrow codec kernels would crash on None.
+    Every gate here and every oracle (WHERE text IS NOT NULL) excludes
+    such docs identically."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "text IS NOT NULL"
+    )
+
+
 def _sql_md5_byte(expr: str, i: int) -> str:
     """i-th byte of md5(expr) as 0..255, from hex chars (shared-hash trick)."""
     c1 = f"substr(md5({expr}), {2 * i + 1}, 1)"
@@ -38,7 +51,7 @@ def _sql_md5_byte(expr: str, i: int) -> str:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _media_docs(spark, sf_dir)
     return extract_media_features(synthesize_ppm_media(docs)).drop("content_md5")
 
 
@@ -49,7 +62,7 @@ WITH m AS (
   SELECT doc_id,
          CAST(4 + {_sql_md5_byte('text', 0)} % 13 AS INT) AS width,
          CAST(4 + {_sql_md5_byte('text', 1)} % 13 AS INT) AS height
-  FROM documents
+  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents
 ),
 px AS (
   SELECT doc_id, CAST(SUM((doc_id * 31 + i * 7) % 256) AS BIGINT) AS s
@@ -67,7 +80,7 @@ FROM m JOIN px USING (doc_id)
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _media_docs(spark, sf_dir)
     return frame_sample(media_from_documents(docs))
 
 
@@ -75,7 +88,7 @@ ORACLE_FRAMES = """
 WITH m AS (
   SELECT doc_id AS media_id,
          LEAST(8, GREATEST(1, CAST(FLOOR(octet_length(encode(text)) / 1024.0) AS INT))) AS n
-  FROM documents
+  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents
 )
 SELECT media_id, CAST(i AS INT) AS frame_idx, CAST(i AS INT) * 1024 AS byte_offset
 FROM m, unnest(range(0, n)) AS u(i)
@@ -86,14 +99,14 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str):
     """Genuine RIFF/WAVE PCM payloads → real chunk-walking decoder → RMS and
     duration from the actual samples; oracle replays the deterministic
     sample function analytically."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _media_docs(spark, sf_dir)
     return extract_audio_features(synthesize_wav_media(docs))
 
 
 # sample i = ((doc_id*7 + i*13) % 65536) - 32768; n = 64 + md5(text)[2] % 192
 ORACLE_AUDIO = f"""
 WITH m AS (
-  SELECT doc_id, 64 + {_sql_md5_byte('text', 2)} % 192 AS n FROM documents
+  SELECT doc_id, 64 + {_sql_md5_byte('text', 2)} % 192 AS n FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents
 ),
 ss AS (
   SELECT doc_id,
@@ -119,7 +132,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str):
     """Real nearest-neighbor resize of the decoded PPM rasters to 4x4;
     oracle replays the exact integer index math (x*src_w//out_w) over the
     known pixel function."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _media_docs(spark, sf_dir)
     return resize_media(synthesize_ppm_media(docs), RESIZE_W, RESIZE_H)
 
 
@@ -130,7 +143,7 @@ WITH m AS (
   SELECT doc_id,
          CAST(4 + {_sql_md5_byte('text', 0)} % 13 AS INT) AS w,
          CAST(4 + {_sql_md5_byte('text', 1)} % 13 AS INT) AS h
-  FROM documents
+  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents
 ),
 px AS (
   SELECT doc_id,
@@ -176,7 +189,7 @@ ORACLES = {
 def multimodal_bmp_features(spark: SparkSession, sf_dir: str):
     from ..operators.multimodal import synthesize_bmp_media
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _media_docs(spark, sf_dir)
     return extract_media_features(synthesize_bmp_media(docs)).drop("content_md5")
 
 
@@ -185,7 +198,7 @@ WITH m AS (
   SELECT doc_id,
          CAST(4 + {_sql_md5_byte('text', 0)} % 13 AS INT) AS width,
          CAST(4 + {_sql_md5_byte('text', 1)} % 13 AS INT) AS height
-  FROM documents
+  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents
 ),
 px AS (
   SELECT doc_id, CAST(SUM((doc_id * 31 + i * 7) % 256) AS BIGINT) AS s
@@ -215,7 +228,7 @@ ORACLES["multimodal_bmp_features"] = ORACLE_BMP
 def multimodal_png_features(spark: SparkSession, sf_dir: str):
     from ..operators.multimodal import synthesize_png_media
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _media_docs(spark, sf_dir)
     return (
         extract_media_features(synthesize_png_media(docs))
         .drop("content_md5")
@@ -228,7 +241,7 @@ WITH m AS (
   SELECT doc_id,
          CAST(4 + {_sql_md5_byte('text', 0)} % 13 AS INT) AS width,
          CAST(4 + {_sql_md5_byte('text', 1)} % 13 AS INT) AS height
-  FROM documents
+  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents
 ),
 px AS (
   SELECT doc_id, CAST(SUM((doc_id * 31 + i * 7) % 256) AS BIGINT) AS s
@@ -256,7 +269,7 @@ ORACLES["multimodal_png_features"] = ORACLE_PNG
 def multimodal_jpeg_features(spark: SparkSession, sf_dir: str):
     from ..operators.multimodal import synthesize_jpeg_media
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _media_docs(spark, sf_dir)
     return (
         extract_media_features(synthesize_jpeg_media(docs))
         .drop("content_md5")
@@ -271,7 +284,7 @@ WITH m AS (
   SELECT doc_id,
          CAST(8 * (1 + {_sql_md5_byte('text', 0)} % 3) AS INT) AS width,
          CAST(8 * (1 + {_sql_md5_byte('text', 1)} % 3) AS INT) AS height
-  FROM documents
+  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents
 ),
 px AS (
   SELECT doc_id,
@@ -303,7 +316,7 @@ ORACLES["multimodal_jpeg_features"] = ORACLE_JPEG
 def multimodal_jpeg_color_features(spark: SparkSession, sf_dir: str):
     from ..operators.multimodal import synthesize_jpeg_color_media
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _media_docs(spark, sf_dir)
     return (
         extract_media_features(synthesize_jpeg_color_media(docs))
         .drop("content_md5")
@@ -323,7 +336,7 @@ WITH m AS (
          CAST(16 * (1 + {_sql_md5_byte('text', 1)} % 2) AS INT) AS height,
          doc_id * 5 % 41 - 20 AS cb,
          doc_id * 11 % 41 - 20 AS cr
-  FROM documents
+  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents
 ),
 adj AS (
   SELECT doc_id,
@@ -360,7 +373,7 @@ def multimodal_phash(spark: SparkSession, sf_dir: str):
     from the deterministic payload formula."""
     from ..operators.multimodal import perceptual_hash, synthesize_ppm_media
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _media_docs(spark, sf_dir)
     return perceptual_hash(synthesize_ppm_media(docs))
 
 
@@ -372,7 +385,7 @@ WITH m AS (
   SELECT doc_id,
          CAST(4 + {_sql_md5_byte('text', 0)} % 13 AS BIGINT) AS w,
          CAST(4 + {_sql_md5_byte('text', 1)} % 13 AS BIGINT) AS h
-  FROM documents
+  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents
 ),
 g AS (
   SELECT doc_id, w, h, i,
@@ -414,7 +427,7 @@ ORACLES["multimodal_phash"] = ORACLE_PHASH
 def multimodal_gif_features(spark: SparkSession, sf_dir: str):
     from ..operators.multimodal import synthesize_gif_media
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _media_docs(spark, sf_dir)
     return (
         extract_media_features(synthesize_gif_media(docs))
         .drop("content_md5")
@@ -427,7 +440,7 @@ WITH m AS (
   SELECT doc_id,
          CAST(4 + {_sql_md5_byte('text', 0)} % 13 AS INT) AS width,
          CAST(4 + {_sql_md5_byte('text', 1)} % 13 AS INT) AS height
-  FROM documents
+  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents
 ),
 px AS (
   SELECT doc_id, CAST(SUM((doc_id * 31 + i * 7) % 256) AS BIGINT) AS s

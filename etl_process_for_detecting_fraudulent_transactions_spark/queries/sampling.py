@@ -309,7 +309,10 @@ def weighted_sample(spark, sf_dir):
         .groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+            # when/otherwise, not keep.cast: a NULL-weight doc has keep NULL,
+            # and an all-NULL group would sum to NULL where the oracle CASE
+            # yields 0 (round-8 null audit)
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
             F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0)).alias(
                 "kept_chars"
             ),
@@ -353,7 +356,9 @@ def quantile_normalize(spark, sf_dir):
     broadcastable frame."""
     from pyspark.sql import Window
 
-    d = _t(spark, sf_dir, "documents").select(
+    # null posture (round-8 audit): a NULL weight cannot be depth-ranked,
+    # and the engines disagree on where NTILE puts it (NULLS FIRST vs LAST)
+    d = _t(spark, sf_dir, "documents").filter("n_chars IS NOT NULL").select(
         "doc_id", "lang", F.col("n_chars").cast("bigint").alias("v")
     )
     w = Window.partitionBy("lang").orderBy("v", "doc_id")
@@ -378,7 +383,7 @@ WITH ranked AS (
   SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS v,
          ntile({QN_BUCKETS}) OVER (PARTITION BY lang ORDER BY v, doc_id)
            AS bucket
-  FROM documents
+  FROM documents WHERE n_chars IS NOT NULL
 ), means AS (
   SELECT bucket, CAST(SUM(v) // COUNT(*) AS BIGINT) AS bucket_mean
   FROM ranked GROUP BY bucket

@@ -32,9 +32,15 @@ DIM = 64
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double precision: float32×float32 products are then exact, so both
-    # engines' sequential sums agree bit-for-bit
+    # engines' sequential sums agree bit-for-bit.
+    # Null posture (round-8 null-robustness audit): rows with a NULL vector
+    # are unembeddable and excluded — without the filter the Arrow kernels
+    # crash on np.stack(None) and DuckDB's list_cosine_similarity raises on
+    # NULL elements; EMB_D mirrors the filter so every oracle in the family
+    # sees the same population.
     return (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("embedding").isNotNull())
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
     )
 
@@ -118,7 +124,10 @@ def knn_brute_force(spark, sf_dir):
     )
 
 
-EMB_D = "emb_d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)"
+EMB_D = (
+    "emb_d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding"
+    " FROM embeddings WHERE embedding IS NOT NULL)"
+)
 
 ORACLE_KNN = f"""
 WITH {EMB_D}, q AS (
@@ -685,8 +694,9 @@ def semantic_dedup(spark, sf_dir):
     d = _docs(spark, sf_dir)
     toks = _tokens()
     n = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n
-    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n
+    nz = F.when(n > 0, n)  # zero-token docs score NULL -> fail the floor
+    ttr = F.size(F.array_distinct(toks)).cast("double") / nz
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / nz
     len_ok = F.when((n >= 20) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
     score = ttr * F.lit(0.4) + stop_ratio * F.lit(0.2) + len_ok * F.lit(0.4)
     scored = d.select("doc_id", "source", score.alias("q"))
@@ -727,8 +737,8 @@ pairs AS (
 sem_drop AS (SELECT DISTINCT vec_b AS doc_id FROM pairs),
 scored AS (
   SELECT doc_id, source,
-         (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4
-       + (CAST(len(list_filter(toks, x -> x IN ({{sw}}))) AS DOUBLE) / len(toks)) * 0.2
+         (CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)) * 0.4
+       + (CAST(len(list_filter(toks, x -> x IN ({{sw}}))) AS DOUBLE) / nullif(len(toks), 0)) * 0.2
        + (CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.4 AS q
   FROM (SELECT doc_id, source, list_filter(str_split(text, ' '), x -> x <> '') AS toks
         FROM documents) t
@@ -914,7 +924,7 @@ q AS (
          CAST(i // {PQ_SUBDIM} AS INT) AS m,
          CAST(i % {PQ_SUBDIM} AS INT) AS pos,
          CAST(FLOOR(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * {PQ_SCALE}) AS BIGINT) AS v
-  FROM embeddings, unnest(range(0, {PQ_M * PQ_SUBDIM})) AS u(i)
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings, unnest(range(0, {PQ_M * PQ_SUBDIM})) AS u(i)
 ),
 c0 AS (
   SELECT m, CAST(vec_id AS INT) AS cid, pos, v AS c FROM q WHERE vec_id < {PQ_K}
@@ -1218,7 +1228,7 @@ WITH q AS (
   SELECT vec_id,
          unnest(range(len(embedding))) AS i,
          CAST(FLOOR(unnest(embedding) * 1000000) AS BIGINT) AS q
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 v0 AS (
   SELECT DISTINCT i, CAST({SCALE} AS BIGINT) AS v FROM q

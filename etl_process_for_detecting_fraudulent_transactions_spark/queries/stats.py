@@ -550,7 +550,12 @@ HIST_BUCKETS = 8
 def equidepth_histogram(spark, sf_dir):
     from pyspark.sql.window import Window
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # null posture (round-8 audit): NTILE over NULL values buckets them
+    # NULLS-FIRST in Spark and NULLS-LAST in DuckDB — a NULL value carries
+    # no depth information, so it is excluded on both sides
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        "value IS NOT NULL"
+    )
     w = Window.orderBy("value", "event_id")
     return (
         e.select("event_id", "value", F.ntile(HIST_BUCKETS).over(w).alias("bucket"))
@@ -567,7 +572,7 @@ ORACLE_EQUIDEPTH = f"""
 WITH b AS (
   SELECT event_id, value,
          NTILE({HIST_BUCKETS}) OVER (ORDER BY value, event_id) AS bucket
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
 FROM b GROUP BY bucket
@@ -2367,7 +2372,11 @@ def exact_median_2pass(spark, sf_dir):
     # bin the histogram counted it in, or a boundary value could be
     # misrouted and a group's row silently dropped.
     bin_expr = F.expr(f"(v - mn) * {NBINS} div (mx - mn + 1)")
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # null posture (round-8 audit): the broadcast stats equi-join would drop
+    # a NULL event_type group the oracle keeps — excluded on both sides
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
     vals = ev.select(
         "event_type", F.floor(F.col("value") * 1000).cast("bigint").alias("v")
     )
@@ -2430,7 +2439,7 @@ def exact_median_2pass(spark, sf_dir):
 ORACLE_MEDIAN2 = """
 WITH vals AS (
   SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
 ), ranked AS (
   SELECT event_type, v,
          row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
@@ -3428,7 +3437,13 @@ ORACLES["spearman_daily"] = ORACLE_SPEARMAN
 def pettitt_changepoint(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # null posture (round-8 audit): NULL event_type/ts groups rank
+    # differently across engines (NULLS FIRST vs LAST) — excluded, mirrored
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("x")
     )
@@ -3478,7 +3493,7 @@ ORACLE_PETTITT = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x
-  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 ), ranked AS (
   SELECT event_type, day,
          row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,

@@ -44,7 +44,9 @@ def text_token_stats(spark, sf_dir):
         F.length("text").alias("len_chars"),
         (
             F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
-            / F.size(toks)
+            # NULL for zero-token docs (ANSI would abort the whole job on
+            # one empty doc; both engines emit NULL — null-robustness audit)
+            / F.when(F.size(toks) > 0, F.size(toks))
         ).alias("mean_token_len"),
     )
 
@@ -58,7 +60,8 @@ SELECT doc_id,
        len(toks) AS n_tokens,
        len(list_distinct(toks)) AS n_distinct_tokens,
        length(text) AS len_chars,
-       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_token_len
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         / nullif(len(toks), 0) AS mean_token_len
 FROM t
 """
 
@@ -69,9 +72,10 @@ def text_quality(spark, sf_dir):
     d = _docs(spark, sf_dir)
     toks = _tokens()
     n = F.size(toks)
+    nz = F.when(n > 0, n)  # zero-token docs rate NULL, not DIVIDE_BY_ZERO
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n
-    stop_ratio = n_stop.cast("double") / n
+    ttr = F.size(F.array_distinct(toks)).cast("double") / nz
+    stop_ratio = n_stop.cast("double") / nz
     len_ok = F.when((n >= 20) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
     score = (ttr * F.lit(0.4)) + (stop_ratio * F.lit(0.2)) + (len_ok * F.lit(0.4))
     return d.select(
@@ -91,10 +95,10 @@ WITH t AS (
 )
 SELECT doc_id,
        len(toks) AS n_tokens,
-       CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE) / len(toks) AS stop_ratio,
-       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
-       (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4
-     + (CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE) / len(toks)) * 0.2
+       CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE) / nullif(len(toks), 0) AS stop_ratio,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0) AS type_token_ratio,
+       (CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)) * 0.4
+     + (CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE) / nullif(len(toks), 0)) * 0.2
      + (CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.4 AS quality_score
 FROM t
 """
@@ -232,8 +236,9 @@ def curation_pipeline(spark, sf_dir):
     d = _docs(spark, sf_dir)
     toks = _tokens()
     n = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n
-    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n
+    nz = F.when(n > 0, n)  # zero-token docs score NULL -> fail the floor
+    ttr = F.size(F.array_distinct(toks)).cast("double") / nz
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / nz
     len_ok = F.when((n >= 20) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
     score = ttr * F.lit(0.4) + stop_ratio * F.lit(0.2) + len_ok * F.lit(0.4)
     bow_fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
@@ -266,8 +271,8 @@ WITH t AS (
 ),
 scored AS (
   SELECT doc_id, source, len(toks) AS n_tokens,
-         (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4
-       + (CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE) / len(toks)) * 0.2
+         (CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)) * 0.4
+       + (CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE) / nullif(len(toks), 0)) * 0.2
        + (CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.4 AS q,
          md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
   FROM t
@@ -666,11 +671,12 @@ def gopher_quality_filter(spark, sf_dir):
     d = _docs(spark, sf_dir)
     toks = _tokens()
     n = F.size(toks)
+    nz = F.when(n > 0, n)  # zero-word docs: NULL ratios, gopher_pass false
     mean_wl = (
-        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / n
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / nz
     )
     n_stop = F.size(F.array_distinct(F.filter(toks, lambda x: x.isin(*STOPWORDS))))
-    frac_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("double") / n
+    frac_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("double") / nz
     out = d.select(
         "doc_id",
         n.alias("n_words"),
@@ -699,9 +705,9 @@ WITH t AS (
 s AS (
   SELECT doc_id,
          len(toks) AS n_words,
-         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_word_len,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / nullif(len(toks), 0) AS mean_word_len,
          len(list_distinct(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x)))) AS n_stop_distinct,
-         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(toks) AS frac_alpha_words
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / nullif(len(toks), 0) AS frac_alpha_words
   FROM t
 )
 SELECT doc_id, n_words, mean_word_len, n_stop_distinct, frac_alpha_words,

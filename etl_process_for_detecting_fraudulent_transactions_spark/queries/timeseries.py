@@ -111,7 +111,9 @@ def hopping_window_stats(spark, sf_dir):
     each event into its two epoch-aligned window starts. The window
     assignment is a scan-side projection (generator of 2 rows per event);
     the one shuffle is the final (window, type) aggregate."""
-    ev = _t(spark, sf_dir, "events")
+    # null posture (round-8 audit): F.window drops NULL-ts rows implicitly;
+    # the filter makes the contract explicit and the oracle mirrors it
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
         .agg(
@@ -133,7 +135,7 @@ WITH e AS (
   SELECT event_type, value,
          unnest([date_trunc('hour', ts),
                  date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
        event_type, COUNT(*) AS n_events,
@@ -234,7 +236,15 @@ _EWMA_OUT_SCHEMA = (
 def ewma_anomaly(spark, sf_dir):
     import pandas as pd
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # null-robustness audit (round 8): NULL event_type breaks the oracle's
+    # recursive equi-join (the null group would replay only its first day)
+    # and NULL ts forms an engine-ordering-dependent day group — both
+    # excluded, mirrored in the oracle
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(
@@ -268,7 +278,7 @@ ORACLE_EWMA = """
 WITH RECURSIVE daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x
-  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 ), seq AS (
   SELECT event_type, x,
          row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
@@ -434,7 +444,13 @@ def interval_union(spark, sf_dir):
     (start, event_id) total order, so both engines produce the identical
     merge. All stages cluster on user_id — the gap_islands subset-rule
     shape — so the explicit repartition is the plan's only exchange."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # null posture (round-8 audit): a NULL ts has no interval and a NULL
+    # user_id no sweep partition the oracle would agree on — excluded
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
     iv = ev.select(
         "user_id",
         "event_id",
@@ -476,7 +492,8 @@ ORACLE_INTERVAL_UNION = """
 WITH iv AS (
   SELECT user_id, event_id, epoch_us(ts) AS start_us,
          epoch_us(ts) + CAST(FLOOR(value) AS BIGINT) * 1000000 AS end_us
-  FROM events WHERE value IS NOT NULL
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
 ), marked AS (
   SELECT user_id, event_id, start_us, end_us,
          CASE WHEN start_us > COALESCE(
@@ -657,7 +674,12 @@ def cusum_anomaly(spark, sf_dir):
     aggregate (fact-scale, one shuffle) and the scale-free recurrence."""
     import pandas as pd
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # null posture: see ewma_anomaly (same recursive-oracle contract)
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
         .cast("bigint")
@@ -703,7 +725,7 @@ ORACLE_CUSUM = """
 WITH RECURSIVE daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x
-  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 ), mu AS (
   SELECT event_type,
          CAST(SUM(x) // COUNT(*) AS BIGINT) AS mu
@@ -950,9 +972,14 @@ def rolling_median_7d(spark, sf_dir):
     Scale: the window runs over the DAILY AGGREGATE (calendar-bounded rows
     per series), never the fact table — the one fact-scale pass is the
     groupBy. The collect_list is bounded at 7 elements by the ROWS frame."""
+    # null posture: see ewma_anomaly (ordering-dependent null day groups)
     ev = _t(spark, sf_dir, "events")
     daily = (
-        ev.filter(F.col("value").isNotNull())
+        ev.filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(
             F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
@@ -981,7 +1008,7 @@ ORACLE_ROLLING_MEDIAN = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x_milli
-  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT event_type, day, x_milli,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_obs,
@@ -1004,7 +1031,12 @@ def cumulative_distinct_users(spark, sf_dir):
     aggregate), then a calendar-bounded cumulative sum over per-day
     first-appearance counts. No quadratic self-join, no set-carrying
     state; the window runs on ~days rows."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # null posture (round-8 audit): a NULL ts has no day — and the engines
+    # DISAGREE on where a null day cumulates (Spark windows order NULLS
+    # FIRST ascending, DuckDB NULLS LAST), so it must not exist
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     firsts = (
         ev.groupBy("user_id")
         .agg(F.min(F.to_date("ts")).alias("first_day"))
@@ -1027,7 +1059,7 @@ def cumulative_distinct_users(spark, sf_dir):
 ORACLE_CUM_DISTINCT = """
 WITH e AS (
   SELECT user_id, CAST(ts AS DATE) AS day FROM events
-  WHERE user_id IS NOT NULL
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 firsts AS (
   SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM (
@@ -1203,7 +1235,12 @@ _HOLT_OUT_SCHEMA = (
 def holt_winters_level_trend(spark, sf_dir):
     import pandas as pd
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # null posture: see ewma_anomaly (same recursive-oracle contract)
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("x")
     )
@@ -1239,7 +1276,7 @@ ORACLE_HOLT = """
 WITH RECURSIVE daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x
-  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 ), seq AS (
   SELECT event_type, x,
          row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn

@@ -448,7 +448,10 @@ def variant_json_ops(spark, sf_dir):
         "event_type",
         k_variant.alias("k_variant"),
         k_struct.alias("k_struct"),
-        (k_variant == k_struct).alias("routes_agree"),
+        # null-SAFE equality: on a NULL/key-less props both routes yield
+        # NULL and they AGREE (the oracle emits TRUE) — plain == would
+        # return NULL (round-8 null audit)
+        k_variant.eqNullSafe(k_struct).alias("routes_agree"),
         # a missing path yields SQL NULL (is_variant_null is for explicit
         # JSON nulls — a distinction worth the trap note)
         F.expr("variant_get(parse_json(props), '$.missing') IS NULL").alias(
