@@ -100,10 +100,14 @@ def _oracle_rows(sql: str, path: str):
 
 def _canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
-    return sorted(
-        tuple(float(r[i]) if isinstance(r[i], (int, float)) and not isinstance(r[i], bool) else r[i] for i in order)
-        for r in rows
-    )
+
+    def k(v):
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            v = float(v)
+        # None-safe total order: (is_null, is_str, value)
+        return (v is None, isinstance(v, str), v if v is not None else 0)
+
+    return sorted(tuple(k(r[i]) for i in order) for r in rows)
 
 
 def _assert_parity(spark, key, path):
@@ -230,3 +234,55 @@ def test_session_family_null_key_parity(spark, tmp_path, key):
         f"{key}: null-key corpus divergence"
         f" (spark {len(srows)} vs oracle {len(orows)} rows)"
     )
+
+
+# ---------------------------------------------------------------------------
+# regression pins for the round-8 null-robustness audit
+# ---------------------------------------------------------------------------
+# One representative per fixed class (the full sweep lives in
+# tools/null_robustness_sweep.py; these keep the suite fast):
+#   ewma_anomaly            — recursive-CTE oracle null-group class
+#   equidepth_histogram     — NTILE null-ordering class
+#   golden_record_merge     — vote-tie null-ordering class
+#   weighted_sample         — all-NULL-group aggregate class
+#   text_quality            — ANSI divide-by-zero class (empty docs)
+#   knn_lsh                 — NULL-embedding Arrow/DuckDB kernel class
+
+EVENT_GATES_NULL_PINNED = ("ewma_anomaly", "equidepth_histogram")
+DOC_GATES_NULL_PINNED = (
+    "golden_record_merge",
+    "weighted_sample",
+    "text_quality",
+    "knn_lsh",
+)
+
+
+@pytest.mark.parametrize("key", EVENT_GATES_NULL_PINNED)
+def test_null_audit_event_gate_parity(spark, tmp_path, key):
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(_random_events(31, 500), EV_SCHEMA).write.parquet(
+        f"{path}/events.parquet"
+    )
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries import all_oracles, all_queries
+
+    sdf = all_queries()[key](spark, path)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT *"
+        f" FROM read_parquet('{path}/events.parquet/*.parquet')"
+    )
+    rel = con.sql(all_oracles()[key])
+    ocols = [d[0] for d in rel.description]
+    orows = rel.fetchall()
+    con.close()
+    assert _canon(sdf.columns, srows) == _canon(ocols, orows), key
+
+
+@pytest.mark.parametrize("key", DOC_GATES_NULL_PINNED)
+def test_null_audit_doc_gate_parity(spark, tmp_path, key):
+    docs, embs = _random_corpus(41, 50, 30)
+    # plant a NULL embedding explicitly (the Arrow-kernel crash class)
+    embs[0] = (embs[0][0], None, embs[0][2])
+    path = _write(spark, tmp_path, docs, embs, "np")
+    _assert_parity(spark, key, path)
