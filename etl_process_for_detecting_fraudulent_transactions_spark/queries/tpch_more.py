@@ -385,7 +385,10 @@ def json_props_stats(spark, sf_dir):
     extract ``$.k`` path as an integer and aggregate per event type. Stays
     JVM-side (``get_json_object`` is a Catalyst expression, no UDF)."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    # try_cast, not cast: $.k can hold a non-numeric value in the wild and
+    # ANSI would abort the whole aggregate on one bad row (round-8
+    # hostile-input audit); malformed props already yield NULL here
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("k_sum"),
         F.max(k).alias("k_max"),
@@ -394,11 +397,18 @@ def json_props_stats(spark, sf_dir):
 
 
 ORACLE_JSON_PROPS = """
+WITH e AS (
+  SELECT event_type,
+         TRY_CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS BIGINT) AS k
+  FROM events
+)
 SELECT event_type,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       MAX(k) AS k_max,
        COUNT(*) AS n
-FROM events
+FROM e
 GROUP BY event_type
 """
 
@@ -441,7 +451,10 @@ ORACLES = {
 
 def variant_json_ops(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
-    k_variant = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    # try_parse_json + try_variant_get: malformed props or a non-numeric k
+    # yield NULL instead of aborting the job (round-8 hostile-input audit);
+    # from_json is failure-safe by construction (PERMISSIVE mode)
+    k_variant = F.expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')")
     k_struct = F.from_json("props", "k BIGINT").getField("k")
     return ev.select(
         "event_id",
@@ -454,19 +467,26 @@ def variant_json_ops(spark, sf_dir):
         k_variant.eqNullSafe(k_struct).alias("routes_agree"),
         # a missing path yields SQL NULL (is_variant_null is for explicit
         # JSON nulls — a distinction worth the trap note)
-        F.expr("variant_get(parse_json(props), '$.missing') IS NULL").alias(
-            "missing_is_null"
-        ),
+        F.expr(
+            "variant_get(try_parse_json(props), '$.missing') IS NULL"
+        ).alias("missing_is_null"),
     )
 
 
 ORACLE_VARIANT = """
+WITH e AS (
+  SELECT event_id, event_type,
+         TRY_CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS BIGINT) AS k
+  FROM events WHERE event_id % 7 = 0
+)
 SELECT event_id, event_type,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_variant,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+       k AS k_variant,
+       k AS k_struct,
        TRUE AS routes_agree,
        TRUE AS missing_is_null
-FROM events WHERE event_id % 7 = 0
+FROM e
 """
 
 QUERIES["variant_json_ops"] = variant_json_ops

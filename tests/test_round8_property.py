@@ -286,3 +286,48 @@ def test_null_audit_doc_gate_parity(spark, tmp_path, key):
     embs[0] = (embs[0][0], None, embs[0][2])
     path = _write(spark, tmp_path, docs, embs, "np")
     _assert_parity(spark, key, path)
+
+
+# ---------------------------------------------------------------------------
+# hostile-input pins: malformed / wrong-typed JSON must not abort (round 8)
+# ---------------------------------------------------------------------------
+
+HOSTILE_PROPS = [
+    '{"k": 1}',
+    "not json",
+    "",
+    '{"k": "str"}',
+    "{broken",
+    "[]",
+    '{"k": null}',
+    "null",
+    '{"K": 2}',
+    None,
+]
+
+
+@pytest.mark.parametrize("key", ["json_props_stats", "variant_json_ops"])
+def test_json_gates_survive_hostile_props(spark, tmp_path, key):
+    import datetime as dt
+
+    base = dt.datetime(2021, 6, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i), i % 5, "click", 1.0, HOSTILE_PROPS[i % len(HOSTILE_PROPS)])
+        for i in range(70)
+    ]
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(rows, EV_SCHEMA).write.parquet(f"{path}/events.parquet")
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries import all_oracles, all_queries
+
+    sdf = all_queries()[key](spark, path)
+    srows = [tuple(r) for r in sdf.collect()]  # must not raise
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT *"
+        f" FROM read_parquet('{path}/events.parquet/*.parquet')"
+    )
+    rel = con.sql(all_oracles()[key])
+    ocols = [d[0] for d in rel.description]
+    orows = rel.fetchall()
+    con.close()
+    assert _canon(sdf.columns, srows) == _canon(ocols, orows), key
