@@ -31,8 +31,8 @@ def shingle_vectors(docs: DataFrame, n: int = 3) -> DataFrame:
     toks = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
         F.size("ws") >= n
     )
-    # NO filter on size(shingles): the transform always yields >=1 element
-    # (sequence(0, greatest(..,0)) is never empty), so such a filter is
+    # NO filter on size(shingles): after the size(ws) >= n guard above the
+    # transform always yields >=1 valid element, so such a filter is
     # vacuous — and, filter-pushed below this projection, Catalyst would
     # re-evaluate the whole interpreted HOF per row as the scan predicate,
     # measured 7x slower (3.4s vs 0.5s at sf0.1).
@@ -40,7 +40,7 @@ def shingle_vectors(docs: DataFrame, n: int = 3) -> DataFrame:
         "doc_id",
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("ws") - n, F.lit(0))),
+                F.sequence(F.lit(0), F.size("ws") - n),
                 lambda i: F.concat_ws(
                     "_", *[F.get(F.col("ws"), i + j) for j in range(n)]
                 ),

@@ -389,23 +389,35 @@ def json_props_stats(spark, sf_dir):
     # ANSI would abort the whole aggregate on one bad row (round-8
     # hostile-input audit); malformed props already yield NULL here
     k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+    # DECIMAL(38,0) sum (the house wide-accumulator discipline): a sum of
+    # legitimate bigints can exceed int64 — under ANSI that ABORTS the
+    # aggregate (caught by the hostile sweep's max-bigint rows); DuckDB's
+    # HUGEINT sum mirrors via the same decimal cast
     return ev.groupBy("event_type").agg(
-        F.sum(k).alias("k_sum"),
+        F.sum(k.cast("decimal(38,0)")).alias("k_sum"),
         F.max(k).alias("k_max"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 ORACLE_JSON_PROPS = """
-WITH e AS (
+WITH raw AS (
   SELECT event_type,
-         TRY_CAST(CASE WHEN json_valid(props)
-                       THEN json_extract_string(props, '$.k') END
-                  AS BIGINT) AS k
+         CASE WHEN json_valid(props)
+              THEN json_extract_string(props, '$.k') END AS jes
   FROM events
+),
+e AS (
+  -- mirror Spark's ANSI string->bigint cast exactly: trimmed optional-sign
+  -- INTEGRAL tokens only (a bare TRY_CAST would round '1.5' through double
+  -- where Spark yields NULL — measured divergence, round-8 review)
+  SELECT event_type,
+         CASE WHEN regexp_matches(trim(jes), '^[+-]?[0-9]+$')
+              THEN TRY_CAST(trim(jes) AS BIGINT) END AS k
+  FROM raw
 )
 SELECT event_type,
-       CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(SUM(k) AS DECIMAL(38,0)) AS k_sum,
        MAX(k) AS k_max,
        COUNT(*) AS n
 FROM e
@@ -445,9 +457,11 @@ ORACLES = {
 # at 100 TB the difference between re-tokenizing the JSON per extraction
 # and one parse feeding N typed reads (plus columnar shredding when
 # persisted). The gate also round-trips through an explicit-schema
-# ``from_json`` and pins both extraction routes equal in-plan (k_variant
-# = k_struct for every row), so the two surfaces can't drift apart
-# silently. DuckDB's native JSON reads replay the semantics exactly.
+# ``from_json`` and REPORTS per-row whether the two routes agree
+# (null-safe): on strictly-typed integral k they do; on coercible shapes
+# (quoted numbers, doubles, booleans) the variant route coerces where
+# from_json yields NULL — measured on Spark 4.1 and replayed shape-by-shape
+# in the oracle below, so the sweep would catch either surface drifting.
 
 def variant_json_ops(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
@@ -473,18 +487,42 @@ def variant_json_ops(spark, sf_dir):
     )
 
 
+# The oracle replays EACH Spark route's measured coercion (probed on
+# Spark 4.1 this round, all shapes below verified):
+#  * variant->bigint (try_variant_get): integral -> value; double ->
+#    truncate-toward-zero; bool -> 1/0; string -> ANSI integral cast
+#    (trimmed, optional sign, digits only — '1.5' is NULL); beyond-int64 ->
+#    NULL.
+#  * from_json k BIGINT: strictly-typed integral JSON numbers in int64
+#    range; everything else NULL.
+# routes_agree is COMPUTED on both sides (null-safe) — the routes genuinely
+# disagree on coercible shapes (quoted numbers, doubles, booleans), and the
+# gate REPORTS that as a data-quality signal rather than pinning a false
+# equality (round-8 review finding).
 ORACLE_VARIANT = """
-WITH e AS (
+WITH raw AS (
   SELECT event_id, event_type,
-         TRY_CAST(CASE WHEN json_valid(props)
-                       THEN json_extract_string(props, '$.k') END
-                  AS BIGINT) AS k
+         CASE WHEN json_valid(props) THEN json_type(props, '$.k') END AS jt,
+         CASE WHEN json_valid(props)
+              THEN json_extract_string(props, '$.k') END AS jes
   FROM events WHERE event_id % 7 = 0
+),
+e AS (
+  SELECT event_id, event_type,
+         CASE
+           WHEN jt IN ('BIGINT', 'UBIGINT') THEN TRY_CAST(jes AS BIGINT)
+           WHEN jt = 'DOUBLE'
+             THEN TRY_CAST(TRUNC(TRY_CAST(jes AS DOUBLE)) AS BIGINT)
+           WHEN jt = 'BOOLEAN' THEN CASE jes WHEN 'true' THEN 1 ELSE 0 END
+           WHEN jt = 'VARCHAR' AND regexp_matches(trim(jes), '^[+-]?[0-9]+$')
+             THEN TRY_CAST(trim(jes) AS BIGINT)
+         END AS k_variant,
+         CASE WHEN jt IN ('BIGINT', 'UBIGINT')
+              THEN TRY_CAST(jes AS BIGINT) END AS k_struct
+  FROM raw
 )
-SELECT event_id, event_type,
-       k AS k_variant,
-       k AS k_struct,
-       TRUE AS routes_agree,
+SELECT event_id, event_type, k_variant, k_struct,
+       k_variant IS NOT DISTINCT FROM k_struct AS routes_agree,
        TRUE AS missing_is_null
 FROM e
 """

@@ -198,16 +198,15 @@ def _random_events(seed: int, n: int):
             )
         )
         uid = None if rng.random() < 0.05 else rng.randint(1, 6)
-        rows.append(
-            (
-                i,
-                ts,
-                uid,
-                rng.choice(["click", "purchase", "view"]),
-                round(rng.uniform(0, 100), 2),
-                "{}",
-            )
+        # NULL values too: the equidepth/ewma regression pins below must
+        # actually exercise the NTILE/daily-series null classes they claim
+        val = None if rng.random() < 0.05 else round(rng.uniform(0, 100), 2)
+        et = (
+            None
+            if rng.random() < 0.04
+            else rng.choice(["click", "purchase", "view"])
         )
+        rows.append((i, ts, uid, et, val, "{}"))
     return rows
 
 
@@ -303,6 +302,19 @@ HOSTILE_PROPS = [
     "null",
     '{"K": 2}',
     None,
+    # coercible shapes where the two Spark routes measurably differ
+    # (quoted / decimal / exponent / bool / leading-zero / beyond-int64)
+    '{"k": "1"}',
+    '{"k": "1.5"}',
+    '{"k": 1.5}',
+    '{"k": -2.999}',
+    '{"k": 1e3}',
+    '{"k": true}',
+    '{"k": "0007"}',
+    '{"k": " 1"}',
+    '{"k": "+5"}',
+    '{"k": 99999999999999999999}',
+    '{"k": 10000000000000000000}',
 ]
 
 
