@@ -32,32 +32,28 @@ from . import (
 )
 
 # Order matters: the driver's correctness budget covers the first ~50
-# registered queries (r1-r7 each checked exactly the first 50). Round-8
-# rotation executes the r7 judge's amended plan (VERDICT r7 "Next round"
-# #1): never-driver-checked evidence is WORSE than stale-but-once-green,
-# so the window is:
-#   1-5   the 5 round-7 gates that have never been driver-checked
-#         (wasserstein_1d .. sessionize_2phase, rotation_check order);
-#   6-21  the 16 remaining r3-stale keys (window_lead_gap ..
-#         tpch_q21_waiting_suppliers);
-#   22-50 the first 29 of the 46 r4-stale keys (approx_distinct_kmv ..
-#         dedup_signature_est, in `tools/rotation_check.py` order).
-# After position 50: the remaining 17 r4-stale keys, then family order.
-# Round-8 additions are appended BELOW the window (growth throttled to ≤5
-# per VERDICT r7 #4 so evidence debt converges; registry ≤222 at close).
-# Round-8 used 4 of the 5 slots: session_window_segmented +
-# asof_join_segmented (the skew siblings VERDICT r7 #2/#3 ordered) and
-# dsir_importance_weights + hybrid_search_rrf (LLM-pipeline data selection
-# and hybrid retrieval) — registry 221 at close.
+# registered queries (r1-r8 each checked exactly the first 50). Round-9
+# rotation executes the committed plan (VERDICT r8 "Next round" #1, which
+# is the plan this file wrote at r8 close): CORRECTNESS_r08 was 50/50
+# green with zero reds, so the window is:
+#   1-4   the 4 round-8 additions that have never been driver-checked
+#         (dsir_importance_weights .. hybrid_search_rrf, rotation_check
+#         order);
+#   5-21  the 17 remaining r4-stale keys (minhash_containment ..
+#         variant_json_ops);
+#   22-50 the first 29 of the 50 r5-stale keys (chi2_independence ..
+#         string_ops, in `tools/rotation_check.py` order).
+# After position 50: the remaining 21 r5-stale keys, then family order.
+# Round-9 additions are appended BELOW the window (growth throttled to <=5
+# per the standing convention; registry <=226 at close).
 #
-# ROUND-9 ROTATION PLAN (written now so the next session executes, not
-# re-derives): assuming CORRECTNESS_r08 goes green on this window, the r9
-# priority list should be (1) any r8 reds, fixed, first; (2) the 4 round-8
-# additions (never-checked): session_window_segmented, asof_join_segmented,
-# dsir_importance_weights, hybrid_search_rrf; (3) the 17 remaining r4-stale
-# keys (minhash_containment .. variant_json_ops); (4) the r5-stale cohort,
-# stalest-first per `tools/rotation_check.py`. That makes max staleness r5
-# at round-9 open (VERDICT r7 #4's bar) and clears r4 debt entirely.
+# ROUND-10 ROTATION PLAN (written now so the next session executes, not
+# re-derives): assuming CORRECTNESS_r09 goes green on this window, the r10
+# priority list should be (1) any r9 reds, fixed, first; (2) any round-9
+# additions (never-checked); (3) the remaining 21 r5-stale keys
+# (case_when_bands .. tpch_q22_dormant_customers); (4) the r6-stale
+# cohort, stalest-first per `tools/rotation_check.py`. That clears r5 debt
+# entirely and makes max staleness r6 at round-10 open.
 _MODULES = (
     relational,
     extra,
@@ -76,61 +72,12 @@ _MODULES = (
 
 # Keys verified first this round (never-driver-checked first, then stalest).
 _PRIORITY_KEYS = (
-    # -- 1-5: the round-7 additions, never driver-checked (VERDICT r7 #1) --
-    "wasserstein_1d",
-    "top_value_share",
-    "t_closeness_profile",
-    "cohort_overlap_jaccard",
-    "sessionize_2phase",
-    # -- 6-21: the 16 remaining r3-stale keys --
-    "window_lead_gap",
-    "window_lag_seq",
-    "concat_null",
-    "prefix_int_cast",
-    "between_filter",
-    "order_by_report",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q13_custdist",
-    "tpch_q15_top_supplier",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    # -- 22-50: first 29 of the 46 r4-stale keys (rotation_check order) --
-    "approx_distinct_kmv",
-    "zscore_outliers",
-    "equidepth_histogram",
-    "kmv_set_ops",
-    "incremental_join_view",
-    "drift_ks_test",
-    "trend_slope_ols",
-    "auc_mann_whitney",
-    "decision_stump_train",
-    "bloom_filter_probe",
-    "doc_novelty_score",
-    "inverted_index",
-    "keyword_search_topk",
-    "bpe_merge_step",
-    "bm25_topk",
-    "classifier_eval",
-    "max_concurrent_events",
-    "event_path_trigrams",
-    "bfs_distance",
-    "assoc_rules",
-    "gap_islands",
-    "ewma_anomaly",
-    "ohlc_bars",
-    "twap_daily",
-    "interval_union",
-    "weighted_sample",
-    "dedup_clusters",
-    "dedup_canonical_pick",
-    "dedup_signature_est",
-    # ---- window boundary (driver checks ~50) ----
-    # -- the remaining 17 r4-stale keys (round-9 window, per the plan above) --
+    # -- 1-4: the round-8 additions, never driver-checked (VERDICT r8 #1) --
+    "dsir_importance_weights",
+    "session_window_segmented",
+    "asof_join_segmented",
+    "hybrid_search_rrf",
+    # -- 5-21: the 17 remaining r4-stale keys --
     "minhash_containment",
     "record_linkage_fs",
     "datetime_ops",
@@ -148,6 +95,59 @@ _PRIORITY_KEYS = (
     "multimodal_jpeg_color",
     "multimodal_phash",
     "variant_json_ops",
+    # -- 22-50: first 29 of the 50 r5-stale keys (rotation_check order) --
+    "chi2_independence",
+    "heavy_hitters_exact_rescan",
+    "table_checksum",
+    "poisson_bootstrap",
+    "weighted_median",
+    "join_size_estimate",
+    "benford_digits",
+    "feature_hashing",
+    "lm_doc_score",
+    "triangle_stats",
+    "pagerank_copurchase",
+    "linkpred_common_neighbors",
+    "kcore_peel",
+    "resample_interpolate",
+    "cusum_anomaly",
+    "series_correlation",
+    "column_profile",
+    "quantile_normalize",
+    "topk_orders",
+    "distinct_segments",
+    "set_except_customers",
+    "set_intersect_customers",
+    "full_outer_orders",
+    "right_join_orders",
+    "window_rank_topn",
+    "cube_revenue",
+    "pivot_priority_revenue",
+    "monthly_revenue",
+    "string_ops",
+    # ---- window boundary (driver checks ~50) ----
+    # -- the remaining 21 r5-stale keys (round-10 window, per plan above) --
+    "case_when_bands",
+    "above_nation_avg",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "window_distribution_funcs",
+    "pareto_frontier",
+    "null_ops",
+    "scd2_snapshot_diff",
+    "sql_text_api",
+    "union_rule_accumulation",
+    "rollup_revenue",
+    "fraud_flag_events",
+    "pit_join_events",
+    "scd3_update",
+    "tpch_q4_order_priority",
+    "tpch_q14_promo_share",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
 )
 
 # Family order after the priority keys: remaining r2-stale families first
