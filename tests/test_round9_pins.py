@@ -1,0 +1,38 @@
+"""Round-9 regression pins.
+
+Pin 1: `window_lag_seq` must hash real rows. VERDICT r8 flagged the gate as
+vacuous — 0 Spark rows == 0 oracle rows at every driver sf, so the oracle
+hash had never covered a row of the W2/P4/P5 carrier. The chain-span
+threshold was widened (120 -> 1440 min, both engines) so every driver sf
+yields rows while the span filter still rejects most decreasing chains.
+This test fails if a future edit re-vacuates the gate.
+"""
+
+import duckdb
+import pytest
+
+from etl_process_for_detecting_fraudulent_transactions_spark.queries.relational import (
+    ORACLE_LAG_SEQ,
+    window_lag_seq,
+)
+
+
+def test_window_lag_seq_is_not_vacuous(spark, sf_dir):
+    rows = window_lag_seq(spark, sf_dir).collect()
+    assert len(rows) > 0, "gate went vacuous again (0 Spark rows)"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    oracle_n = con.execute(f"SELECT COUNT(*) FROM ({ORACLE_LAG_SEQ})").fetchone()[0]
+    assert oracle_n == len(rows)
+
+    # the span filter must still bite: dropping it admits strictly more rows
+    unbounded = ORACLE_LAG_SEQ.replace(
+        "AND CAST(FLOOR((epoch_us(ts) - epoch_us(lag_ts3)) / 60000000) AS INT) <= 1440",
+        "",
+    )
+    assert unbounded != ORACLE_LAG_SEQ, "span predicate text changed; update pin"
+    unbounded_n = con.execute(f"SELECT COUNT(*) FROM ({unbounded})").fetchone()[0]
+    assert unbounded_n > oracle_n, "span filter no longer selects anything"
