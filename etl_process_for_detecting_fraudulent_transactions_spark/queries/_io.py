@@ -13,6 +13,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# -- session-scoped cache registry -------------------------------------------
+# Gate functions cache small reused frames (LSH-bucketed embeddings, DSIR
+# vocab counts). The frames are LAZY dependencies of the returned DataFrame,
+# so the function cannot unpersist before the driver's action — but without
+# any release, every call pins a fresh frame in executor storage for the
+# session lifetime (221-gate bench sessions accumulate dozens; round-9
+# advice). `session_cache` memoizes by (tag, sf_dir): a repeat call returns
+# the SAME cached frame (hybrid_search_rrf re-invoking knn_lsh no longer
+# double-caches the embeddings), and a call for a different sf_dir
+# unpersists the superseded entry — at most one live cached frame per tag.
+
+_CACHE_REGISTRY: dict[str, tuple[str, object, DataFrame]] = {}
+
+
+def session_cache(df: DataFrame, tag: str, sf_dir: str) -> DataFrame:
+    sess = df.sparkSession
+    prev = _CACHE_REGISTRY.get(tag)
+    if prev is not None:
+        prev_sf, prev_sess, prev_df = prev
+        if prev_sf == sf_dir and prev_sess is sess:
+            return prev_df
+        try:
+            # non-blocking: in-flight jobs over the old frame recompute;
+            # best-effort — the previous session may already be stopped
+            prev_df.unpersist(blocking=False)
+        except Exception:
+            pass
+    df = df.cache()
+    _CACHE_REGISTRY[tag] = (sf_dir, sess, df)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

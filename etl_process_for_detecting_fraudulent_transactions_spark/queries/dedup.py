@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._io import session_cache
+
 N_MINHASH = 12         # minhash permutations
 N_BANDS = 6            # LSH bands (rows per band = 2): the (b, r) tuning
 #   matters — the LSH collision threshold is (1/b)^(1/r); r=2, b=6 puts it
@@ -133,7 +135,7 @@ def _doc_shingle_arrays(docs: DataFrame) -> DataFrame:
 def _shingle_arrays(spark, sf_dir):
     # reused by the signature build + both verify sides — cache the narrow
     # per-doc frame (N rows, not N×shingles)
-    return _doc_shingle_arrays(_docs(spark, sf_dir)).cache()
+    return session_cache(_doc_shingle_arrays(_docs(spark, sf_dir)), "dedup_shingles", sf_dir)
 
 
 _SQL_SHINGLES = """
@@ -396,7 +398,10 @@ def dedup_simhash(spark, sf_dir):
         for b in range(SIMHASH_BITS)
     )
     # one row per doc: (doc_id, sig) — cached, feeds band explode + verify
-    sig = votes.select("doc_id", packed.cast("bigint").alias("sig")).cache()
+    sig = session_cache(
+        votes.select("doc_id", packed.cast("bigint").alias("sig")),
+        "simhash_sig", sf_dir,
+    )
     banded = sig.select(
         "doc_id",
         "sig",
@@ -507,16 +512,16 @@ def dedup_clusters(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     # undirected edge list + self-loops over the member set
-    members = (
+    members = session_cache(
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-        .cache()
+        .distinct(),
+        "dedup_cluster_members", sf_dir,
     )
-    edges = (
+    edges = session_cache(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .cache()
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))),
+        "dedup_cluster_edges", sf_dir,
     )
     labels = members.withColumn("label", F.col("doc_id"))
     for _ in range(20):  # diameter bound; tiny planted clusters converge fast

@@ -21,6 +21,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ._io import session_cache
+
 TOP_K = 5
 QUERY_MOD = 50          # queries = vec_id % QUERY_MOD == 0
 N_PLANES = 8            # planes for the single-table near-dup bucketing
@@ -278,7 +280,10 @@ def knn_lsh(spark, sf_dir):
     Single-table LSH recalls ~2% of top-5 on unclustered vectors; the table
     union is the standard recall lever (table count trades compute for
     recall, bits-per-table trades candidate size for selectivity)."""
-    e = _emb(spark, sf_dir).withColumn("bs", _all_buckets_col(F.col("embedding"))).cache()
+    e = session_cache(
+        _emb(spark, sf_dir).withColumn("bs", _all_buckets_col(F.col("embedding"))),
+        "emb_all_buckets", sf_dir,
+    )
     # Late materialization: the bucket join, dedupe, and shuffle all run on
     # SCALAR ids only — carrying the 64-dim embeddings through the bucket
     # join would ship two arrays per candidate pair and (worse) key the
@@ -346,7 +351,10 @@ QUALIFY rank <= {TOP_K}
 def embedding_cosine_pairs(spark, sf_dir):
     """Embedding near-dup: pairs above COSINE_T, candidates restricted to a
     shared LSH bucket (sub-quadratic at scale)."""
-    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("embedding"))).cache()
+    e = session_cache(
+        _emb(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("embedding"))),
+        "emb_bucket", sf_dir,
+    )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "bucket")
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "bucket")
     return (
@@ -408,7 +416,7 @@ def _assign(vectors, centroids, id_col, out_rank, k):
 def knn_ivf(spark, sf_dir):
     """IVF ANN: id-derived centroids, cosine assignment, NPROBE-list probe,
     exact rerank. Same output contract as knn_brute_force/knn_lsh."""
-    e = _emb(spark, sf_dir).cache()
+    e = session_cache(_emb(spark, sf_dir), "emb_plain", sf_dir)
     cent = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )
@@ -508,7 +516,10 @@ def _flip_bit(bucket, j: int):
 def knn_lsh_multiprobe(spark, sf_dir):
     """ANN with hamming-1 multiprobe: same output contract as knn_lsh, higher
     recall at ~7x the probed-bucket count (still ≪ brute force)."""
-    e = _emb(spark, sf_dir).withColumn("bs", _all_buckets_col(F.col("embedding"))).cache()
+    e = session_cache(
+        _emb(spark, sf_dir).withColumn("bs", _all_buckets_col(F.col("embedding"))),
+        "emb_all_buckets", sf_dir,
+    )
     # same late-materialization shape as knn_lsh: ids-only bucket/probe join
     # and distinct, vectors re-attached by key, cosine once per unique pair
     banded = e.select("vec_id", F.explode("bs").alias("bucket"))

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._io import session_cache
+
 # doc vocabulary is synthetic SQL-ish words; "stopwords" for quality scoring
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
@@ -1619,15 +1621,14 @@ def dsir_importance_weights(spark, sf_dir):
     # without the cache Catalyst instantiates the subtree twice and the
     # corpus pays a third full token pass (vocab is corpus-sublinear, the
     # canonical cacheable frame)
-    counts = (
-        tok.groupBy("w")
-        .agg(
+    counts = session_cache(
+        tok.groupBy("w").agg(
             F.count(F.lit(1)).alias("cr"),
             F.sum(
                 F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
             ).alias("ct"),
-        )
-        .cache()
+        ),
+        "dsir_counts", sf_dir,
     )
     scal = counts.agg(
         F.sum("cr").alias("n_raw"),

@@ -407,14 +407,24 @@ WITH raw AS (
               THEN json_extract_string(props, '$.k') END AS jes
   FROM events
 ),
+trimmed AS (
+  -- Spark's cast trims the FULL ASCII control-and-space class [\\x00-\\x20]
+  -- (UTF8String.trimAll — probed this round: tab/nl/cr/vt/ff/nul/US all
+  -- trimmed; NBSP/U+2028/ZWSP are NOT). DuckDB trim() strips only ASCII
+  -- space, so '\\t1' diverged on hostile input (round-9 advice). 'g' flag:
+  -- the alternation must strip BOTH ends.
+  SELECT event_type,
+         regexp_replace(jes, '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g') AS jtr
+  FROM raw
+),
 e AS (
   -- mirror Spark's ANSI string->bigint cast exactly: trimmed optional-sign
   -- INTEGRAL tokens only (a bare TRY_CAST would round '1.5' through double
   -- where Spark yields NULL — measured divergence, round-8 review)
   SELECT event_type,
-         CASE WHEN regexp_matches(trim(jes), '^[+-]?[0-9]+$')
-              THEN TRY_CAST(trim(jes) AS BIGINT) END AS k
-  FROM raw
+         CASE WHEN regexp_matches(jtr, '^[+-]?[0-9]+$')
+              THEN TRY_CAST(jtr AS BIGINT) END AS k
+  FROM trimmed
 )
 SELECT event_type,
        CAST(SUM(k) AS DECIMAL(38,0)) AS k_sum,
@@ -504,27 +514,42 @@ WITH raw AS (
   SELECT event_id, event_type,
          CASE WHEN json_valid(props) THEN json_type(props, '$.k') END AS jt,
          CASE WHEN json_valid(props)
-              THEN json_extract_string(props, '$.k') END AS jes
+              THEN json_extract_string(props, '$.k') END AS jes,
+         -- COMPUTED, not pinned TRUE (round-9 advice): Spark's
+         -- variant_get('$.missing') is SQL NULL for an absent path /
+         -- invalid / NULL props, but a NON-null variant-null for an
+         -- explicit JSON null (probed this round) — json_type mirrors
+         -- exactly: SQL NULL when absent, the string 'NULL' when explicit
+         CASE WHEN props IS NULL OR NOT json_valid(props) THEN TRUE
+              ELSE json_type(props, '$.missing') IS NULL END AS missing_is_null
   FROM events WHERE event_id % 7 = 0
 ),
 e AS (
-  SELECT event_id, event_type,
+  SELECT event_id, event_type, missing_is_null,
+         -- string shape: Spark's cast trims [\\x00-\\x20] (trimAll), not
+         -- just ASCII space — same mirror as ORACLE_JSON_PROPS above
+         regexp_replace(jes, '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g') AS jtr,
+         jt, jes
+  FROM raw
+),
+f AS (
+  SELECT event_id, event_type, missing_is_null,
          CASE
            WHEN jt IN ('BIGINT', 'UBIGINT') THEN TRY_CAST(jes AS BIGINT)
            WHEN jt = 'DOUBLE'
              THEN TRY_CAST(TRUNC(TRY_CAST(jes AS DOUBLE)) AS BIGINT)
            WHEN jt = 'BOOLEAN' THEN CASE jes WHEN 'true' THEN 1 ELSE 0 END
-           WHEN jt = 'VARCHAR' AND regexp_matches(trim(jes), '^[+-]?[0-9]+$')
-             THEN TRY_CAST(trim(jes) AS BIGINT)
+           WHEN jt = 'VARCHAR' AND regexp_matches(jtr, '^[+-]?[0-9]+$')
+             THEN TRY_CAST(jtr AS BIGINT)
          END AS k_variant,
          CASE WHEN jt IN ('BIGINT', 'UBIGINT')
               THEN TRY_CAST(jes AS BIGINT) END AS k_struct
-  FROM raw
+  FROM e
 )
 SELECT event_id, event_type, k_variant, k_struct,
        k_variant IS NOT DISTINCT FROM k_struct AS routes_agree,
-       TRUE AS missing_is_null
-FROM e
+       missing_is_null
+FROM f
 """
 
 QUERIES["variant_json_ops"] = variant_json_ops

@@ -315,6 +315,16 @@ HOSTILE_PROPS = [
     '{"k": "+5"}',
     '{"k": 99999999999999999999}',
     '{"k": 10000000000000000000}',
+    # round-9 advice: Spark's cast trims the full [\x00-\x20] class where
+    # DuckDB trim() strips only ASCII space — tab/newline-padded quoted
+    # numbers pin the oracle's regexp-based mirror
+    '{"k": "\\t1"}',
+    '{"k": "\\n 2 \\t"}',
+    '{"k": "\\u00a03"}',
+    # round-9 advice: missing_is_null must be COMPUTED — explicit JSON null
+    # is a non-null variant in Spark (False), absent key is SQL NULL (True)
+    '{"missing": null}',
+    '{"missing": 7, "k": 4}',
 ]
 
 

@@ -17,6 +17,29 @@ from etl_process_for_detecting_fraudulent_transactions_spark.queries.relational 
 )
 
 
+def test_session_cache_bounds_storage(spark):
+    """Pin 2 (round-9 advice): gate-internal caches must not accumulate for
+    the session lifetime. `session_cache` memoizes by (tag, sf_dir) — a
+    repeat call returns the SAME cached frame, and a different sf_dir
+    unpersists the superseded one, so at most one frame per tag is live."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries._io import (
+        _CACHE_REGISTRY,
+        session_cache,
+    )
+
+    _CACHE_REGISTRY.pop("_pin_tag", None)
+    c1 = session_cache(spark.range(5), "_pin_tag", "/a")
+    assert c1.storageLevel.useMemory
+    c2 = session_cache(spark.range(5), "_pin_tag", "/a")
+    assert c2 is c1, "repeat call must reuse the memoized frame"
+    c3 = session_cache(spark.range(7), "_pin_tag", "/b")
+    assert c3 is not c1
+    assert not c1.storageLevel.useMemory, "superseded frame must be unpersisted"
+    assert c3.storageLevel.useMemory
+    c3.unpersist(blocking=False)
+    _CACHE_REGISTRY.pop("_pin_tag", None)
+
+
 def test_window_lag_seq_is_not_vacuous(spark, sf_dir):
     rows = window_lag_seq(spark, sf_dir).collect()
     assert len(rows) > 0, "gate went vacuous again (0 Spark rows)"

@@ -52,6 +52,10 @@ HOSTILE_PROPS = [
     '{"k": "0007"}', '{"k": " 1"}', '{"k": "+5"}',
     '{"k": 9223372036854775807}', '{"k": 99999999999999999999}',
     '{"k": 10000000000000000000}',
+    # round-9 advice: control-class padding inside quoted numbers (Spark
+    # trims [\x00-\x20]; NBSP must stay NULL) + explicit-vs-absent missing
+    '{"k": "\\t1"}', '{"k": "\\n 2 \\t"}', '{"k": "\\u00a03"}',
+    '{"missing": null}', '{"missing": 7, "k": 4}',
 ]
 
 
