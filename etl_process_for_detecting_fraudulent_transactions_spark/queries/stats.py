@@ -1564,13 +1564,13 @@ BOOT_B = 32
 _POIS_CUT = (3679, 7358, 9197, 9810, 9963)
 
 
-def _boot_w(col, b):
+def _boot_u(col, b):
     # one md5 yields 32 hex chars = FOUR independent 8-char uniforms, so
     # replicate b draws from segment b%4 of md5((b//4) || ':' || key) —
     # 4x fewer hashes than one md5 per replicate (md5 cost dominates the
     # 10x-tier scan; measured 12.8 -> ~4 s)
     g, seg = b // 4, b % 4
-    u = (
+    return (
         F.conv(
             F.substring(
                 F.md5(F.concat(F.lit(f"{g}:"), col.cast("string"))),
@@ -1582,6 +1582,9 @@ def _boot_w(col, b):
         ).cast("bigint")
         % 10000
     )
+
+
+def _boot_w_from_u(u):
     w = F.lit(5)
     for k in range(len(_POIS_CUT) - 1, -1, -1):
         w = F.when(u < _POIS_CUT[k], k).otherwise(w)
@@ -1599,18 +1602,27 @@ def poisson_bootstrap(spark, sf_dir):
     # expressions over the fact rows, map-side combinable) instead of a
     # posexplode to B x N rows — the exploded form shuffled/aggregated
     # 32x the input and measured ~4x slower at the 10x tier; the tiny
-    # (types x 2B) result unpivots AFTER the aggregate
-    ws = base.withColumn(
-        "ws", F.array(*[_boot_w(F.col("k"), b) for b in range(BOOT_B)])
+    # (types x 2B) result unpivots AFTER the aggregate.
+    #
+    # The uniforms are MATERIALIZED in their own projection and the
+    # Poisson cut chain runs on the plain u columns: Spark deliberately
+    # does not CSE into conditionally-executed CASE branches, so a cut
+    # chain over the raw hash expression re-evaluates md5+conv per branch
+    # — measured 5.4 s vs 2.3 s isolated at sf0.1 (the round-8 -> round-9
+    # drift was exactly this, not host variance; ROUNDLOG r9).
+    us = base.select(
+        "event_type",
+        "x_milli",
+        *[_boot_u(F.col("k"), b).alias(f"u{b}") for b in range(BOOT_B)],
     )
     aggs = []
     for b in range(BOOT_B):
-        w = F.col("ws")[b]
+        w = _boot_w_from_u(F.col(f"u{b}"))
         aggs.append(F.sum(w).cast("bigint").alias(f"n{b}"))
         aggs.append(
             F.sum(w * F.col("x_milli")).cast("bigint").alias(f"s{b}")
         )
-    wide = ws.groupBy("event_type").agg(*aggs)
+    wide = us.groupBy("event_type").agg(*aggs)
     reps = wide.select(
         "event_type",
         F.posexplode(

@@ -26,6 +26,15 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BEGIN = "<!-- bench-history:begin -->"
 END = "<!-- bench-history:end -->"
+TAIL_BEGIN = "<!-- bench-tail:begin -->"
+TAIL_END = "<!-- bench-tail:end -->"
+TAIL_N = 15
+# creep = normalized cost grew >30% AND >0.5 s absolute vs the oldest
+# compared run — both thresholds from the r8 verdict's drift discussion
+# (the calibration probe itself wobbles ~6-10%; sub-half-second moves are
+# plan-compile noise at sf0.1)
+CREEP_RATIO = 1.30
+CREEP_ABS_SEC = 0.5
 
 
 def _bench_at(commit: str | None) -> dict | None:
@@ -105,6 +114,69 @@ def _fmt(rows: list[tuple[str, str, dict]]) -> str:
     return "\n".join(out)
 
 
+def _tail_panel(rows: list[tuple[str, str, dict]]) -> str:
+    """Per-key panel over the slowest TAIL_N keys of the latest full run,
+    calibration-normalized across the last three full runs, with a
+    machine verdict per key (VERDICT r8 #5): 'CREEP' when normalized cost
+    grew >CREEP_RATIO and >CREEP_ABS_SEC absolute vs the oldest compared
+    run, else 'ok' — so creep vs host drift stops being re-litigated by
+    hand each round."""
+    runs = [r for r in rows if r[2].get("calibration_sec")][-3:]
+    if not runs:
+        return "\n".join([TAIL_BEGIN, "", "(no calibrated runs)", TAIL_END])
+    latest = runs[-1][2]
+    cal_latest = latest["calibration_sec"]
+    tail = sorted(
+        latest.get("queries", {}).items(), key=lambda kv: -kv[1]
+    )[:TAIL_N]
+    hdr = " | ".join(label or sha for label, sha, _ in runs)
+    out = [
+        TAIL_BEGIN,
+        "",
+        f"Top-{TAIL_N} tail of the latest run, in calibration units"
+        f" (sec / that run's probe); verdict = CREEP when latest >"
+        f" {CREEP_RATIO}x the oldest compared run AND > {CREEP_ABS_SEC} s"
+        " absolute, else ok.",
+        "",
+        f"| key | {hdr} | verdict |",
+        "|---|" + "---|" * (len(runs) + 1),
+    ]
+    for key, sec in tail:
+        cells = []
+        oldest_units = oldest_sec = None
+        for _, _, b in runs:
+            s = b.get("queries", {}).get(key)
+            cal = b.get("calibration_sec")
+            if s is None or not cal:
+                cells.append("—")
+                continue
+            u = s / cal
+            if oldest_units is None:
+                oldest_units, oldest_sec = u, s
+            cells.append(f"{u:.2f}u ({s:.2f}s)")
+        latest_units = sec / cal_latest
+        if oldest_units is None or oldest_units == latest_units:
+            verdict = "new"
+        elif (
+            latest_units > CREEP_RATIO * oldest_units
+            and sec - oldest_sec > CREEP_ABS_SEC
+        ):
+            verdict = "**CREEP**"
+        else:
+            verdict = "ok"
+        out.append(f"| {key} | " + " | ".join(cells) + f" | {verdict} |")
+    out += ["", TAIL_END]
+    return "\n".join(out)
+
+
+def _splice(text: str, begin: str, end: str, block: str) -> str | None:
+    if begin in text and end in text:
+        pre, rest = text.split(begin, 1)
+        _, post = rest.split(end, 1)
+        return pre + block + post
+    return None
+
+
 def main() -> int:
     rows = _history_rows()
     wt = _bench_at(None)
@@ -116,20 +188,25 @@ def main() -> int:
         if committed != wt:
             rows.append(("working tree", "—", wt))
     table = _fmt(rows)
+    tail = _tail_panel(rows)
     path = os.path.join(ROOT, "ROUNDLOG.md")
     with open(path) as fh:
         text = fh.read()
-    if BEGIN in text and END in text:
-        pre, rest = text.split(BEGIN, 1)
-        _, post = rest.split(END, 1)
-        text = pre + table + post
-    else:
+    spliced = _splice(text, BEGIN, END, table)
+    if spliced is None:
         print("markers not found in ROUNDLOG.md — printing table", file=sys.stderr)
         print(table)
         return 1
+    text = spliced
+    spliced = _splice(text, TAIL_BEGIN, TAIL_END, tail)
+    if spliced is None:
+        # first run with the tail panel: seat it right after the history
+        text = text.replace(END, END + "\n\n" + tail, 1)
+    else:
+        text = spliced
     with open(path, "w") as fh:
         fh.write(text)
-    print(f"wrote bench-history table: {len(rows)} rows")
+    print(f"wrote bench-history table ({len(rows)} rows) + top-{TAIL_N} tail panel")
     return 0
 
 
