@@ -1303,9 +1303,20 @@ HYBRID_OUT_K = 10
 # least-selective terms first. The window is per-query (≤ doc-length rows) —
 # bounded, never corpus-wide.
 HYBRID_QUERY_TERMS = 10
+# absolute stop-term cut: never score a term present in more than this
+# percentage of documents, applied BEFORE the per-query budget so the
+# budget refills from the surviving (selective) terms. This is the
+# PRODUCTION lever for Zipf vocabularies (the per-query budget alone
+# leaves work-proportional residual growth on shared mid-frequency terms —
+# r8 verdict); default OFF because the driver corpus has a 31-word
+# vocabulary where every term exceeds any realistic cut and the lexical
+# leg would go empty. Measured on tools/token_skew_bench.py's planted
+# 50%-head corpus (ROUNDLOG r9) and pinned on a planted stop-term fixture
+# in tests/test_round9_pins.py.
+HYBRID_STOP_DF_PCT = None
 
 
-def hybrid_search_rrf(spark, sf_dir):
+def hybrid_search_rrf(spark, sf_dir, stop_df_pct=HYBRID_STOP_DF_PCT):
     """RRF fusion of the LSH-ANN ranking and an idf-overlap lexical ranking."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = d.select(
@@ -1333,11 +1344,17 @@ def hybrid_search_rrf(spark, sf_dir):
             F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
         ).alias("term"),
     )
+    qsel = q_docs.join(dfx, "term").crossJoin(F.broadcast(n_docs))
+    if stop_df_pct is not None:
+        # exact integer comparison (no float df/n ratio): drop stop-grade
+        # terms BEFORE the budget window so the budget refills from the
+        # remaining selective terms
+        qsel = qsel.filter(
+            F.col("df") * 100 <= F.col("n_docs") * int(stop_df_pct)
+        )
     qw = (
-        q_docs.join(dfx, "term")
-        .withColumn("sel_rn", F.row_number().over(wq))
+        qsel.withColumn("sel_rn", F.row_number().over(wq))
         .filter(F.col("sel_rn") <= HYBRID_QUERY_TERMS)
-        .crossJoin(F.broadcast(n_docs))
         .selectExpr(
             "query_id", "term", "CAST(shiftleft(n_docs, 10) DIV df AS BIGINT) AS w"
         )
@@ -1378,7 +1395,7 @@ def hybrid_search_rrf(spark, sf_dir):
     )
 
 
-ORACLE_HYBRID_RRF = f"""
+_ORACLE_HYBRID_RRF_TEMPLATE = f"""
 WITH {{LSH_CTES}},
 sem AS (
   SELECT query_id, neighbor_id AS cand_id,
@@ -1401,7 +1418,8 @@ qsel AS (
   SELECT query_id, term, df,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY df ASC, term ASC)
            AS sel_rn
-  FROM qt JOIN dfx USING (term)
+  FROM qt JOIN dfx USING (term) CROSS JOIN n
+  {{STOP_FILTER}}
   QUALIFY sel_rn <= {HYBRID_QUERY_TERMS}
 ),
 qw AS (
@@ -1437,6 +1455,19 @@ ranked AS (
 )
 SELECT * FROM ranked WHERE fused_rank <= {HYBRID_OUT_K}
 """.replace("{LSH_CTES}", _KNN_LSH_CTES)
+
+
+def oracle_hybrid_rrf(stop_df_pct=HYBRID_STOP_DF_PCT) -> str:
+    """DuckDB oracle for ``hybrid_search_rrf`` at the same stop-term cut."""
+    stop = (
+        f"WHERE df * 100 <= n_docs * {int(stop_df_pct)}"
+        if stop_df_pct is not None
+        else ""
+    )
+    return _ORACLE_HYBRID_RRF_TEMPLATE.replace("{STOP_FILTER}", stop)
+
+
+ORACLE_HYBRID_RRF = oracle_hybrid_rrf()
 
 QUERIES["hybrid_search_rrf"] = hybrid_search_rrf
 ORACLES["hybrid_search_rrf"] = ORACLE_HYBRID_RRF

@@ -40,6 +40,106 @@ def test_session_cache_bounds_storage(spark):
     _CACHE_REGISTRY.pop("_pin_tag", None)
 
 
+def _hybrid_fixture(spark, tmp_path):
+    """40 docs; 'the' is in EVERY doc (df=100%), r{i} unique (df=1),
+    s{i%5} shared by 8 (df=20%). Query doc = vec_id 0 (vec_id % 50 == 0).
+    Each doc has only 3 distinct terms, so without a cut the stop term
+    enters every query's 10-term budget and dominates the lexical leg."""
+    import numpy as np
+
+    path = str(tmp_path / "stopterm")
+    docs = [(i, f"the r{i} s{i % 5}", "en", "s0", 12) for i in range(40)]
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    dsch = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    spark.createDataFrame(docs, dsch).write.parquet(f"{path}/documents.parquet")
+    rng = np.random.RandomState(9)
+    embs = [
+        (i, [float(x) for x in rng.uniform(-1, 1, 64).round(3)], i % 3)
+        for i in range(20)
+    ]
+    esch = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    spark.createDataFrame(embs, esch).write.parquet(f"{path}/embeddings.parquet")
+    return path
+
+
+def test_hybrid_stop_df_cut_parity_and_effect(spark, tmp_path):
+    """Pin 3 (VERDICT r8 #4): the absolute stop-term df cut.
+
+    At stop_df_pct=50 the 100%-df term must (a) vanish from every query's
+    scored-term budget, (b) change the lexical outcome vs the default-off
+    run, and (c) stay engine-exact — the Spark run and the mirrored DuckDB
+    oracle at the SAME cut agree row-for-row."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.similarity import (
+        hybrid_search_rrf,
+        oracle_hybrid_rrf,
+    )
+
+    path = _hybrid_fixture(spark, tmp_path)
+
+    def canon(rows):
+        return sorted(tuple(r) for r in rows)
+
+    off = canon(
+        hybrid_search_rrf(spark, path, stop_df_pct=None)
+        .select("query_id", "cand_id", "lex_rank", "sem_rank", "fused_rank")
+        .collect()
+    )
+    on_df = hybrid_search_rrf(spark, path, stop_df_pct=50)
+    on = canon(
+        on_df.select("query_id", "cand_id", "lex_rank", "sem_rank", "fused_rank").collect()
+    )
+    assert on != off, "the cut changed nothing on a 100%-df planted stop term"
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}/{t}.parquet/*.parquet')"
+        )
+    orows = con.execute(
+        f"SELECT query_id, cand_id, lex_rank, sem_rank, fused_rank"
+        f" FROM ({oracle_hybrid_rrf(stop_df_pct=50)})"
+    ).fetchall()
+    assert canon(orows) == on, "Spark and oracle disagree at the same cut"
+
+    # (a) directly: no surviving scored term has df above the cut
+    survivors = con.execute(
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_filter(str_split(text, ' '), x -> x <> ''))) AS term
+          FROM documents
+        ),
+        dfx AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT term FROM dfx CROSS JOIN n WHERE df * 100 > n_docs * 50
+        """
+    ).fetchall()
+    assert [t for (t,) in survivors] == ["the"], "fixture lost its stop term"
+
+
 def test_window_lag_seq_is_not_vacuous(spark, sf_dir):
     rows = window_lag_seq(spark, sf_dir).collect()
     assert len(rows) > 0, "gate went vacuous again (0 Spark rows)"

@@ -172,6 +172,22 @@ def main() -> None:
                 f"| {round(n_docs * tpd / tz / 10**6, 1)}M tok/s |"
             )
 
+        # the production stop-term lever (VERDICT r8 #4): hybrid retrieval
+        # with the absolute df cut ON (df <= 1% of docs — drops the ~60
+        # Zipf head terms, keeps the realistic-vocab tail). Default-off
+        # hybrid_search_rrf is already in GATES above for contrast.
+        from etl_process_for_detecting_fraudulent_transactions_spark.queries.similarity import (
+            hybrid_search_rrf,
+        )
+
+        cut = lambda s, d: hybrid_search_rrf(s, d, stop_df_pct=1)  # noqa: E731
+        tu = timed(cut, runs["uniform"][0])
+        tz = timed(cut, runs["zipf"][0])
+        print(
+            f"| hybrid_search_rrf[df<=1%] | {tu:.2f} | {tz:.2f} |"
+            f" {tz / tu:.2f}× | {round(n_docs * tpd / tz / 10**6, 1)}M tok/s |"
+        )
+
     spark.stop()
 
 
