@@ -1718,3 +1718,140 @@ FROM sel
 
 QUERIES["dsir_importance_weights"] = dsir_importance_weights
 ORACLES["dsir_importance_weights"] = ORACLE_DSIR
+
+
+# -- document-quality classifier: train + apply --------------------------------
+# The document-level quality classifier every LLM curation stack runs
+# (fastText-style; VERDICT r8 #6 / the LLM-pipeline brief), expressed as a
+# pure DataFrame train/apply with EXACT integer math:
+#   * weak labels from provenance (the standard bootstrap: curated-source
+#     docs are positives) — here source suffix < QC_POS_SRC_LT;
+#   * train on doc_id % QC_HOLDOUT_MOD != 0, apply to the holdout;
+#   * per-token Laplace-smoothed class-likelihood-ratio weights (the
+#     ln-free integer-ratio discipline dsir_importance_weights established
+#     — no engine-divergent transcendental logs), unseen holdout tokens
+#     score the neutral ratio QC_SCALE;
+#   * per-doc score = integer mean token weight; pred = score >= neutral.
+#
+# 100-TB shape (the dsir lesson applied from day one): holdout occurrences
+# pre-aggregate to (doc, token, k) BEFORE the token-keyed weight join so a
+# stop-word-grade hot token flows once per document, not once per
+# occurrence; the weight table is vocab-sized (corpus-sublinear) and the
+# final rollup is a map-side-combinable groupBy(doc).
+
+QC_POS_SRC_LT = 10
+QC_HOLDOUT_MOD = 4
+QC_SCALE = 1_000_000
+
+
+def quality_classifier_nb(spark, sf_dir):
+    """Weak-label quality classifier: train integer likelihood-ratio token
+    weights on the train split, score + classify the holdout split."""
+    d = _docs(spark, sf_dir)
+    # try_cast + FALSE default: a malformed/short/NULL source (null sweep's
+    # planted rows, hostile sweep's "s0") is "unknown provenance, not
+    # curated" — a plain cast ABORTS the whole train pass under ANSI
+    lab = d.withColumn(
+        "weak_pos",
+        F.coalesce(
+            F.expr("try_cast(substring(source, 4, 10) AS INT)") < QC_POS_SRC_LT,
+            F.lit(False),
+        ),
+    )
+    tok = lab.select("doc_id", "weak_pos", F.explode(_tokens()).alias("w"))
+    train = tok.filter(F.col("doc_id") % QC_HOLDOUT_MOD != 0)
+    counts = train.groupBy("w").agg(
+        F.sum(F.when(F.col("weak_pos"), 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(~F.col("weak_pos"), 1).otherwise(0)).alias("cn"),
+    )
+    scal = counts.agg(
+        F.sum("cp").alias("np"),
+        F.sum("cn").alias("nn"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    wts = counts.crossJoin(F.broadcast(scal)).selectExpr(
+        "w",
+        f"CAST(CAST(cp + 1 AS DECIMAL(38,0)) * CAST(nn + vocab AS DECIMAL(38,0))"
+        f" * {QC_SCALE}"
+        f" div (CAST(cn + 1 AS DECIMAL(38,0)) * CAST(np + vocab AS DECIMAL(38,0)))"
+        " AS BIGINT) AS w_micro",
+    )
+    hold = tok.filter(F.col("doc_id") % QC_HOLDOUT_MOD == 0)
+    dtok = hold.groupBy("doc_id", "weak_pos", "w").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    per_doc = (
+        dtok.join(wts, "w", "left")
+        .withColumn("wm", F.coalesce(F.col("w_micro"), F.lit(QC_SCALE)))
+        .groupBy("doc_id", "weak_pos")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.col("k").cast("decimal(38,0)") * F.col("wm").cast("decimal(38,0)")
+            ).alias("s"),
+        )
+        .selectExpr(
+            "doc_id",
+            "weak_pos",
+            "n_tokens",
+            "CAST(s div CAST(n_tokens AS DECIMAL(38,0)) AS BIGINT) AS score_micro",
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "weak_pos",
+        "n_tokens",
+        "score_micro",
+        (F.col("score_micro") >= QC_SCALE).alias("pred_pos"),
+    )
+
+
+ORACLE_QC = f"""
+WITH lab AS (
+  SELECT doc_id,
+         COALESCE(TRY_CAST(SUBSTR(source, 4) AS INT) < {QC_POS_SRC_LT}, FALSE)
+           AS weak_pos,
+         text
+  FROM documents
+),
+t AS (
+  SELECT doc_id, weak_pos,
+         unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w
+  FROM lab
+),
+train AS (SELECT * FROM t WHERE doc_id % {QC_HOLDOUT_MOD} <> 0),
+counts AS (
+  SELECT w,
+         SUM(CASE WHEN weak_pos THEN 1 ELSE 0 END) AS cp,
+         SUM(CASE WHEN weak_pos THEN 0 ELSE 1 END) AS cn
+  FROM train GROUP BY w
+),
+scal AS (SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS vocab FROM counts),
+wts AS (
+  SELECT w,
+         CAST(CAST(cp + 1 AS HUGEINT) * CAST(nn + vocab AS HUGEINT)
+              * {QC_SCALE}
+              // (CAST(cn + 1 AS HUGEINT) * CAST(np + vocab AS HUGEINT))
+              AS BIGINT) AS w_micro
+  FROM counts CROSS JOIN scal
+),
+hold AS (
+  SELECT doc_id, weak_pos, w, COUNT(*) AS k
+  FROM t WHERE doc_id % {QC_HOLDOUT_MOD} = 0
+  GROUP BY doc_id, weak_pos, w
+),
+per AS (
+  SELECT doc_id, weak_pos,
+         CAST(SUM(k) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(k AS HUGEINT) * CAST(COALESCE(w_micro, {QC_SCALE}) AS HUGEINT))
+              // SUM(k) AS BIGINT) AS score_micro
+  FROM hold LEFT JOIN wts USING (w)
+  GROUP BY doc_id, weak_pos
+)
+SELECT doc_id, weak_pos, n_tokens, score_micro,
+       score_micro >= {QC_SCALE} AS pred_pos
+FROM per
+"""
+
+QUERIES["quality_classifier_nb"] = quality_classifier_nb
+ORACLES["quality_classifier_nb"] = ORACLE_QC

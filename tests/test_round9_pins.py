@@ -140,6 +140,110 @@ def test_hybrid_stop_df_cut_parity_and_effect(spark, tmp_path):
     assert [t for (t,) in survivors] == ["the"], "fixture lost its stop term"
 
 
+def _write_docs(spark, path, rows):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    sch = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    spark.createDataFrame(rows, sch).write.parquet(f"{path}/documents.parquet")
+
+
+def test_crosslingual_dedup_planted(spark, tmp_path):
+    """Round-9 gate pin: a planted en/de mirror pair must come back with the
+    en doc kept and the de doc dropped; a de/fr mirror falls back to the
+    lower doc_id; an identical same-lang pair must NOT appear."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.dedup import (
+        crosslingual_dedup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    path = str(tmp_path / "xl")
+    _write_docs(
+        spark,
+        path,
+        [
+            (1, base, "en", "src0", len(base)),
+            (2, base, "de", "src1", len(base)),          # en/de mirror
+            (7, other, "de", "src2", len(other)),
+            (9, other, "fr", "src3", len(other)),        # de/fr mirror
+            (3, base, "en", "src4", len(base)),          # en/en dup of 1
+        ],
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in crosslingual_dedup(spark, path).collect()
+    }
+    assert (1, 2) in rows and rows[(1, 2)]["keep_id"] == 1 and rows[(1, 2)]["drop_id"] == 2
+    assert (2, 3) in rows and rows[(2, 3)]["keep_id"] == 3  # en side kept
+    assert (7, 9) in rows and rows[(7, 9)]["keep_id"] == 7  # no en: lower id
+    assert (1, 3) not in rows, "same-lang pair leaked into the cross-lingual ledger"
+
+
+def test_crosslingual_bucket_cap_keeps_discriminative_pairs(spark, tmp_path):
+    """Pin: the band-bucket cap (XL_BUCKET_CAP) drops pairs that collide
+    ONLY in oversized (non-discriminative) buckets but keeps a true mirror
+    whose rare shingles drive a small bucket. 100 identical stop-text docs
+    form >cap buckets in every band — none of their pairs may surface —
+    while the mirrored rare-text pair must."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.dedup import (
+        XL_BUCKET_CAP,
+        crosslingual_dedup,
+    )
+
+    stop = "the of and to in for on at by it " * 4  # 40 stop tokens
+    rare = "quetzal zephyr oblique marsupial quixotic vellum " * 2
+    rows = [(i, stop.strip(), "en" if i % 2 else "de", "src1", len(stop)) for i in range(100)]
+    rows.append((200, rare.strip(), "en", "src2", len(rare)))
+    rows.append((201, rare.strip(), "fr", "src3", len(rare)))
+    assert 100 > XL_BUCKET_CAP
+    path = str(tmp_path / "cap")
+    _write_docs(spark, path, rows)
+    got = {(r["doc_a"], r["doc_b"]) for r in crosslingual_dedup(spark, path).collect()}
+    assert (200, 201) in got, "discriminative mirror lost under the cap"
+    assert all(a >= 200 for a, _ in got), "stop-bucket pairs leaked past the cap"
+
+
+def test_quality_classifier_planted_separation(spark, tmp_path):
+    """Round-9 gate pin: tokens exclusive to curated sources must push a
+    holdout doc over the neutral score, and junk-exclusive tokens under it —
+    on a planted corpus the classifier's holdout predictions recover the
+    weak labels exactly."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.text import (
+        QC_SCALE,
+        quality_classifier_nb,
+    )
+
+    rows = []
+    # train docs (doc_id % 4 != 0): 30 curated ('good*'), 30 junk ('spam*')
+    did = 0
+    for i in range(60):
+        while did % 4 == 0:
+            did += 1
+        curated = i < 30
+        text = ("good alpha " * 5 if curated else "spam omega " * 5).strip()
+        rows.append((did, text, "en", "src1" if curated else "src15", len(text)))
+        did += 1
+    # holdout docs (doc_id % 4 == 0): one of each
+    rows.append((100, "good alpha good alpha", "en", "src1", 21))
+    rows.append((104, "spam omega spam omega", "en", "src15", 21))
+    path = str(tmp_path / "qc")
+    _write_docs(spark, path, rows)
+    out = {r["doc_id"]: r for r in quality_classifier_nb(spark, path).collect()}
+    assert set(out) == {100, 104}, "holdout split drifted"
+    assert out[100]["weak_pos"] and out[100]["pred_pos"]
+    assert out[100]["score_micro"] > QC_SCALE
+    assert not out[104]["weak_pos"] and not out[104]["pred_pos"]
+    assert out[104]["score_micro"] < QC_SCALE
+
+
 def test_window_lag_seq_is_not_vacuous(spark, sf_dir):
     rows = window_lag_seq(spark, sf_dir).collect()
     assert len(rows) > 0, "gate went vacuous again (0 Spark rows)"

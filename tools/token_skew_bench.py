@@ -28,6 +28,7 @@ What the honest split should show, per gate family:
     skew-immune sibling shape.
 
 Usage: python tools/token_skew_bench.py [n_docs] [tokens_per_doc] [vocab]
+Set SPARK_GRAFT_SKEW_GATES=a,b to measure a subset of GATES.
 Prints markdown-ready rows for SCALING.md; writes nothing to the repo.
 """
 
@@ -52,6 +53,10 @@ GATES = (
     "inverted_index",
     "keyword_search_topk",
     "hybrid_search_rrf",
+    # round-9 additions: token-keyed train/apply and shingle-keyed
+    # cross-lang near-dup
+    "quality_classifier_nb",
+    "crosslingual_dedup",
 )
 
 LANGS = ("en", "de", "fr", "es", "zh")
@@ -164,7 +169,9 @@ def main() -> None:
             f" {100.0 * runs['zipf'][2] / runs['zipf'][3]:.1f}%"
             f" vs uniform {100.0 * runs['uniform'][2] / runs['uniform'][3]:.2f}%"
         )
-        for g in GATES:
+        only = os.environ.get("SPARK_GRAFT_SKEW_GATES")
+        gates = tuple(only.split(",")) if only else GATES
+        for g in gates:
             tu = timed(qs[g], runs["uniform"][0])
             tz = timed(qs[g], runs["zipf"][0])
             print(
@@ -180,13 +187,14 @@ def main() -> None:
             hybrid_search_rrf,
         )
 
-        cut = lambda s, d: hybrid_search_rrf(s, d, stop_df_pct=1)  # noqa: E731
-        tu = timed(cut, runs["uniform"][0])
-        tz = timed(cut, runs["zipf"][0])
-        print(
-            f"| hybrid_search_rrf[df<=1%] | {tu:.2f} | {tz:.2f} |"
-            f" {tz / tu:.2f}× | {round(n_docs * tpd / tz / 10**6, 1)}M tok/s |"
-        )
+        if not only or "hybrid_search_rrf" in gates:
+            cut = lambda s, d: hybrid_search_rrf(s, d, stop_df_pct=1)  # noqa: E731
+            tu = timed(cut, runs["uniform"][0])
+            tz = timed(cut, runs["zipf"][0])
+            print(
+                f"| hybrid_search_rrf[df<=1%] | {tu:.2f} | {tz:.2f} |"
+                f" {tz / tu:.2f}× | {round(n_docs * tpd / tz / 10**6, 1)}M tok/s |"
+            )
 
     spark.stop()
 
