@@ -33,6 +33,14 @@ def session_cache(df: DataFrame, tag: str, sf_dir: str) -> DataFrame:
     if prev is not None:
         prev_sf, prev_sess, prev_df = prev
         if prev_sf == sf_dir and prev_sess is sess:
+            # an external spark.catalog.clearCache() (bench/rehearsal do
+            # this between queries) unpersists the frame behind our back;
+            # returning it un-re-cached made every dedup gate re-derive the
+            # shingle subtree per consumer (bench tail panel caught it:
+            # dedup_ngram_jaccard 2.5u -> 12u). Re-mark it for caching —
+            # cheap no-op when still persisted.
+            if not prev_df.storageLevel.useMemory:
+                prev_df.cache()
             return prev_df
         try:
             # non-blocking: in-flight jobs over the old frame recompute;

@@ -36,7 +36,14 @@ def test_session_cache_bounds_storage(spark):
     assert c3 is not c1
     assert not c1.storageLevel.useMemory, "superseded frame must be unpersisted"
     assert c3.storageLevel.useMemory
-    c3.unpersist(blocking=False)
+    # an external clearCache (bench/rehearsal between queries) must not
+    # leave the memoized frame permanently uncached — the tail panel caught
+    # exactly this as a 4.8x dedup-family regression in round 9
+    spark.catalog.clearCache()
+    c4 = session_cache(spark.range(7), "_pin_tag", "/b")
+    assert c4 is c3
+    assert c4.storageLevel.useMemory, "memo hit must re-cache after clearCache"
+    c4.unpersist(blocking=False)
     _CACHE_REGISTRY.pop("_pin_tag", None)
 
 
