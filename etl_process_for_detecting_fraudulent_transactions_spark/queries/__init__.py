@@ -45,7 +45,9 @@ from . import (
 #         string_ops, in `tools/rotation_check.py` order).
 # After position 50: the remaining 21 r5-stale keys, then family order.
 # Round-9 additions are appended BELOW the window (growth throttled to <=5
-# per the standing convention; registry <=226 at close).
+# per the standing convention). Round-9 used 2 of the 5 slots —
+# quality_classifier_nb + crosslingual_dedup, both from the r8 judge's
+# shortlist — registry 223 at close.
 #
 # ROUND-10 ROTATION PLAN (written now so the next session executes, not
 # re-derives): assuming CORRECTNESS_r09 goes green on this window, the r10
