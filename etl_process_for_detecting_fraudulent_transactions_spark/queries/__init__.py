@@ -39,11 +39,15 @@ from . import (
 #   1-4   the 4 round-8 additions that have never been driver-checked
 #         (dsir_importance_weights .. hybrid_search_rrf, rotation_check
 #         order);
-#   5-21  the 17 remaining r4-stale keys (minhash_containment ..
+#   5     window_lag_seq — r8-checked but VACUOUSLY (0 rows == 0 oracle
+#         rows); VERDICT r8 #2's done-criterion is a driver row with
+#         spark_rows > 0, which needs it inside the window now that the
+#         span fix makes sf0.01 yield 156 rows;
+#   6-22  the 17 remaining r4-stale keys (minhash_containment ..
 #         variant_json_ops);
-#   22-50 the first 29 of the 50 r5-stale keys (chi2_independence ..
-#         string_ops, in `tools/rotation_check.py` order).
-# After position 50: the remaining 21 r5-stale keys, then family order.
+#   23-50 the first 28 of the 50 r5-stale keys (chi2_independence ..
+#         monthly_revenue, in `tools/rotation_check.py` order).
+# After position 50: the remaining 22 r5-stale keys, then family order.
 # Round-9 additions are appended BELOW the window (growth throttled to <=5
 # per the standing convention). Round-9 used 2 of the 5 slots —
 # quality_classifier_nb + crosslingual_dedup, both from the r8 judge's
@@ -51,11 +55,12 @@ from . import (
 #
 # ROUND-10 ROTATION PLAN (written now so the next session executes, not
 # re-derives): assuming CORRECTNESS_r09 goes green on this window, the r10
-# priority list should be (1) any r9 reds, fixed, first; (2) any round-9
-# additions (never-checked); (3) the remaining 21 r5-stale keys
-# (case_when_bands .. tpch_q22_dormant_customers); (4) the r6-stale
-# cohort, stalest-first per `tools/rotation_check.py`. That clears r5 debt
-# entirely and makes max staleness r6 at round-10 open.
+# priority list should be (1) any r9 reds, fixed, first; (2) the 2 round-9
+# additions (never-checked): quality_classifier_nb, crosslingual_dedup;
+# (3) the remaining 22 r5-stale keys (string_ops, then case_when_bands ..
+# tpch_q22_dormant_customers); (4) the r6-stale cohort, stalest-first per
+# `tools/rotation_check.py`. That clears r5 debt entirely and makes max
+# staleness r6 at round-10 open.
 _MODULES = (
     relational,
     extra,
@@ -79,7 +84,9 @@ _PRIORITY_KEYS = (
     "session_window_segmented",
     "asof_join_segmented",
     "hybrid_search_rrf",
-    # -- 5-21: the 17 remaining r4-stale keys --
+    # -- 5: the de-vacuated gate (VERDICT r8 #2 wants a >0-row driver hash) --
+    "window_lag_seq",
+    # -- 6-22: the 17 remaining r4-stale keys --
     "minhash_containment",
     "record_linkage_fs",
     "datetime_ops",
@@ -97,7 +104,7 @@ _PRIORITY_KEYS = (
     "multimodal_jpeg_color",
     "multimodal_phash",
     "variant_json_ops",
-    # -- 22-50: first 29 of the 50 r5-stale keys (rotation_check order) --
+    # -- 23-50: first 28 of the 50 r5-stale keys (rotation_check order) --
     "chi2_independence",
     "heavy_hitters_exact_rescan",
     "table_checksum",
@@ -126,9 +133,9 @@ _PRIORITY_KEYS = (
     "cube_revenue",
     "pivot_priority_revenue",
     "monthly_revenue",
-    "string_ops",
     # ---- window boundary (driver checks ~50) ----
-    # -- the remaining 21 r5-stale keys (round-10 window, per plan above) --
+    # -- the remaining 22 r5-stale keys (round-10 window, per plan above) --
+    "string_ops",
     "case_when_bands",
     "above_nation_avg",
     "tpch_q3_shipping_priority",
