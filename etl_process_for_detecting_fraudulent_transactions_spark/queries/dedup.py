@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._io import session_cache
+from ._io import session_cache, session_cache_lazy
 
 N_MINHASH = 12         # minhash permutations
 N_BANDS = 6            # LSH bands (rows per band = 2): the (b, r) tuning
@@ -506,10 +506,16 @@ def dedup_clusters(spark, sf_dir):
     # frame 3× concurrently (band join + both verify sides) —
     # materializing the pair set first keeps the loop on a tiny in-memory
     # table and truncates the LSH lineage out of every round's plan
-    pairs = (
-        _verify_exact_jaccard(arr, _minhash_band_candidates(arr))
+    # lazy memo (round-9 review): the eager checkpoint is the dominant cost,
+    # so a repeat call must not rebuild it just to discard it on the
+    # members/edges memo hit. catalog.clearCache() doesn't touch checkpoint
+    # blocks (they persist via the RDD, not the SQL CacheManager).
+    pairs = session_cache_lazy(
+        "dedup_cluster_pairs",
+        sf_dir,
+        lambda: _verify_exact_jaccard(arr, _minhash_band_candidates(arr))
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True),
     )
     # undirected edge list + self-loops over the member set
     members = session_cache(

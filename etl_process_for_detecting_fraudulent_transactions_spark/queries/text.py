@@ -1808,9 +1808,21 @@ def quality_classifier_nb(spark, sf_dir):
 
 ORACLE_QC = f"""
 WITH lab AS (
+  -- exact mirror of Spark's try_cast(substring(source, 4, 10) AS INT)
+  -- (round-9 review finding): same 10-char cap, same [\\x00-\\x20] trim
+  -- class, integral-token guard (DuckDB TRY_CAST would ROUND 'src1.5'
+  -- where Spark yields NULL) — probed on 8 hostile shapes, all equal
   SELECT doc_id,
-         COALESCE(TRY_CAST(SUBSTR(source, 4) AS INT) < {QC_POS_SRC_LT}, FALSE)
-           AS weak_pos,
+         COALESCE(
+           CASE WHEN regexp_matches(
+                  regexp_replace(SUBSTR(source, 4, 10),
+                                 '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g'),
+                  '^[+-]?[0-9]+$')
+                THEN TRY_CAST(
+                  regexp_replace(SUBSTR(source, 4, 10),
+                                 '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')
+                  AS INT) END < {QC_POS_SRC_LT},
+           FALSE) AS weak_pos,
          text
   FROM documents
 ),

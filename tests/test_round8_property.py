@@ -291,41 +291,21 @@ def test_null_audit_doc_gate_parity(spark, tmp_path, key):
 # hostile-input pins: malformed / wrong-typed JSON must not abort (round 8)
 # ---------------------------------------------------------------------------
 
-HOSTILE_PROPS = [
-    '{"k": 1}',
-    "not json",
-    "",
-    '{"k": "str"}',
-    "{broken",
-    "[]",
-    '{"k": null}',
-    "null",
-    '{"K": 2}',
-    None,
-    # coercible shapes where the two Spark routes measurably differ
-    # (quoted / decimal / exponent / bool / leading-zero / beyond-int64)
-    '{"k": "1"}',
-    '{"k": "1.5"}',
-    '{"k": 1.5}',
-    '{"k": -2.999}',
-    '{"k": 1e3}',
-    '{"k": true}',
-    '{"k": "0007"}',
-    '{"k": " 1"}',
-    '{"k": "+5"}',
-    '{"k": 99999999999999999999}',
-    '{"k": 10000000000000000000}',
-    # round-9 advice: Spark's cast trims the full [\x00-\x20] class where
-    # DuckDB trim() strips only ASCII space — tab/newline-padded quoted
-    # numbers pin the oracle's regexp-based mirror
-    '{"k": "\\t1"}',
-    '{"k": "\\n 2 \\t"}',
-    '{"k": "\\u00a03"}',
-    # round-9 advice: missing_is_null must be COMPUTED — explicit JSON null
-    # is a non-null variant in Spark (False), absent key is SQL NULL (True)
-    '{"missing": null}',
-    '{"missing": 7, "k": 4}',
-]
+# single source of truth: the sweep tool's corpus (round-9 review — the two
+# hand-synced copies had already drifted). The pytest corpus adds the one
+# shape the tool cannot plant through its non-nullable writer path: a SQL
+# NULL props row.
+import importlib.util as _ilu
+import os as _os
+
+_spec = _ilu.spec_from_file_location(
+    "hostile_strings_sweep",
+    _os.path.join(_os.path.dirname(__file__), "..", "tools", "hostile_strings_sweep.py"),
+)
+_hss = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_hss)
+
+HOSTILE_PROPS = list(_hss.HOSTILE_PROPS) + [None]
 
 
 @pytest.mark.parametrize("key", ["json_props_stats", "variant_json_ops"])

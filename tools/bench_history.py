@@ -144,18 +144,22 @@ def _tail_panel(rows: list[tuple[str, str, dict]]) -> str:
     for key, sec in tail:
         cells = []
         oldest_units = oldest_sec = None
+        n_present = 0
         for _, _, b in runs:
             s = b.get("queries", {}).get(key)
             cal = b.get("calibration_sec")
             if s is None or not cal:
                 cells.append("—")
                 continue
+            n_present += 1
             u = s / cal
             if oldest_units is None:
                 oldest_units, oldest_sec = u, s
             cells.append(f"{u:.2f}u ({s:.2f}s)")
         latest_units = sec / cal_latest
-        if oldest_units is None or oldest_units == latest_units:
+        # presence, not float equality: a key with identical normalized
+        # cost in every run is 'ok', only a single-run key is 'new'
+        if n_present <= 1:
             verdict = "new"
         elif (
             latest_units > CREEP_RATIO * oldest_units

@@ -140,6 +140,12 @@ def main() -> None:
     spark = get_spark(app_name="token_skew_bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
+    only = os.environ.get("SPARK_GRAFT_SKEW_GATES")
+    gates = tuple(g.strip() for g in only.split(",") if g.strip()) if only else GATES
+    unknown = [g for g in gates if g not in qs]
+    if unknown:
+        # fail BEFORE the (minutes-long) corpus build, not after
+        raise SystemExit(f"unknown gate(s) in SPARK_GRAFT_SKEW_GATES: {unknown}")
 
     def timed(fn, sf_dir) -> float:
         best = None
@@ -169,8 +175,6 @@ def main() -> None:
             f" {100.0 * runs['zipf'][2] / runs['zipf'][3]:.1f}%"
             f" vs uniform {100.0 * runs['uniform'][2] / runs['uniform'][3]:.2f}%"
         )
-        only = os.environ.get("SPARK_GRAFT_SKEW_GATES")
-        gates = tuple(only.split(",")) if only else GATES
         for g in gates:
             tu = timed(qs[g], runs["uniform"][0])
             tz = timed(qs[g], runs["zipf"][0])
