@@ -80,9 +80,20 @@ def session_cache_lazy(tag: str, sf_dir: str, builder) -> DataFrame:
     an eager localCheckpoint): ``builder()`` runs only on a memo miss, so a
     repeat call skips the materialization entirely instead of building a
     fresh checkpoint and discarding it (round-9 review finding on
-    dedup_clusters)."""
+    dedup_clusters).
+
+    Contract (round-9 ADVICE): unlike ``session_cache``, a memo hit cannot
+    compare the builder's plan hash (the builder hasn't run), so TAGS MUST BE
+    UNIQUE PER BUILDER — two call sites sharing a lazy tag would serve each
+    other's frame. Session identity IS checked: the memo only hits when the
+    cached frame was built under the currently-active SparkSession, so a hit
+    can't return a frame bound to a different (still-responsive) session."""
     prev = _CACHE_REGISTRY.get(tag)
-    if prev is not None and prev[0] == sf_dir:
+    if (
+        prev is not None
+        and prev[0] == sf_dir
+        and prev[1] is SparkSession.getActiveSession()
+    ):
         prev_df = prev[2]
         try:
             if not prev_df.storageLevel.useMemory:

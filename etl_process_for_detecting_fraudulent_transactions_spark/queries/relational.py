@@ -250,14 +250,17 @@ def window_lag_seq(spark, sf_dir):
     3 predecessors (per user, time-ordered) have strictly decreasing values,
     the whole chain within a bounded span.
 
-    The reference uses 120 minutes on its dense 3-day feed; on the sparse
-    synthetic events table that span selects 0 rows at sf<=0.01, which made
-    the driver gate vacuous (0==0, VERDICT r8 "What's wrong"). The span here
-    is 1440 minutes — identical in the oracle below — chosen so the gate
-    hashes real rows at every driver sf (156 @ sf0.01, ~1.6k @ sf0.1) while
-    the time filter still rejects ~60% of decreasing chains. The reference's
-    exact 120-min semantics stay covered by the golden Q4 replay
-    (tests/test_golden_replay.py) and the single-Window-node plan pin."""
+    The reference's rule spans 20 minutes (rep_fraud.py guessing-amount
+    rule); the exact-semantics carrier in this repo is plans/rules.py, which
+    uses 20 minutes and is golden-replayed. This gate is a SHAPE variant on
+    the sparse synthetic events table (an earlier 120-min variant selected 0
+    rows at sf<=0.01, making the driver gate vacuous — VERDICT r8 "What's
+    wrong"). The span here is 1440 minutes — identical in the oracle below —
+    chosen so the gate hashes real rows at every driver sf (156 @ sf0.01,
+    ~1.6k @ sf0.1) while the time filter still rejects ~60% of decreasing
+    chains. The reference's exact 20-min semantics stay covered by the golden
+    Q4 replay (tests/test_golden_replay.py) and the single-Window-node plan
+    pin."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     v = F.col("value").cast("decimal(18,6)")

@@ -1346,11 +1346,18 @@ def hybrid_search_rrf(spark, sf_dir, stop_df_pct=HYBRID_STOP_DF_PCT):
     )
     qsel = q_docs.join(dfx, "term").crossJoin(F.broadcast(n_docs))
     if stop_df_pct is not None:
+        # round-9 ADVICE: int() truncation turned a fractional pct like 0.5
+        # into 0, silently dropping EVERY term and emptying the lexical leg.
+        # Whole percentages only; reject anything else loudly.
+        if not isinstance(stop_df_pct, int) or isinstance(stop_df_pct, bool) or stop_df_pct < 1:
+            raise ValueError(
+                f"stop_df_pct must be an int >= 1 (whole percent), got {stop_df_pct!r}"
+            )
         # exact integer comparison (no float df/n ratio): drop stop-grade
         # terms BEFORE the budget window so the budget refills from the
         # remaining selective terms
         qsel = qsel.filter(
-            F.col("df") * 100 <= F.col("n_docs") * int(stop_df_pct)
+            F.col("df") * 100 <= F.col("n_docs") * stop_df_pct
         )
     qw = (
         qsel.withColumn("sel_rn", F.row_number().over(wq))
@@ -1459,8 +1466,16 @@ SELECT * FROM ranked WHERE fused_rank <= {HYBRID_OUT_K}
 
 def oracle_hybrid_rrf(stop_df_pct=HYBRID_STOP_DF_PCT) -> str:
     """DuckDB oracle for ``hybrid_search_rrf`` at the same stop-term cut."""
+    if stop_df_pct is not None and (
+        not isinstance(stop_df_pct, int)
+        or isinstance(stop_df_pct, bool)
+        or stop_df_pct < 1
+    ):
+        raise ValueError(
+            f"stop_df_pct must be an int >= 1 (whole percent), got {stop_df_pct!r}"
+        )
     stop = (
-        f"WHERE df * 100 <= n_docs * {int(stop_df_pct)}"
+        f"WHERE df * 100 <= n_docs * {stop_df_pct}"
         if stop_df_pct is not None
         else ""
     )

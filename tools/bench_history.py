@@ -126,6 +126,17 @@ def _tail_panel(rows: list[tuple[str, str, dict]]) -> str:
         return "\n".join([TAIL_BEGIN, "", "(no calibrated runs)", TAIL_END])
     latest = runs[-1][2]
     cal_latest = latest["calibration_sec"]
+    # round-9 ADVICE: if the newest history row lacks calibration_sec (e.g.
+    # an uncalibrated working-tree run), the panel silently reported an
+    # older run as "latest" — say so explicitly instead.
+    skipped_note = ""
+    if rows and not rows[-1][2].get("calibration_sec"):
+        skipped_label = rows[-1][0] or rows[-1][1]
+        skipped_note = (
+            f" NOTE: newest history row ({skipped_label}) lacks"
+            " calibration_sec and was skipped; 'latest' here is the newest"
+            " CALIBRATED run."
+        )
     tail = sorted(
         latest.get("queries", {}).items(), key=lambda kv: -kv[1]
     )[:TAIL_N]
@@ -136,7 +147,7 @@ def _tail_panel(rows: list[tuple[str, str, dict]]) -> str:
         f"Top-{TAIL_N} tail of the latest run, in calibration units"
         f" (sec / that run's probe); verdict = CREEP when latest >"
         f" {CREEP_RATIO}x the oldest compared run AND > {CREEP_ABS_SEC} s"
-        " absolute, else ok.",
+        " absolute, else ok." + skipped_note,
         "",
         f"| key | {hdr} | verdict |",
         "|---|" + "---|" * (len(runs) + 1),
