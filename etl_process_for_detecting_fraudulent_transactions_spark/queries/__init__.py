@@ -32,35 +32,36 @@ from . import (
 )
 
 # Order matters: the driver's correctness budget covers the first ~50
-# registered queries (r1-r8 each checked exactly the first 50). Round-9
-# rotation executes the committed plan (VERDICT r8 "Next round" #1, which
-# is the plan this file wrote at r8 close): CORRECTNESS_r08 was 50/50
-# green with zero reds, so the window is:
-#   1-4   the 4 round-8 additions that have never been driver-checked
-#         (dsir_importance_weights .. hybrid_search_rrf, rotation_check
-#         order);
-#   5     window_lag_seq — r8-checked but VACUOUSLY (0 rows == 0 oracle
-#         rows); VERDICT r8 #2's done-criterion is a driver row with
-#         spark_rows > 0, which needs it inside the window now that the
-#         span fix makes sf0.01 yield 156 rows;
-#   6-22  the 17 remaining r4-stale keys (minhash_containment ..
-#         variant_json_ops);
-#   23-50 the first 28 of the 50 r5-stale keys (chi2_independence ..
-#         monthly_revenue, in `tools/rotation_check.py` order).
-# After position 50: the remaining 22 r5-stale keys, then family order.
-# Round-9 additions are appended BELOW the window (growth throttled to <=5
-# per the standing convention). Round-9 used 2 of the 5 slots —
-# quality_classifier_nb + crosslingual_dedup, both from the r8 judge's
-# shortlist — registry 223 at close.
+# registered queries (r1-r9 each checked exactly the first 50). Round-10
+# rotation executes the committed plan (VERDICT r9 "Next round" #1, written
+# at r9 close): CORRECTNESS_r09 was 50/50 green with zero reds, so the
+# window is:
+#   1-2   the 2 round-9 additions that have never been driver-checked
+#         (quality_classifier_nb, crosslingual_dedup — both green in the
+#         r9 judge's own sf0.01 rehearsal);
+#   3-24  the 22 remaining r5-stale keys (string_ops ..
+#         tpch_q22_dormant_customers, rotation_check order);
+#   25-26 the 2 round-10 additions (tokenizer_fertility, ann_recall_audit
+#         — the r9 judge's shortlist (a)+(b)), placed INSIDE the window so
+#         they are driver-checked in the round that ships them (VERDICT r9
+#         #3 allows either side; in-window leaves zero never-checked keys
+#         at close);
+#   27-50 the first 24 r6-stale keys (quantity_percentiles ..
+#         doc_repetition_ratio, rotation_check stalest-first order).
+# After position 50: the remaining 26 r6-stale keys (pii_redact_names ..
+# json_props_stats), then family order (the r7 cohort). This clears r5
+# debt entirely; staleness floor after r10 is r6 (26 keys carry).
 #
-# ROUND-10 ROTATION PLAN (written now so the next session executes, not
-# re-derives): assuming CORRECTNESS_r09 goes green on this window, the r10
-# priority list should be (1) any r9 reds, fixed, first; (2) the 2 round-9
-# additions (never-checked): quality_classifier_nb, crosslingual_dedup;
-# (3) the remaining 22 r5-stale keys (string_ops, then case_when_bands ..
-# tpch_q22_dormant_customers); (4) the r6-stale cohort, stalest-first per
-# `tools/rotation_check.py`. That clears r5 debt entirely and makes max
-# staleness r6 at round-10 open.
+# Round-10 additions used 2 of the 5 throttled slots — registry 225 at
+# close (<= 228 per the standing <=5-per-round convention).
+#
+# ROUND-11 ROTATION PLAN (written now so the next session executes, not
+# re-derives): assuming CORRECTNESS_r10 goes green on this window, the r11
+# priority list should be (1) any r10 reds, fixed, first; (2) the 26
+# remaining r6-stale keys (pii_redact_names .. json_props_stats, already
+# ordered below); (3) the first ~24 r7-stale keys stalest-first per
+# `tools/rotation_check.py` (countmin_heavy_hitters ..). That clears r6
+# debt entirely and makes max staleness r7 at round-11 open.
 _MODULES = (
     relational,
     extra,
@@ -79,62 +80,10 @@ _MODULES = (
 
 # Keys verified first this round (never-driver-checked first, then stalest).
 _PRIORITY_KEYS = (
-    # -- 1-4: the round-8 additions, never driver-checked (VERDICT r8 #1) --
-    "dsir_importance_weights",
-    "session_window_segmented",
-    "asof_join_segmented",
-    "hybrid_search_rrf",
-    # -- 5: the de-vacuated gate (VERDICT r8 #2 wants a >0-row driver hash) --
-    "window_lag_seq",
-    # -- 6-22: the 17 remaining r4-stale keys --
-    "minhash_containment",
-    "record_linkage_fs",
-    "datetime_ops",
-    "regex_ops",
-    "attribution_last_touch",
-    "pq_encode",
-    "knn_pq_adc",
-    "knn_ivf_pq",
-    "multimodal_features",
-    "multimodal_audio_features",
-    "multimodal_resize",
-    "multimodal_bmp_features",
-    "multimodal_png_features",
-    "multimodal_jpeg_features",
-    "multimodal_jpeg_color",
-    "multimodal_phash",
-    "variant_json_ops",
-    # -- 23-50: first 28 of the 50 r5-stale keys (rotation_check order) --
-    "chi2_independence",
-    "heavy_hitters_exact_rescan",
-    "table_checksum",
-    "poisson_bootstrap",
-    "weighted_median",
-    "join_size_estimate",
-    "benford_digits",
-    "feature_hashing",
-    "lm_doc_score",
-    "triangle_stats",
-    "pagerank_copurchase",
-    "linkpred_common_neighbors",
-    "kcore_peel",
-    "resample_interpolate",
-    "cusum_anomaly",
-    "series_correlation",
-    "column_profile",
-    "quantile_normalize",
-    "topk_orders",
-    "distinct_segments",
-    "set_except_customers",
-    "set_intersect_customers",
-    "full_outer_orders",
-    "right_join_orders",
-    "window_rank_topn",
-    "cube_revenue",
-    "pivot_priority_revenue",
-    "monthly_revenue",
-    # ---- window boundary (driver checks ~50) ----
-    # -- the remaining 22 r5-stale keys (round-10 window, per plan above) --
+    # -- 1-2: the round-9 additions, never driver-checked (VERDICT r9 #1) --
+    "quality_classifier_nb",
+    "crosslingual_dedup",
+    # -- 3-24: the 22 remaining r5-stale keys (rotation_check order) --
     "string_ops",
     "case_when_bands",
     "above_nation_avg",
@@ -157,6 +106,62 @@ _PRIORITY_KEYS = (
     "tpch_q17_small_qty_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_dormant_customers",
+    # -- 25-26: the round-10 additions (driver-checked in their own round) --
+    "tokenizer_fertility",
+    "ann_recall_audit",
+    # -- 27-50: first 24 of the 50 r6-stale keys (rotation_check order) --
+    "quantity_percentiles",
+    "rolling_7day_window",
+    "embedding_hof_stats",
+    "unpivot_line_metrics",
+    "doc_word_topk",
+    "grouping_sets_revenue",
+    "incremental_monthly_rollup",
+    "ab_proportion_test",
+    "mad_outliers",
+    "groupwise_mode",
+    "ols_two_features",
+    "winsorized_stats",
+    "ratio_to_report",
+    "exact_median_2pass",
+    "lift_gains_table",
+    "kaplan_meier_survival",
+    "text_token_stats",
+    "text_quality",
+    "lang_id_markers",
+    "doc_fingerprint",
+    "text_bpe_tokens",
+    "curation_pipeline",
+    "doc_chunk_windows",
+    "doc_repetition_ratio",
+    # ---- window boundary (driver checks ~50) ----
+    # -- the remaining 26 r6-stale keys (round-11 window, per plan above) --
+    "pii_redact_names",
+    "editdist_topk",
+    "phrase_search",
+    "sssp_weighted",
+    "asof_join_nearest",
+    "rolling_median_7d",
+    "cumulative_distinct_users",
+    "seasonal_baseline_dev",
+    "session_window_builtin",
+    "train_test_split",
+    "stratified_sample",
+    "dedup_exact",
+    "dedup_bow_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "fuzzy_name_pairs",
+    "golden_record_merge",
+    "salted_join_agg",
+    "attribution_linear",
+    "pca_power_iteration",
+    "multimodal_gif_features",
+    "sessionize",
+    "tpch_q12_priority_class",
+    "tpch_q18_large_orders",
+    "json_props_stats",
 )
 
 # Family order after the priority keys: remaining r2-stale families first

@@ -1867,3 +1867,84 @@ FROM per
 
 QUERIES["quality_classifier_nb"] = quality_classifier_nb
 ORACLES["quality_classifier_nb"] = ORACLE_QC
+
+
+# -- tokenizer fertility / bytes-per-token profile per language ---------------
+# The standard multilingual-mix diagnostic for a pretraining corpus: how many
+# (BPE-ish) tokens a language costs per UTF-8 byte and per whitespace word
+# ("fertility"). High bytes/token = the tokenizer is efficient for that
+# script; high tokens/word = the tokenizer fragments that language. Pairs
+# with `text_bpe_tokens` (same pre-tokenizer regex) — r9 judge shortlist (a).
+#
+# 100-TB design: a pure zero-join scan — per-doc byte/token counts fold into
+# a partial (map-side) aggregate, and the final shuffle carries ONE row per
+# language per map partition. Language-count skew (en is ~half of any web
+# corpus) is absorbed entirely by the map-side combine; no salting needed.
+
+
+def tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer profile: docs, UTF-8 bytes, BPE-ish tokens,
+    whitespace words, and the derived ratios (bytes/token, tokens/word
+    fertility, tokens/doc). Exact int sums → one double division each, so
+    both engines agree bit-for-bit."""
+    d = _docs(spark, sf_dir)
+    per_doc = d.select(
+        "lang",
+        F.octet_length("text").alias("bytes"),
+        F.regexp_count("text", F.lit(_BPE_RE)).alias("bpe"),
+        F.size(_tokens()).alias("words"),
+    )
+    g = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bytes").alias("total_bytes"),
+        F.sum("bpe").alias("total_bpe_tokens"),
+        F.sum("words").alias("total_ws_words"),
+    )
+    # NULL (not DIVIDE_BY_ZERO / Inf) when a language has no tokens at all —
+    # ANSI-safe and mirrored by nullif in the oracle
+    bpe_nz = F.when(F.col("total_bpe_tokens") > 0, F.col("total_bpe_tokens"))
+    words_nz = F.when(F.col("total_ws_words") > 0, F.col("total_ws_words"))
+    return g.select(
+        "lang",
+        "n_docs",
+        "total_bytes",
+        "total_bpe_tokens",
+        "total_ws_words",
+        (F.col("total_bytes").cast("double") / bpe_nz).alias("bytes_per_token"),
+        (F.col("total_bpe_tokens").cast("double") / words_nz).alias(
+            "fertility_tokens_per_word"
+        ),
+        (F.col("total_bpe_tokens").cast("double") / F.col("n_docs")).alias(
+            "tokens_per_doc"
+        ),
+    )
+
+
+# DuckDB strlen() is byte length (Spark octet_length); len()/length() is
+# characters — the zh/de docs make the two diverge, which is the point.
+ORACLE_FERTILITY = f"""
+WITH per_doc AS (
+  SELECT lang,
+         strlen(text) AS bytes,
+         len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe,
+         len(list_filter(str_split(text, ' '), x -> x <> '')) AS words
+  FROM documents
+),
+g AS (
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+         CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+         CAST(SUM(words) AS BIGINT) AS total_ws_words
+  FROM per_doc
+  GROUP BY lang
+)
+SELECT lang, n_docs, total_bytes, total_bpe_tokens, total_ws_words,
+       CAST(total_bytes AS DOUBLE) / nullif(total_bpe_tokens, 0) AS bytes_per_token,
+       CAST(total_bpe_tokens AS DOUBLE) / nullif(total_ws_words, 0) AS fertility_tokens_per_word,
+       CAST(total_bpe_tokens AS DOUBLE) / n_docs AS tokens_per_doc
+FROM g
+"""
+
+QUERIES["tokenizer_fertility"] = tokenizer_fertility
+ORACLES["tokenizer_fertility"] = ORACLE_FERTILITY
