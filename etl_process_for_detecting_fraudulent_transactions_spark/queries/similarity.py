@@ -1522,7 +1522,10 @@ def ann_recall_audit(spark, sf_dir):
             "query_id", "neighbor_id", F.lit(1).alias("hit")
         )
         per_q = (
-            bf.join(got, ["query_id", "neighbor_id"], "left")
+            # both sides are panel-bounded (k rows per sampled query), but
+            # derived-frame stats are unknown to CBO — broadcast the probe
+            # side explicitly so the audit never sorts
+            bf.join(F.broadcast(got), ["query_id", "neighbor_id"], "left")
             .groupBy("query_id")
             .agg(
                 F.sum(F.coalesce(F.col("hit"), F.lit(0)))
