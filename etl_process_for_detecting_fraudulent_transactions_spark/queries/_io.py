@@ -75,7 +75,7 @@ def session_cache(df: DataFrame, tag: str, sf_dir: str) -> DataFrame:
     return df
 
 
-def session_cache_lazy(tag: str, sf_dir: str, builder) -> DataFrame:
+def session_cache_lazy(tag: str, sf_dir: str, builder, session: SparkSession) -> DataFrame:
     """session_cache for frames that are EXPENSIVE to even construct (e.g.
     an eager localCheckpoint): ``builder()`` runs only on a memo miss, so a
     repeat call skips the materialization entirely instead of building a
@@ -85,15 +85,14 @@ def session_cache_lazy(tag: str, sf_dir: str, builder) -> DataFrame:
     Contract (round-9 ADVICE): unlike ``session_cache``, a memo hit cannot
     compare the builder's plan hash (the builder hasn't run), so TAGS MUST BE
     UNIQUE PER BUILDER — two call sites sharing a lazy tag would serve each
-    other's frame. Session identity IS checked: the memo only hits when the
-    cached frame was built under the currently-active SparkSession, so a hit
-    can't return a frame bound to a different (still-responsive) session."""
+    other's frame. Session identity IS checked against the CALLER's
+    ``session`` (round-10 review: ``getActiveSession()`` is thread-local and
+    names whichever session is active, not the one the caller computes with
+    — a ``newSession()`` caller would be served the other session's frame,
+    and a worker thread with no active session would never memo-hit and
+    rebuild the expensive checkpoint every call)."""
     prev = _CACHE_REGISTRY.get(tag)
-    if (
-        prev is not None
-        and prev[0] == sf_dir
-        and prev[1] is SparkSession.getActiveSession()
-    ):
+    if prev is not None and prev[0] == sf_dir and prev[1] is session:
         prev_df = prev[2]
         try:
             if not prev_df.storageLevel.useMemory:

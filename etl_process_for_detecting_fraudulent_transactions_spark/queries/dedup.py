@@ -516,6 +516,7 @@ def dedup_clusters(spark, sf_dir):
         lambda: _verify_exact_jaccard(arr, _minhash_band_candidates(arr))
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True),
+        arr.sparkSession,
     )
     # undirected edge list + self-loops over the member set
     members = session_cache(

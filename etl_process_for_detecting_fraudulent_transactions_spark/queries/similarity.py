@@ -1316,11 +1316,11 @@ HYBRID_QUERY_TERMS = 10
 HYBRID_STOP_DF_PCT = None
 
 
-def hybrid_search_rrf(spark, sf_dir, stop_df_pct=HYBRID_STOP_DF_PCT):
-    """RRF fusion of the LSH-ANN ranking and an idf-overlap lexical ranking."""
-    # round-9 ADVICE: int() truncation turned a fractional pct like 0.5 into
-    # 0, silently dropping EVERY term and emptying the lexical leg. Whole
-    # percentages only; reject anything else loudly, before any IO.
+def _validate_stop_df_pct(stop_df_pct) -> None:
+    """round-9 ADVICE: int() truncation turned a fractional pct like 0.5
+    into 0, silently dropping EVERY term and emptying the lexical leg.
+    Whole percentages only; reject anything else loudly. ONE definition so
+    the gate and its oracle builder can never desynchronize."""
     if stop_df_pct is not None and (
         not isinstance(stop_df_pct, int)
         or isinstance(stop_df_pct, bool)
@@ -1329,6 +1329,11 @@ def hybrid_search_rrf(spark, sf_dir, stop_df_pct=HYBRID_STOP_DF_PCT):
         raise ValueError(
             f"stop_df_pct must be an int >= 1 (whole percent), got {stop_df_pct!r}"
         )
+
+
+def hybrid_search_rrf(spark, sf_dir, stop_df_pct=HYBRID_STOP_DF_PCT):
+    """RRF fusion of the LSH-ANN ranking and an idf-overlap lexical ranking."""
+    _validate_stop_df_pct(stop_df_pct)  # before any IO
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = d.select(
         "doc_id",
@@ -1470,14 +1475,7 @@ SELECT * FROM ranked WHERE fused_rank <= {HYBRID_OUT_K}
 
 def oracle_hybrid_rrf(stop_df_pct=HYBRID_STOP_DF_PCT) -> str:
     """DuckDB oracle for ``hybrid_search_rrf`` at the same stop-term cut."""
-    if stop_df_pct is not None and (
-        not isinstance(stop_df_pct, int)
-        or isinstance(stop_df_pct, bool)
-        or stop_df_pct < 1
-    ):
-        raise ValueError(
-            f"stop_df_pct must be an int >= 1 (whole percent), got {stop_df_pct!r}"
-        )
+    _validate_stop_df_pct(stop_df_pct)
     stop = (
         f"WHERE df * 100 <= n_docs * {stop_df_pct}"
         if stop_df_pct is not None

@@ -126,16 +126,22 @@ def _tail_panel(rows: list[tuple[str, str, dict]]) -> str:
         return "\n".join([TAIL_BEGIN, "", "(no calibrated runs)", TAIL_END])
     latest = runs[-1][2]
     cal_latest = latest["calibration_sec"]
-    # round-9 ADVICE: if the newest history row lacks calibration_sec (e.g.
+    # round-9 ADVICE: if the newest history rows lack calibration_sec (e.g.
     # an uncalibrated working-tree run), the panel silently reported an
-    # older run as "latest" — say so explicitly instead.
+    # older run as "latest" — say so explicitly instead, naming EVERY
+    # trailing uncalibrated row so the reader knows how far back "latest"
+    # reaches (round-10 review: naming only the newest understated it).
+    skipped = []
+    for label, sha, b in reversed(rows):
+        if b.get("calibration_sec"):
+            break
+        skipped.append(label or sha)
     skipped_note = ""
-    if rows and not rows[-1][2].get("calibration_sec"):
-        skipped_label = rows[-1][0] or rows[-1][1]
+    if skipped:
         skipped_note = (
-            f" NOTE: newest history row ({skipped_label}) lacks"
-            " calibration_sec and was skipped; 'latest' here is the newest"
-            " CALIBRATED run."
+            f" NOTE: the {len(skipped)} newest history row(s)"
+            f" ({', '.join(reversed(skipped))}) lack calibration_sec and"
+            " were skipped; 'latest' here is the newest CALIBRATED run."
         )
     tail = sorted(
         latest.get("queries", {}).items(), key=lambda kv: -kv[1]
