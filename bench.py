@@ -47,6 +47,7 @@ SCALE_KEYS = (
     "text_token_stats",
     "text_quality",
     "doc_fingerprint",
+    "tokenizer_fertility",  # round 10: linear scan + lang-keyed partial agg
     "sessionize",
     "range_join_events",
     "countmin_heavy_hitters",
@@ -211,6 +212,7 @@ SCALE_INPUT = {
     "text_token_stats": "documents",
     "text_quality": "documents",
     "doc_fingerprint": "documents",
+    "tokenizer_fertility": "documents",
     "sessionize": "events",
     "range_join_events": "events",
     "countmin_heavy_hitters": "events",
