@@ -697,3 +697,35 @@ def test_equidepth_2pass_has_no_ntile_no_global_sort_window(spark, sf_dir):
     assert "ntile" not in plan.lower(), plan
     assert "windowspecdefinition(bin" in plan, plan
     assert "windowspecdefinition(v#" not in plan, plan
+
+
+def test_tokenizer_fertility_is_one_exchange_scan(spark, sf_dir):
+    """tokenizer_fertility's 100-TB contract: per-row expressions feeding
+    ONE partial-aggregated groupBy(lang) — one exchange, no join, no
+    Python, and a partial_count/partial_sum BEFORE the shuffle so language
+    skew is absorbed map-side."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.text import (
+        tokenizer_fertility,
+    )
+
+    plan = _plan(tokenizer_fertility(spark, sf_dir))
+    import re
+
+    assert len(re.findall(r"Exchange (?:hash|range|Single)", plan)) == 1, plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_ann_recall_audit_never_sorts(spark, sf_dir):
+    """ann_recall_audit's panel-bounded contract: every audit join
+    broadcasts (round-10 review caught the committed PLANS.md row drifting
+    from the shipped broadcast plan — this pin makes the property
+    machine-enforced, not evidence-file-enforced)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.similarity import (
+        ann_recall_audit,
+    )
+
+    plan = _plan(ann_recall_audit(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
