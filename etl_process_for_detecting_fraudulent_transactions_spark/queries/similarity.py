@@ -1493,10 +1493,12 @@ ORACLES["hybrid_search_rrf"] = ORACLE_HYBRID_RRF
 
 
 # -- ANN recall audit ----------------------------------------------------------
-# Joins each approximate index's top-k (sign-LSH table union; IVF-PQ) against
-# the exact brute-force top-k and emits per-query hits@k / recall@k — the r9
+# Joins each approximate index's top-k (sign-LSH table union; its hamming-1
+# multiprobe variant — the documented recall lever; IVF-PQ) against the
+# exact brute-force top-k and emits per-query hits@k / recall@k — the r9
 # judge shortlist (b): it turns SCALING.md's prose recall claims into a
-# hash-checked, driver-visible number. Both legs are the gates' own oracles,
+# hash-checked, driver-visible number (multiprobe lifts mean recall@5
+# 0.235 -> 0.70 at sf0.1; measured table in SCALING.md). Both legs are the gates' own oracles,
 # so the audit is exact by construction (no float tolerance needed: rank
 # tiebreaks are deterministic in both engines).
 #
@@ -1515,7 +1517,14 @@ def ann_recall_audit(spark, sf_dir):
         "knn_bf_topk", sf_dir,
     )
     out = None
-    for method, fn in (("lsh", knn_lsh), ("ivf_pq", knn_ivf_pq)):
+    for method, fn in (
+        ("lsh", knn_lsh),
+        # the documented recall LEVER (SCALING.md: hamming-1 probing trades
+        # query-side compute for recall at constant index size) — auditing
+        # it next to plain LSH makes the lever's effect a hashed number
+        ("lsh_multiprobe", knn_lsh_multiprobe),
+        ("ivf_pq", knn_ivf_pq),
+    ):
         got = fn(spark, sf_dir).select(
             "query_id", "neighbor_id", F.lit(1).alias("hit")
         )
@@ -1549,11 +1558,18 @@ def ann_recall_audit(spark, sf_dir):
 ORACLE_RECALL_AUDIT = f"""
 WITH bf_top AS (SELECT query_id, neighbor_id FROM ({ORACLE_KNN}) t),
 lsh_top AS (SELECT query_id, neighbor_id FROM ({ORACLE_KNN_LSH}) t),
+mp_top AS (SELECT query_id, neighbor_id FROM ({ORACLE_KNN_MULTIPROBE}) t),
 ivf_top AS (SELECT query_id, neighbor_id FROM ({ORACLE_IVF_PQ}) t),
 audit AS (
   SELECT 'lsh' AS method, b.query_id,
          CAST(COUNT(m.neighbor_id) AS INT) AS hits_at_k
   FROM bf_top b LEFT JOIN lsh_top m
+    ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
+  GROUP BY b.query_id
+  UNION ALL
+  SELECT 'lsh_multiprobe' AS method, b.query_id,
+         CAST(COUNT(m.neighbor_id) AS INT) AS hits_at_k
+  FROM bf_top b LEFT JOIN mp_top m
     ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
   GROUP BY b.query_id
   UNION ALL
