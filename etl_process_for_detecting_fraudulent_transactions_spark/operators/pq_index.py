@@ -13,8 +13,9 @@ a filesystem):
   Also kilobytes.
 - ``codes``: one row per (vec_id, m) with its PQ code, hive-partitioned by
   the vector's inverted list — the ONLY corpus-sized artifact, and it is
-  ~64× smaller than the raw vectors (M small ints per vector). A probe
-  reads only the NPROBE directories its query's coarse ranking selects:
+  16× smaller than the raw float32 vectors (M 4-bit codes per vector). A
+  probe reads only the nprobe_eff directories its query's coarse ranking
+  selects:
   the parquet scan prunes partitions statically from a driver-side IN
   list, exactly like operators/ann_index.py.
 
@@ -38,7 +39,6 @@ from pyspark.sql import functions as F
 # gates (the same discipline ann_index.py follows for the LSH kernels).
 from ..queries.similarity import (
     CENTROID_MOD,
-    NPROBE,
     TOP_K,
     _emb,
     _pq_lut,
@@ -46,6 +46,7 @@ from ..queries.similarity import (
     _quantize_full,
     _sq_l2,
     _subvectors,
+    nprobe_eff,
 )
 
 
@@ -91,8 +92,8 @@ def query_pq_index(
     """ADC top-k over the probed inverted lists only.
 
     ``queries``: (query_id, embedding array<double>). Coarse ranking picks
-    NPROBE lists per query; the probed list ids are collected driver-side
-    (metadata: ≤ |queries|·NPROBE longs) and pushed as a partition
+    nprobe_eff lists per query; the probed list ids are collected driver-side
+    (metadata: ≤ |queries|·nprobe_eff longs) and pushed as a partition
     IN-filter, so the codes scan reads only those directories. Scoring is
     M lookups per candidate against the per-query LUT — the raw vectors
     are never read at probe time."""
@@ -103,13 +104,18 @@ def query_pq_index(
     ).localCheckpoint(eager=True)
     coarse = spark.read.parquet(f"{path}/coarse")
     cent = spark.read.parquet(f"{path}/codebook")
+    # scale-aware probe width, same single definition as the knn_ivf_pq
+    # gate (queries/similarity.py nprobe_eff) — the centroid table is
+    # kilobytes, so the count is a metadata-scale driver action like the
+    # probed-list collect below
+    k_lists = nprobe_eff(coarse.count())
     cd = qfull.crossJoin(F.broadcast(coarse)).select(
         "vec_id", "centroid_id", _sq_l2("qv", "cfull").alias("cd")
     )
     w = Window.partitionBy("vec_id").orderBy("cd", "centroid_id")
     probes = (
         cd.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= NPROBE)
+        .filter(F.col("crank") <= k_lists)
         .select(
             F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("list_id")
         )

@@ -27,18 +27,19 @@ def test_ann_recall_floor(spark, sf_dir, variant, floor):
 
 
 def test_pq_adc_recall_floor(spark, sf_dir):
-    """PQ-ADC recall floor. M=4 × K=4 is 8 bits per vector (production PQ
-    uses K=256 → 32 bits; this config keeps the codebook oracle-unrollable)
-    and ADC ranks by L2 over un-normalized fixed-point coords while the
-    brute-force reference ranks by cosine — so the floor pins the plumbing
-    (codes differentiate vectors at all), not the ceiling."""
+    """PQ-ADC recall floor. M=32 × K=16 is 128 bits per vector (16× smaller
+    than float32; the round-11 sweep showed the old 8-bit M=4 × K=4 config
+    capped full-scan recall at 0.14, unfixable by any probing policy). ADC
+    still ranks by L2 over un-normalized fixed-point coords while the
+    brute-force reference ranks by cosine, so the floor sits below the
+    0.52 measured at sf0.001, not at the theoretical ceiling."""
     from etl_process_for_detecting_fraudulent_transactions_spark.queries import all_queries
 
     qs = all_queries()
     brute = {(r.query_id, r.neighbor_id) for r in qs["knn_brute_force"](spark, sf_dir).collect()}
     got = {(r.query_id, r.neighbor_id) for r in qs["knn_pq_adc"](spark, sf_dir).collect()}
     recall = len(brute & got) / len(brute)
-    assert recall >= 0.06, f"knn_pq_adc recall@5 {recall:.2f} < 0.06"
+    assert recall >= 0.40, f"knn_pq_adc recall@5 {recall:.2f} < 0.40"
 
 
 def test_pq_codes_nondegenerate(spark, sf_dir):

@@ -12,10 +12,10 @@ from etl_process_for_detecting_fraudulent_transactions_spark.operators.pq_index 
     query_pq_index,
 )
 from etl_process_for_detecting_fraudulent_transactions_spark.queries.similarity import (
-    NPROBE,
     QUERY_MOD,
     _emb,
     knn_ivf_pq,
+    nprobe_eff,
 )
 
 
@@ -48,10 +48,11 @@ def test_probe_equals_in_query_gate(spark, sf_dir, tmp_path):
 
 
 def test_probe_scan_prunes_code_partitions(spark, sf_dir, tmp_path):
-    """A single-query probe must prune the codes scan to exactly its NPROBE
-    inverted lists: the codes-side FileSourceScan's PartitionFilters must
-    carry a list_id IN-list with NPROBE literals."""
+    """A single-query probe must prune the codes scan to exactly its
+    nprobe_eff(n_lists) inverted lists: the codes-side FileSourceScan's
+    PartitionFilters must carry a list_id IN-list with that many literals."""
     path = _build(spark, sf_dir, tmp_path)
+    n_lists = spark.read.parquet(f"{path}/coarse").count()
     one = (
         _emb(spark, sf_dir)
         .filter(F.col("vec_id") == 0)
@@ -64,7 +65,7 @@ def test_probe_scan_prunes_code_partitions(spark, sf_dir, tmp_path):
         for m in re.finditer(r"PartitionFilters: \[list_id#\d+L? IN \(([^)]*)\)", plan)
     ]
     assert in_lists, f"no list_id IN partition filter in plan:\n{plan[:2000]}"
-    assert len(in_lists[0].split(",")) == NPROBE
+    assert len(in_lists[0].split(",")) == min(nprobe_eff(n_lists), n_lists)
 
 
 def test_external_queries_keep_self_matches(spark, sf_dir, tmp_path):
