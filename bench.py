@@ -48,6 +48,7 @@ SCALE_KEYS = (
     "text_quality",
     "doc_fingerprint",
     "tokenizer_fertility",  # round 10: linear scan + lang-keyed partial agg
+    "domain_mix_reweight",  # round 11: linear scan + source-keyed partial agg
     "sessionize",
     "range_join_events",
     "countmin_heavy_hitters",
@@ -213,6 +214,7 @@ SCALE_INPUT = {
     "text_quality": "documents",
     "doc_fingerprint": "documents",
     "tokenizer_fertility": "documents",
+    "domain_mix_reweight": "documents",
     "sessionize": "events",
     "range_join_events": "events",
     "countmin_heavy_hitters": "events",

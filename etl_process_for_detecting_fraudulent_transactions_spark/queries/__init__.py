@@ -32,36 +32,32 @@ from . import (
 )
 
 # Order matters: the driver's correctness budget covers the first ~50
-# registered queries (r1-r9 each checked exactly the first 50). Round-10
-# rotation executes the committed plan (VERDICT r9 "Next round" #1, written
-# at r9 close): CORRECTNESS_r09 was 50/50 green with zero reds, so the
-# window is:
-#   1-2   the 2 round-9 additions that have never been driver-checked
-#         (quality_classifier_nb, crosslingual_dedup — both green in the
-#         r9 judge's own sf0.01 rehearsal);
-#   3-24  the 22 remaining r5-stale keys (string_ops ..
-#         tpch_q22_dormant_customers, rotation_check order);
-#   25-26 the 2 round-10 additions (tokenizer_fertility, ann_recall_audit
-#         — the r9 judge's shortlist (a)+(b)), placed INSIDE the window so
-#         they are driver-checked in the round that ships them (VERDICT r9
-#         #3 allows either side; in-window leaves zero never-checked keys
-#         at close);
-#   27-50 the first 24 r6-stale keys (quantity_percentiles ..
-#         doc_repetition_ratio, rotation_check stalest-first order).
-# After position 50: the remaining 26 r6-stale keys (pii_redact_names ..
-# json_props_stats), then family order (the r7 cohort). This clears r5
-# debt entirely; staleness floor after r10 is r6 (26 keys carry).
+# registered queries (r1-r10 each checked exactly the first 50). Round-11
+# rotation executes the committed plan (VERDICT r10 "Next round" #1,
+# written at r10 close): CORRECTNESS_r10 was 50/50 green with zero reds
+# (so no red-first entries), and the window is:
+#   1-26  the 26 remaining r6-stale keys (pii_redact_names ..
+#         json_props_stats — the whole r6 cohort, clearing r6 debt);
+#   27-28 the 2 round-11 additions (dedup_recall_audit,
+#         domain_mix_reweight — the r10 judge's shortlist (a)+(b)),
+#         placed INSIDE the window per the r10 precedent so they carry no
+#         evidence debt at close;
+#   29-50 the first 22 r7-stale keys (countmin_heavy_hitters ..
+#         integrity_checks, rotation_check stalest-first order).
+# After position 50: the next 12 r7-stale keys (data_skew_profile ..
+# funnel_steps), so any budget overflow lands next-stalest, then family
+# order. Staleness floor after r11 is r7 (28 keys carry).
 #
-# Round-10 additions used 2 of the 5 throttled slots — registry 225 at
-# close (<= 228 per the standing <=5-per-round convention).
+# Round-11 additions used 2 of the 5 throttled slots — registry 227 at
+# close (<= 230 per the standing <=5-per-round convention).
 #
-# ROUND-11 ROTATION PLAN (written now so the next session executes, not
-# re-derives): assuming CORRECTNESS_r10 goes green on this window, the r11
-# priority list should be (1) any r10 reds, fixed, first; (2) the 26
-# remaining r6-stale keys (pii_redact_names .. json_props_stats, already
-# ordered below); (3) the first ~24 r7-stale keys stalest-first per
-# `tools/rotation_check.py` (countmin_heavy_hitters ..). That clears r6
-# debt entirely and makes max staleness r7 at round-11 open.
+# ROUND-12 ROTATION PLAN (written now so the next session executes, not
+# re-derives): assuming CORRECTNESS_r11 goes green on this window, the r12
+# priority list should be (1) any r11 reds, fixed, first; (2) the 28
+# remaining r7-stale keys (data_skew_profile .. — the first 12 already
+# ordered below at positions 51-62, the rest per `tools/rotation_check.py`);
+# (3) the first ~22 r8-stale keys stalest-first per rotation_check. That
+# clears r7 debt entirely and makes max staleness r8 at round-12 open.
 _MODULES = (
     relational,
     extra,
@@ -78,64 +74,9 @@ _MODULES = (
     multimodal,
 )
 
-# Keys verified first this round (never-driver-checked first, then stalest).
+# Keys verified first this round (stalest first; new gates in-window).
 _PRIORITY_KEYS = (
-    # -- 1-2: the round-9 additions, never driver-checked (VERDICT r9 #1) --
-    "quality_classifier_nb",
-    "crosslingual_dedup",
-    # -- 3-24: the 22 remaining r5-stale keys (rotation_check order) --
-    "string_ops",
-    "case_when_bands",
-    "above_nation_avg",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
-    "window_distribution_funcs",
-    "pareto_frontier",
-    "null_ops",
-    "scd2_snapshot_diff",
-    "sql_text_api",
-    "union_rule_accumulation",
-    "rollup_revenue",
-    "fraud_flag_events",
-    "pit_join_events",
-    "scd3_update",
-    "tpch_q4_order_priority",
-    "tpch_q14_promo_share",
-    "tpch_q16_supplier_variety",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_dormant_customers",
-    # -- 25-26: the round-10 additions (driver-checked in their own round) --
-    "tokenizer_fertility",
-    "ann_recall_audit",
-    # -- 27-50: first 24 of the 50 r6-stale keys (rotation_check order) --
-    "quantity_percentiles",
-    "rolling_7day_window",
-    "embedding_hof_stats",
-    "unpivot_line_metrics",
-    "doc_word_topk",
-    "grouping_sets_revenue",
-    "incremental_monthly_rollup",
-    "ab_proportion_test",
-    "mad_outliers",
-    "groupwise_mode",
-    "ols_two_features",
-    "winsorized_stats",
-    "ratio_to_report",
-    "exact_median_2pass",
-    "lift_gains_table",
-    "kaplan_meier_survival",
-    "text_token_stats",
-    "text_quality",
-    "lang_id_markers",
-    "doc_fingerprint",
-    "text_bpe_tokens",
-    "curation_pipeline",
-    "doc_chunk_windows",
-    "doc_repetition_ratio",
-    # ---- window boundary (driver checks ~50) ----
-    # -- the remaining 26 r6-stale keys (round-11 window, per plan above) --
+    # -- 1-26: the 26 r6-stale keys — the whole r6 cohort (VERDICT r10 #1) --
     "pii_redact_names",
     "editdist_topk",
     "phrase_search",
@@ -162,6 +103,46 @@ _PRIORITY_KEYS = (
     "tpch_q12_priority_class",
     "tpch_q18_large_orders",
     "json_props_stats",
+    # -- 27-28: the round-11 additions (driver-checked in their own round) --
+    "dedup_recall_audit",
+    "domain_mix_reweight",
+    # -- 29-50: first 22 r7-stale keys (rotation_check stalest-first order) --
+    "countmin_heavy_hitters",
+    "lift_gains_value_deciles",
+    "equidepth_histogram_2pass",
+    "theil_sen_slope",
+    "mann_kendall_trend",
+    "gini_impurity_daily",
+    "hll_registers",
+    "ks_two_sample",
+    "spearman_daily",
+    "pettitt_changepoint",
+    "seq_packing",
+    "eval_contamination",
+    "substring_dedup",
+    "gopher_quality_filter",
+    "tfidf_keywords",
+    "bigram_lm_counts",
+    "resample_ffill",
+    "hopping_window_stats",
+    "holt_winters_level_trend",
+    "asof_join_forward",
+    "autocorr_lag",
+    "integrity_checks",
+    # ---- window boundary (driver checks ~50) ----
+    # -- the remaining 12 r7-stale keys (round-12 window, per plan above) --
+    "data_skew_profile",
+    "k_anonymity_profile",
+    "l_diversity_events",
+    "merge_upsert",
+    "domain_mix_sample",
+    "per_source_cap",
+    "dedup_minhash_mllib",
+    "dedup_prefix_jaccard",
+    "dedup_incremental",
+    "semantic_dedup",
+    "range_join_events",
+    "funnel_steps",
 )
 
 # Family order after the priority keys: remaining r2-stale families first

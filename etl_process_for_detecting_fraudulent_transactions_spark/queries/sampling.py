@@ -394,3 +394,111 @@ FROM ranked JOIN means USING (bucket)
 
 QUERIES["quantile_normalize"] = quantile_normalize
 ORACLES["quantile_normalize"] = ORACLE_QNORM
+
+
+# -- domain/source mix reweighting ---------------------------------------------
+# The DoReMi-shaped resampling step between measurement and sampling (r10
+# judge shortlist (b), VERDICT r10 #3): given the MEASURED per-source token
+# mass, compute the per-source sampling weight that moves the mix toward a
+# temperature-flattened target, with a repetition cap. Pairs with
+# dsir_importance_weights (per-DOC quality weights) and domain_mix_sample
+# (per-LANG hash selection): this gate produces the per-SOURCE policy table
+# a mixture loader consumes.
+#
+# The target mix is temperature resampling at alpha = 1/2 (the multilingual
+# sampling rule of Conneau & Lample 2019 / XLM; UNIMAX-flavored): target
+# mass per source ∝ sqrt(token mass), so head sources are downweighted and
+# tail sources upweighted without going fully uniform. weight = target
+# share / current share, capped at 4 epochs (a repeated-data cap in the
+# spirit of data-constrained scaling: repeating a tiny source more than a
+# few times stops buying new information). Everything is exact integer
+# arithmetic: floor(sqrt(bigint)) is exact in both engines (a correctly
+# rounded double sqrt of an exactly representable int, floored), shares and
+# weights are micro-scaled integer ceil-free floor divisions over
+# DECIMAL(38,0) intermediates (the dsir_importance_weights discipline).
+#
+# 100-TB shape: ONE corpus scan -> per-source map-side partial sums (the
+# en/src-head skew is absorbed before the exchange, same argument as
+# tokenizer_fertility) -> an n_sources-row frame; the corpus-wide totals are
+# unpartitioned window sums OVER that tiny frame (two single-partition
+# exchanges of ~n_sources rows), never a second scan and never a join.
+
+DOMAIN_MIX_MAX_REPEAT_MICRO = 4_000_000  # cap: at most 4 epochs of a source
+_MIX_MICRO = 1_000_000
+
+
+def domain_mix_reweight(spark, sf_dir):
+    """Per-source temperature-resampling (alpha=1/2) weights, 4-epoch cap."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(words), F.lit(0)).cast("bigint").alias("n_toks"),
+    )
+    w = Window.partitionBy()  # n_sources rows — single tiny partition
+    g = g.withColumn(
+        "sqrt_toks",
+        F.floor(F.sqrt(F.col("n_toks").cast("double"))).cast("bigint"),
+    ).withColumn("tot_toks", F.sum("n_toks").over(w)).withColumn(
+        "tot_sq", F.sum("sqrt_toks").over(w)
+    )
+    dec = "DECIMAL(38,0)"
+    return g.selectExpr(
+        "source",
+        "n_docs",
+        "n_toks",
+        "sqrt_toks",
+        f"CAST(CAST(n_toks AS {dec}) * {_MIX_MICRO}"
+        f" div nullif(CAST(tot_toks AS {dec}), 0) AS BIGINT) AS cur_share_micro",
+        f"CAST(CAST(sqrt_toks AS {dec}) * {_MIX_MICRO}"
+        f" div nullif(CAST(tot_sq AS {dec}), 0) AS BIGINT) AS tgt_share_micro",
+        f"CAST(LEAST(CAST(sqrt_toks AS {dec}) * CAST(tot_toks AS {dec})"
+        f" * {_MIX_MICRO}"
+        f" div nullif(CAST(n_toks AS {dec}) * CAST(tot_sq AS {dec}), 0),"
+        f" CAST({DOMAIN_MIX_MAX_REPEAT_MICRO} AS {dec})) AS BIGINT)"
+        " AS weight_micro",
+    ).selectExpr(
+        "*",
+        f"CAST(CAST(n_toks AS {dec}) * CAST(weight_micro AS {dec})"
+        f" div {_MIX_MICRO} AS BIGINT) AS planned_toks",
+    )
+
+
+ORACLE_MIX_REWEIGHT = f"""
+WITH g AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         COALESCE(CAST(SUM(len(list_filter(str_split(text, ' '), x -> x <> ''))) AS BIGINT), 0)
+           AS n_toks
+  FROM documents
+  GROUP BY source
+),
+t AS (
+  SELECT source, n_docs, n_toks,
+         CAST(FLOOR(SQRT(CAST(n_toks AS DOUBLE))) AS BIGINT) AS sqrt_toks,
+         SUM(n_toks) OVER () AS tot_toks
+  FROM g
+),
+t2 AS (SELECT *, SUM(sqrt_toks) OVER () AS tot_sq FROM t),
+wt AS (
+  SELECT source, n_docs, n_toks, sqrt_toks,
+         CAST(n_toks::HUGEINT * {_MIX_MICRO} // nullif(tot_toks::HUGEINT, 0) AS BIGINT)
+           AS cur_share_micro,
+         CAST(sqrt_toks::HUGEINT * {_MIX_MICRO} // nullif(tot_sq::HUGEINT, 0) AS BIGINT)
+           AS tgt_share_micro,
+         CAST(LEAST(sqrt_toks::HUGEINT * tot_toks::HUGEINT * {_MIX_MICRO}
+                      // nullif(n_toks::HUGEINT * tot_sq::HUGEINT, 0),
+                    {DOMAIN_MIX_MAX_REPEAT_MICRO}::HUGEINT) AS BIGINT)
+           AS weight_micro
+  FROM t2
+)
+SELECT *,
+       CAST(n_toks::HUGEINT * weight_micro::HUGEINT // {_MIX_MICRO} AS BIGINT)
+         AS planned_toks
+FROM wt
+"""
+
+QUERIES["domain_mix_reweight"] = domain_mix_reweight
+ORACLES["domain_mix_reweight"] = ORACLE_MIX_REWEIGHT

@@ -57,6 +57,10 @@ GATES = (
     # cross-lang near-dup
     "quality_classifier_nb",
     "crosslingual_dedup",
+    # round-11: source-keyed scan — expected skew-immune like
+    # tokenizer_fertility (map-side partials absorb the key skew; the Zipf
+    # knob here is token id, which only the word-count expression sees)
+    "domain_mix_reweight",
 )
 
 LANGS = ("en", "de", "fr", "es", "zh")
