@@ -21,7 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._io import session_cache
+from ._io import session_cache, session_cache_lazy
 
 TOP_K = 5
 QUERY_MOD = 50          # queries = vec_id % QUERY_MOD == 0
@@ -917,56 +917,81 @@ def _pq_lut(subrows: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def _pq_assign(sub, cent):
+    """Nearest-codeword assignment: one broadcast join of the M·K codebook
+    against the subvector frame, exact integer argmin (tie → centroid id)."""
+    d = sub.join(F.broadcast(cent), "m").select(
+        "vec_id",
+        "m",
+        "cid",
+        _sq_l2("sv", "cv").alias("dist"),
+    )
+    return (
+        d.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "cid")).alias("b"))
+        .select("vec_id", "m", F.col("b.cid").alias("cid"), F.col("b.dist").alias("dist"))
+    )
+
+
 def _pq_parts(spark, sf_dir):
     """Shared PQ machinery: returns (sub, cent, final) — the per-(vector,
     subspace) fixed-point subvectors, the trained codebook after PQ_L
     unrolled Lloyd iterations, and the final (vec_id, m, cid, dist)
-    assignment."""
-    q = _quantize_full(_emb(spark, sf_dir), "vec_id", "embedding")
-    sub = _subvectors(q).localCheckpoint()
+    assignment.
 
-    def assign(cent):
-        d = sub.join(F.broadcast(cent), "m").select(
-            "vec_id",
-            "m",
-            "cid",
-            _sq_l2("sv", "cv").alias("dist"),
-        )
-        return (
-            d.groupBy("vec_id", "m")
-            .agg(F.min(F.struct("dist", "cid")).alias("b"))
-            .select("vec_id", "m", F.col("b.cid").alias("cid"), F.col("b.dist").alias("dist"))
-        )
-
-    cent = sub.filter(F.col("vec_id") < PQ_K).select(
-        "m", F.col("vec_id").cast("int").alias("cid"), F.col("sv").alias("cv")
+    The subvector frame and the TRAINED codebook are localCheckpointed and
+    memoized per (session, sf_dir) via ``session_cache_lazy`` — the
+    "encode the corpus once, answer queries forever" semantics the
+    persisted index (operators/pq_index.py) makes explicit on disk. Four
+    gates consume this trainer (pq_encode, knn_pq_adc, knn_ivf_pq, the
+    recall audit's ivf_pq leg); with the round-11 M=32 × K=16 codebook the
+    L Lloyd rounds are the dominant shared cost, and retraining an
+    immutable artifact per gate measured ~2 s × 4 at sf0.1 for identical
+    results (the doc_fingerprint lazy-checkpoint precedent). The final
+    assignment stays LAZY per caller, so every consumer's plan still shows
+    the broadcast codebook join (plan-pinned in tests/test_plans.py)."""
+    sub = session_cache_lazy(
+        "pq_sub",
+        sf_dir,
+        lambda: _subvectors(
+            _quantize_full(_emb(spark, sf_dir), "vec_id", "embedding")
+        ).localCheckpoint(),
+        spark,
     )
-    for _ in range(PQ_L):
-        best = assign(cent)
-        upd = (
-            best.join(sub, ["vec_id", "m"])
-            .select("m", "cid", F.posexplode("sv").alias("pos", "v"))
-            .groupBy("m", "cid", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .select(
-                "m",
-                "cid",
-                "pos",
-                F.floor(F.col("s") / F.col("n")).cast("bigint").alias("c"),
+
+    def _train():
+        cent = sub.filter(F.col("vec_id") < PQ_K).select(
+            "m", F.col("vec_id").cast("int").alias("cid"), F.col("sv").alias("cv")
+        )
+        for _ in range(PQ_L):
+            best = _pq_assign(sub, cent)
+            upd = (
+                best.join(sub, ["vec_id", "m"])
+                .select("m", "cid", F.posexplode("sv").alias("pos", "v"))
+                .groupBy("m", "cid", "pos")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .select(
+                    "m",
+                    "cid",
+                    "pos",
+                    F.floor(F.col("s") / F.col("n")).cast("bigint").alias("c"),
+                )
+                .groupBy("m", "cid")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+                .select("m", "cid", F.transform("pc", lambda x: x["c"]).alias("ncv"))
             )
-            .groupBy("m", "cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-            .select("m", "cid", F.transform("pc", lambda x: x["c"]).alias("ncv"))
-        )
-        # an empty cluster keeps its previous centroid (deterministic on
-        # both engines via the same LEFT JOIN + COALESCE). The M·K-row
-        # update side is hinted broadcast: this subtree feeds a broadcast
-        # build, where AQE never gets runtime stats to demote the SMJ
-        # itself.
-        cent = cent.join(F.broadcast(upd), ["m", "cid"], "left").select(
-            "m", "cid", F.coalesce("ncv", "cv").alias("cv")
-        )
-    final = assign(cent)
+            # an empty cluster keeps its previous centroid (deterministic on
+            # both engines via the same LEFT JOIN + COALESCE). The M·K-row
+            # update side is hinted broadcast: this subtree feeds a broadcast
+            # build, where AQE never gets runtime stats to demote the SMJ
+            # itself.
+            cent = cent.join(F.broadcast(upd), ["m", "cid"], "left").select(
+                "m", "cid", F.coalesce("ncv", "cv").alias("cv")
+            )
+        return cent.localCheckpoint()
+
+    cent = session_cache_lazy("pq_cent", sf_dir, _train, spark)
+    final = _pq_assign(sub, cent)
     return sub, cent, final
 
 
@@ -1118,9 +1143,22 @@ ORACLES["knn_pq_adc"] = ORACLE_PQ_ADC
 # integer arithmetic and the whole composition stays hash-exact.
 
 
+def _pq_qfull(spark, sf_dir):
+    """Memoized fixed-point full-vector frame (coarse-quantizer input) —
+    same train-once semantics as the _pq_parts artifacts."""
+    return session_cache_lazy(
+        "pq_qfull",
+        sf_dir,
+        lambda: _quantize_full(
+            _emb(spark, sf_dir), "vec_id", "embedding"
+        ).localCheckpoint(),
+        spark,
+    )
+
+
 def knn_ivf_pq(spark, sf_dir):
     sub, cent, final = _pq_parts(spark, sf_dir)
-    qfull = _quantize_full(_emb(spark, sf_dir), "vec_id", "embedding")
+    qfull = _pq_qfull(spark, sf_dir)
     coarse = qfull.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cfull")
     )
