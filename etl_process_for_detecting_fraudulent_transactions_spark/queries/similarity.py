@@ -274,16 +274,32 @@ def _sql_bucket(vec_expr: str) -> str:
     return _sql_signs_bucket(vec_expr, _SIGNS)
 
 
+def _emb_all_buckets(spark, sf_dir):
+    """(vec_id, embedding, bs[4]) — the sign-LSH INDEX: all four tables'
+    bucket keys per vector. A pure function of the corpus snapshot
+    (deterministic hyperplanes), so it is localCheckpointed and memoized
+    per (session, sf_dir) like the PQ codebook and the dedup shingle
+    frame: the index is built once and probed by knn_lsh, the multiprobe
+    variant, the hybrid gate's semantic leg, and the recall audit — not
+    rebuilt per gate. (operators/ann_index.py is the same artifact
+    persisted to disk.)"""
+    return session_cache_lazy(
+        "emb_all_buckets",
+        sf_dir,
+        lambda: _emb(spark, sf_dir)
+        .withColumn("bs", _all_buckets_col(F.col("embedding")))
+        .localCheckpoint(),
+        spark,
+    )
+
+
 def knn_lsh(spark, sf_dir):
     """ANN: multi-table sign-LSH (4 tables × 6 planes). Candidate set =
     UNION over tables of same-bucket vectors, then exact cosine rerank.
     Single-table LSH recalls ~2% of top-5 on unclustered vectors; the table
     union is the standard recall lever (table count trades compute for
     recall, bits-per-table trades candidate size for selectivity)."""
-    e = session_cache(
-        _emb(spark, sf_dir).withColumn("bs", _all_buckets_col(F.col("embedding"))),
-        "emb_all_buckets", sf_dir,
-    )
+    e = _emb_all_buckets(spark, sf_dir)
     # Late materialization: the bucket join, dedupe, and shuffle all run on
     # SCALAR ids only — carrying the 64-dim embeddings through the bucket
     # join would ship two arrays per candidate pair and (worse) key the
@@ -567,10 +583,7 @@ def _flip_bit(bucket, j: int):
 def knn_lsh_multiprobe(spark, sf_dir):
     """ANN with hamming-1 multiprobe: same output contract as knn_lsh, higher
     recall at ~7x the probed-bucket count (still ≪ brute force)."""
-    e = session_cache(
-        _emb(spark, sf_dir).withColumn("bs", _all_buckets_col(F.col("embedding"))),
-        "emb_all_buckets", sf_dir,
-    )
+    e = _emb_all_buckets(spark, sf_dir)
     # same late-materialization shape as knn_lsh: ids-only bucket/probe join
     # and distinct, vectors re-attached by key, cosine once per unique pair
     banded = e.select("vec_id", F.explode("bs").alias("bucket"))
