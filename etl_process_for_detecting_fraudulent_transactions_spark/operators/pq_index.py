@@ -38,7 +38,6 @@ from pyspark.sql import functions as F
 # definition, so index probes can never drift from the oracle-verified
 # gates (the same discipline ann_index.py follows for the LSH kernels).
 from ..queries.similarity import (
-    CENTROID_MOD,
     TOP_K,
     _emb,
     _pq_lut,
@@ -46,6 +45,7 @@ from ..queries.similarity import (
     _quantize_full,
     _sq_l2,
     _subvectors,
+    centroid_stride,
     nprobe_eff,
 )
 
@@ -55,11 +55,15 @@ def build_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
 
     The codes write shuffles once on list_id (AQE ``REBALANCE`` so a hot
     inverted list splits across tasks instead of serializing) — each of the
-    ~N/CENTROID_MOD directories holds its list's codes as a few large
+    ~N/stride directories (stride = centroid_stride(N), so ~sqrt(N) lists beyond test scale) holds its list's codes as a few large
     files."""
     sub, cent, final = _pq_parts(spark, sf_dir)
     qfull = _quantize_full(_emb(spark, sf_dir), "vec_id", "embedding")
-    coarse = qfull.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+    # scale-aware centroid stride, same single definition as the gate
+    # (nlist ≈ sqrt(N) beyond test scale); a 1-scalar driver count, like
+    # the probe-time collects
+    stride = centroid_stride(qfull.count())
+    coarse = qfull.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cfull")
     )
     cd = qfull.crossJoin(F.broadcast(coarse)).select(

@@ -433,6 +433,40 @@ NPROBE = 4  # floor: minimum lists probed (covers every list at test scale)
 PROBE_LISTS_DENOM = 3  # probe ceil(nlist/3) lists once nlist > NPROBE*3
 
 
+# The centroid STRIDE is scale-aware too (round 11): with a fixed stride
+# the list count grows ∝ N and the coarse assignment (every vector × every
+# centroid) is O(N²/stride) — measured at the 10× tier: ivf_pq spent more
+# on coarse ranking than the full ADC scan it was supposed to prune.
+# stride = max(CENTROID_MOD, floor(sqrt(N))) keeps nlist ≈ sqrt(N) beyond
+# test scale (the FAISS nlist rule), so assignment is O(N^1.5) and list
+# size grows ∝ sqrt(N). floor(sqrt(bigint)) is exact in both engines; at
+# every driver scale (N ≤ 2209) the stride is the unchanged 47, so gate
+# hashes are identical and the lever only engages where it matters.
+
+
+def centroid_stride(n_vec: int) -> int:
+    """max(CENTROID_MOD, isqrt(n_vec)) — shared by the gates (column form
+    below) and the persisted index build (operators/pq_index.py)."""
+    import math
+
+    return max(CENTROID_MOD, math.isqrt(n_vec))
+
+
+def _stride_col():
+    """``centroid_stride`` over an ``nvec`` column (exact in both engines:
+    a correctly rounded double sqrt of an exactly representable count,
+    floored)."""
+    return F.greatest(
+        F.lit(CENTROID_MOD),
+        F.floor(F.sqrt(F.col("nvec").cast("double"))).cast("bigint"),
+    )
+
+
+def _stride_sql(nvec: str = "nvec") -> str:
+    """The DuckDB mirror of :func:`_stride_col`."""
+    return f"GREATEST({CENTROID_MOD}, CAST(FLOOR(SQRT(CAST({nvec} AS DOUBLE))) AS BIGINT))"
+
+
 def nprobe_eff(n_lists: int) -> int:
     """Scale-aware probe width: max(NPROBE, ceil(n_lists / 3)). The single
     definition shared by the gates (column form below) and the persisted
@@ -473,8 +507,11 @@ def knn_ivf(spark, sf_dir):
     nprobe_eff-list probe, exact rerank. Same output contract as
     knn_brute_force/knn_lsh."""
     e = session_cache(_emb(spark, sf_dir), "emb_plain", sf_dir)
-    cent = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    nv = e.agg(F.count(F.lit(1)).alias("nvec"))
+    cent = (
+        e.crossJoin(F.broadcast(nv))
+        .filter(F.col("vec_id") % _stride_col() == 0)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb"))
     )
     vecs = e.select(F.col("vec_id").alias("v_id"), F.col("embedding").alias("v_emb"))
     assigned = _assign(vecs, cent, "v_id", "a_rank", 1).select(
@@ -516,9 +553,10 @@ def knn_ivf(spark, sf_dir):
 
 ORACLE_KNN_IVF = f"""
 WITH {EMB_D},
+nv AS (SELECT COUNT(*) AS nvec FROM emb_d),
 cent AS (
-  SELECT vec_id AS centroid_id, embedding AS c_emb FROM emb_d
-  WHERE vec_id % {CENTROID_MOD} = 0
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM emb_d CROSS JOIN nv
+  WHERE vec_id % {_stride_sql()} = 0
 ),
 assigned AS (
   SELECT vec_id AS neighbor_id, embedding AS cv, centroid_id AS list_id
@@ -1172,8 +1210,11 @@ def _pq_qfull(spark, sf_dir):
 def knn_ivf_pq(spark, sf_dir):
     sub, cent, final = _pq_parts(spark, sf_dir)
     qfull = _pq_qfull(spark, sf_dir)
-    coarse = qfull.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cfull")
+    nv = qfull.agg(F.count(F.lit(1)).alias("nvec"))
+    coarse = (
+        qfull.crossJoin(F.broadcast(nv))
+        .filter(F.col("vec_id") % _stride_col() == 0)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cfull"))
     )
     cd = qfull.crossJoin(F.broadcast(coarse)).select(
         "vec_id", "centroid_id", _sq_l2("qv", "cfull").alias("cd")
@@ -1217,8 +1258,10 @@ def knn_ivf_pq(spark, sf_dir):
 
 
 ORACLE_IVF_PQ = _pq_cte_prefix() + f""",
+nv AS (SELECT COUNT(DISTINCT vec_id) AS nvec FROM q),
 coarse AS (
-  SELECT vec_id AS centroid_id, m, pos, v FROM q WHERE vec_id % {CENTROID_MOD} = 0
+  SELECT vec_id AS centroid_id, m, pos, v FROM q CROSS JOIN nv
+  WHERE vec_id % {_stride_sql()} = 0
 ),
 cd AS (
   SELECT q.vec_id, c.centroid_id, SUM((q.v - c.v) * (q.v - c.v)) AS cd

@@ -61,6 +61,26 @@ def test_ivf_pq_recall_floor_via_audit(spark, sf_dir):
     assert mean["ivf"] >= mean["ivf_pq"], "exact rerank below ADC — impossible drift"
 
 
+def _write_embeddings(spark, path, embs):
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    sch = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    spark.createDataFrame(embs, sch).write.parquet(f"{path}/embeddings.parquet")
+
+
 def _write_docs(spark, path, rows):
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -212,3 +232,62 @@ def test_domain_mix_reweight_plan_contract(spark, sf_dir):
     assert "Join" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
     assert plan.count("Scan parquet") + plan.count("FileScan") <= 2  # one source read
+
+
+def test_centroid_stride_arithmetic():
+    """Pin 6 (round-11 scale fix): with a FIXED stride the coarse
+    assignment is O(N²/stride) — measured at the 10× tier, ivf_pq spent
+    more on coarse ranking than the full ADC scan it prunes.
+    centroid_stride = max(CENTROID_MOD, isqrt(N)) keeps nlist ≈ sqrt(N):
+    unchanged at every driver scale (N <= 2209 -> 47, so committed gate
+    hashes are identical), engaging exactly past isqrt(N) > 47."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.similarity import (
+        CENTROID_MOD,
+        centroid_stride,
+    )
+
+    assert centroid_stride(500) == CENTROID_MOD  # sf0.001 / sf0.01
+    assert centroid_stride(2000) == CENTROID_MOD  # sf0.1
+    assert centroid_stride(2209) == CENTROID_MOD  # boundary: isqrt = 47
+    assert centroid_stride(2304) == 48  # first stride past the floor
+    assert centroid_stride(20000) == 141  # the 10× tier
+    widths = [centroid_stride(n) for n in range(1, 5000, 7)]
+    assert widths == sorted(widths)  # growing N never shrinks the stride
+
+
+def test_ivf_stride_engine_parity_past_floor(spark, tmp_path):
+    """Pin 7: engine parity for knn_ivf AND knn_ivf_pq on a corpus BIG
+    enough that the scale-aware stride differs from the fixed floor
+    (N = 2500 -> stride 50, nlist 50): the sweeps and the driver sfs never
+    leave the stride-47 regime, so without this fixture the sqrt branch of
+    the stride mirror would be hash-untested."""
+    import duckdb
+    import numpy as np
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.similarity import (
+        ORACLE_IVF_PQ,
+        ORACLE_KNN_IVF,
+        knn_ivf,
+        knn_ivf_pq,
+    )
+
+    path = str(tmp_path / "stride")
+    rng = np.random.RandomState(11)
+    embs = [
+        (i, [float(x) for x in rng.uniform(-1, 1, 64).round(3)], i % 3)
+        for i in range(2500)
+    ]
+    _write_embeddings(spark, path, embs)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT *"
+        f" FROM read_parquet('{path}/embeddings.parquet/*.parquet')"
+    )
+    for fn, oracle, cols in (
+        (knn_ivf, ORACLE_KNN_IVF, ("query_id", "neighbor_id", "rank")),
+        (knn_ivf_pq, ORACLE_IVF_PQ, ("query_id", "neighbor_id", "adc_dist", "rank")),
+    ):
+        srows = sorted(tuple(r[c] for c in cols) for r in fn(spark, path).collect())
+        orows = sorted(tuple(r) for r in con.execute(oracle).fetchall())
+        assert srows == orows and srows, fn.__name__
