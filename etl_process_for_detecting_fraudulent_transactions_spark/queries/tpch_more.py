@@ -389,12 +389,15 @@ def json_props_stats(spark, sf_dir):
     # ANSI would abort the whole aggregate on one bad row (round-8
     # hostile-input audit); malformed props already yield NULL here
     k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
-    # DECIMAL(38,0) sum (the house wide-accumulator discipline): a sum of
-    # legitimate bigints can exceed int64 — under ANSI that ABORTS the
-    # aggregate (caught by the hostile sweep's max-bigint rows); DuckDB's
-    # HUGEINT sum mirrors via the same decimal cast
+    # DECIMAL(38,0) accumulator (the house wide-accumulator discipline): a
+    # sum of legitimate bigints can exceed int64 — under ANSI that ABORTS
+    # the aggregate (caught by the hostile sweep's max-bigint rows). Cast
+    # BACK to double at the end per the registry float discipline: the raw
+    # DECIMAL(38,0) output was the registry's only un-downcast decimal
+    # column and hash-diverged from DuckDB's HUGEINT at the r11 driver
+    # check (dtype surface, values equal).
     return ev.groupBy("event_type").agg(
-        F.sum(k.cast("decimal(38,0)")).alias("k_sum"),
+        F.sum(k.cast("decimal(38,0)")).cast("double").alias("k_sum"),
         F.max(k).alias("k_max"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -427,7 +430,11 @@ e AS (
   FROM trimmed
 )
 SELECT event_type,
-       CAST(SUM(k) AS DECIMAL(38,0)) AS k_sum,
+       -- VARCHAR-routed HUGEINT->DOUBLE (the twap_daily recipe,
+       -- timeseries.py): DuckDB's native HUGEINT->DOUBLE can double-round
+       -- past 2^53; string parse is correctly rounded in both engines and
+       -- matches Spark's Decimal(38,0).toDouble.
+       CAST(CAST(SUM(k) AS VARCHAR) AS DOUBLE) AS k_sum,
        MAX(k) AS k_max,
        COUNT(*) AS n
 FROM e

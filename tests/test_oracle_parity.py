@@ -110,6 +110,21 @@ def test_query_matches_oracle(key, spark, duck, sf_dir):
         if c in okinds and skinds[c] != okinds[c]
     ]
     assert not dtype_bad, f"{key}: dtype-class mismatch {dtype_bad}"
+
+    # Registry float discipline pin (VERDICT r11 #1): no gate ships a raw
+    # DECIMAL result column — wide-accumulator sums must cast back to
+    # double at the end. json_props_stats hash-diverged at the r11 driver
+    # check on exactly this surface (values equal, dtype raw DECIMAL(38,0))
+    # while the Decimal->float normalization above kept the rehearsal
+    # green; this asserts the discipline structurally on BOTH engines.
+    from pyspark.sql.types import DecimalType
+
+    dec_spark = [
+        f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)
+    ]
+    assert not dec_spark, f"{key}: raw DECIMAL result column(s) {dec_spark}"
+    dec_duck = [c for c, t in zip(dcols, dtypes) if "DECIMAL" in t.upper()]
+    assert not dec_duck, f"{key}: oracle DECIMAL result column(s) {dec_duck}"
     assert len(srows) == len(drows), f"{key}: rowcount {len(srows)} vs {len(drows)}"
     sc, dc = _canon(srows, scols), _canon(drows, dcols)
     mismatches = [i for i, (a, b) in enumerate(zip(sc, dc)) if a != b]
