@@ -49,8 +49,8 @@ MINHASH_AB = (
     (1203258131, 119489),
 )
 JACCARD_T = 0.4        # near-dup verify threshold (planted dups are >0.9)
-SIMHASH_BITS = 32      # simhash width (8 hex chars of md5)
-HAMMING_T = 3          # near-dup hamming threshold
+SIMHASH_BITS = 64      # simhash width (16 hex chars of md5; widened r12)
+HAMMING_T = 7          # near-dup hamming threshold (8×8-bit bands ⇒ exact)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,75 +359,107 @@ WHERE i / (sa.n + sb.n - i) >= {JACCARD_T}
 
 
 # -- SimHash -----------------------------------------------------------------
-# 32-bit simhash from word md5s. Bit b of a word's hash = bit (3 - b%4) of
-# hex char (b//4) of md5(word), extracted arithmetically so both engines
-# agree. simhash bit = majority vote (sum of ±1 >= 0).
+# 64-bit simhash over the SAME 3-word shingle sets the Jaccard truth uses
+# (reworked round 12, VERDICT r11 #5: the 32-bit WORD-feature version
+# measured recall 0.73 / precision 1.3e-4 against the exact-Jaccard truth.
+# Measured root cause, not guessed: with word features the truth-pair
+# hamming histogram overlapped the random-pair one — template-generated
+# docs share most of their VOCABULARY, so word-set signatures can't
+# separate near-dups (random pairs at hamming 0!); shingles are the
+# sequence-sensitive feature the truth metric itself is defined on).
+# Bit b of a shingle's hash = bit (3 - b%4) of hex char (b//4) of
+# md5(shingle), extracted arithmetically so both engines agree. simhash
+# bit = majority vote (sum of ±1 >= 0).
+#
+# Storage is TWO 32-bit words (hi = bits 0-31 = md5 hex chars 1-8, lo =
+# bits 32-63 = chars 9-16): a single 64-bit pack would need bit 63 and
+# 1<<63 overflows signed BIGINT on both engines (and ANSI would abort the
+# unsigned-top-half cast). One hex→int conversion per word per half, then
+# each bit is a shift+mask — not 64 per-bit substring+conv extractions.
 
-# One hex→int conversion per WORD (the 32-bit md5 prefix as 'wi'), then each
-# bit is a shift+mask — not 32 per-bit substring+conv extractions. Bit b of
-# the signature = bit (31-b) of the big-endian prefix int, identical to the
-# old per-hex-char layout (char b//4, bit 3-b%4).
-
-def _spark_word_int():
-    return F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
+def _spark_word_int(hex_off: int):
+    return F.conv(F.substring(F.md5("w"), hex_off, 8), 16, 10).cast("bigint")
 
 
 def _spark_bit(b: int):
-    return F.when(F.shiftright(F.col("wi"), 31 - b).bitwiseAND(1) == 1, 1).otherwise(-1)
+    # bit b of the signature = bit 31-(b%32) of the big-endian half int
+    col = "wi_hi" if b < 32 else "wi_lo"
+    return F.when(
+        F.shiftright(F.col(col), 31 - b % 32).bitwiseAND(1) == 1, 1
+    ).otherwise(-1)
 
 
-_SQL_WORD_INT = "('0x' || substr(md5(w), 1, 8))::UBIGINT"
+def _sql_word_int(hex_off: int) -> str:
+    return f"('0x' || substr(md5(w), {hex_off}, 8))::UBIGINT"
 
 
 def _sql_bit(b: int) -> str:
-    return f"CASE WHEN (wi >> {31 - b}) & 1 = 1 THEN 1 ELSE -1 END"
+    col = "wi_hi" if b < 32 else "wi_lo"
+    return f"CASE WHEN ({col} >> {31 - b % 32}) & 1 = 1 THEN 1 ELSE -1 END"
 
 
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup: 32-bit signature over distinct words, banded into
-    4×8 bits; pairs sharing any band verified at hamming ≤ 3.
+    """SimHash near-dup: 64-bit signature over distinct words, banded into
+    8×8 bits; pairs sharing any band verified at hamming ≤ 7.
 
-    The signature is PACKED into one BIGINT (bit b of the signature = bit
-    31-b of the int): band keys are shift+mask byte extracts and the verify
-    hamming is a single ``bit_count(a XOR b)`` — the candidate join carries
-    one scalar per side instead of 32 bit-columns, which is what keeps the
-    verify join cheap when dup density makes candidates plentiful
-    (10× dup-saturated corpus: 85 s → 24 s; the remainder is the pair
-    OUTPUT itself, quadratic in dup multiplicity by contract — ROUNDLOG r3)."""
-    d = _docs(spark, sf_dir)
+    Banding is EXACT retrieval at this threshold (pigeonhole: ≤7 flipped
+    bits over 8 disjoint 8-bit bands leave ≥1 band identical), so the gate
+    is the full hamming-≤7 pair set, not an approximation of it. The
+    signature is PACKED into two BIGINT halves (bit b = bit 31-(b%32) of
+    half b//32): band keys are shift+mask byte extracts and the verify
+    hamming is two ``bit_count(a XOR b)`` terms — the candidate join
+    carries two scalars per side instead of 64 bit-columns, which is what
+    keeps the verify join cheap when dup density makes candidates plentiful
+    (10× dup-saturated corpus: 85 s → 24 s at 32-bit; the remainder is the
+    pair OUTPUT itself, quadratic in dup multiplicity by contract —
+    ROUNDLOG r3). Widened 32→64 bit in round 12: recall audit moved
+    0.73 recall / 1.3e-4 precision → re-measured via dedup_recall_audit."""
+    arr = _shingle_arrays(spark, sf_dir)
     words = (
-        d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+        arr.select("doc_id", F.explode("shs").alias("w"))
         .filter(F.col("w") != "")
-        .withColumn("wi", _spark_word_int())
+        .withColumn("wi_hi", _spark_word_int(1))
+        .withColumn("wi_lo", _spark_word_int(9))
     )
     votes = words.groupBy("doc_id").agg(
         *[F.sum(_spark_bit(b)).alias(f"v{b}") for b in range(SIMHASH_BITS)]
     )
-    packed = sum(
+    packed_hi = sum(
         F.when(F.col(f"v{b}") >= 0, F.lit(1 << (31 - b))).otherwise(F.lit(0))
-        for b in range(SIMHASH_BITS)
+        for b in range(32)
     )
-    # one row per doc: (doc_id, sig) — cached, feeds band explode + verify.
-    # Deliberately NOT a checkpoint memo like the shingle frame: measured
-    # (round 11) the eager localCheckpoint broke the gate's fused
+    packed_lo = sum(
+        F.when(F.col(f"v{b}") >= 0, F.lit(1 << (63 - b))).otherwise(F.lit(0))
+        for b in range(32, 64)
+    )
+    # one row per doc: (doc_id, sig_hi, sig_lo) — cached, feeds band explode
+    # + verify. Deliberately NOT a checkpoint memo like the shingle frame:
+    # measured (round 11) the eager localCheckpoint broke the gate's fused
     # single-pass plan and cost +2.1 s at sf0.1, while the only other
     # consumer (the recall audit's simhash leg) saves less than that.
     sig = session_cache(
-        votes.select("doc_id", packed.cast("bigint").alias("sig")),
+        votes.select(
+            "doc_id",
+            packed_hi.cast("bigint").alias("sig_hi"),
+            packed_lo.cast("bigint").alias("sig_lo"),
+        ),
         "simhash_sig", sf_dir,
     )
     banded = sig.select(
         "doc_id",
-        "sig",
+        "sig_hi",
+        "sig_lo",
         F.explode(
             F.array(
                 *[
                     F.concat_ws(
                         "|",
                         F.lit(str(i)),
-                        F.shiftright("sig", 24 - 8 * i).bitwiseAND(255).cast("string"),
+                        F.shiftright("sig_hi" if i < 4 else "sig_lo", 24 - 8 * (i % 4))
+                        .bitwiseAND(255)
+                        .cast("string"),
                     )
-                    for i in range(4)
+                    for i in range(8)
                 ]
             )
         ).alias("band_key"),
@@ -437,44 +469,60 @@ def dedup_simhash(spark, sf_dir):
         a.join(b_, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"),
-            F.col("a.sig").alias("sig_a"),
+            F.col("a.sig_hi").alias("hi_a"),
+            F.col("a.sig_lo").alias("lo_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("b.sig").alias("sig_b"),
+            F.col("b.sig_hi").alias("hi_b"),
+            F.col("b.sig_lo").alias("lo_b"),
         )
         .distinct()
     )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"))
+        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= HAMMING_T)
         .select("doc_a", "doc_b", "hamming")
     )
 
 
 _sql_votes = ", ".join(f"SUM({_sql_bit(b)}) AS v{b}" for b in range(SIMHASH_BITS))
-_sql_packed = " + ".join(
+_sql_packed_hi = " + ".join(
     f"CASE WHEN v{b} >= 0 THEN CAST({1 << (31 - b)} AS BIGINT) ELSE 0 END"
-    for b in range(SIMHASH_BITS)
+    for b in range(32)
+)
+_sql_packed_lo = " + ".join(
+    f"CASE WHEN v{b} >= 0 THEN CAST({1 << (63 - b)} AS BIGINT) ELSE 0 END"
+    for b in range(32, 64)
 )
 _sql_bands = "\nUNION ALL\n".join(
-    f"SELECT doc_id, sig, '{i}' || '|' || CAST((sig >> {24 - 8 * i}) & 255 AS VARCHAR) AS band_key FROM sig"
-    for i in range(4)
+    f"SELECT doc_id, sig_hi, sig_lo, '{i}' || '|' || "
+    f"CAST(({'sig_hi' if i < 4 else 'sig_lo'} >> {24 - 8 * (i % 4)}) & 255 AS VARCHAR)"
+    " AS band_key FROM sig"
+    for i in range(8)
 )
 ORACLE_SIMHASH = f"""
 WITH words AS (
-  SELECT DISTINCT doc_id, w, {_SQL_WORD_INT} AS wi
-  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents) t
+  SELECT DISTINCT doc_id, w,
+         CAST({_sql_word_int(1)} AS BIGINT) AS wi_hi,
+         CAST({_sql_word_int(9)} AS BIGINT) AS wi_lo
+  FROM (SELECT doc_id, s AS w FROM ({_SQL_SHINGLES}) sh) t
   WHERE w <> ''
 ),
 votes AS (SELECT doc_id, {_sql_votes} FROM words GROUP BY doc_id),
-sig AS (SELECT doc_id, {_sql_packed} AS sig FROM votes),
+sig AS (SELECT doc_id, {_sql_packed_hi} AS sig_hi, {_sql_packed_lo} AS sig_lo FROM votes),
 banded AS ({_sql_bands}),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sig_a, b.doc_id AS doc_b, b.sig AS sig_b
+  SELECT DISTINCT a.doc_id AS doc_a, a.sig_hi AS hi_a, a.sig_lo AS lo_a,
+                  b.doc_id AS doc_b, b.sig_hi AS hi_b, b.sig_lo AS lo_b
   FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT) AS hamming
 FROM cand
-WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_T}
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= {HAMMING_T}
 """
 
 
@@ -1423,9 +1471,12 @@ ORACLES["crosslingual_dedup"] = ORACLE_CROSSLINGUAL
 #   CONSTRUCTION (the verify recomputes exact Jaccard, so its output is a
 #   subset of truth); its recall == the candidates' recall restricted to
 #   true pairs. The audit proves that construction instead of asserting it.
-# - simhash: a DIFFERENT metric (hamming <= 3 over 32-bit word-set
-#   signatures) audited against the Jaccard truth — cross-metric quality of
-#   simhash as a near-dup detector, both recall and precision meaningful.
+# - simhash: a DIFFERENT metric (hamming <= 7 over 64-bit shingle-set
+#   signatures since r12; was <= 3 over 32-bit word-set) audited against
+#   the Jaccard truth — cross-metric quality of simhash as a near-dup
+#   detector, both recall and precision meaningful. The r12 rework was
+#   DRIVEN by this audit: word features measured 0.73/1.3e-4, shingle
+#   features 0.90/1.0 at sf0.1.
 #
 # 100-TB design: the audit runs over a deterministic PAIR PANEL — pairs
 # whose BOTH doc_ids are ≡ 0 (mod AUDIT_DOC_MOD), i.e. the even-doc
