@@ -11,6 +11,8 @@ a filesystem):
   subvector). Kilobytes; always broadcast at probe time.
 - ``coarse``: the coarse-quantizer centroids (full fixed-point vectors).
   Also kilobytes.
+- ``meta``: one row of build-time scalars (nvec, nlist, stride) so probe
+  calls read constants back instead of re-counting (r12).
 - ``codes``: one row per (vec_id, m) with its PQ code, hive-partitioned by
   the vector's inverted list — the ONLY corpus-sized artifact, and it is
   16× smaller than the raw float32 vectors (M 4-bit codes per vector). A
@@ -38,6 +40,7 @@ from pyspark.sql import functions as F
 # definition, so index probes can never drift from the oracle-verified
 # gates (the same discipline ann_index.py follows for the LSH kernels).
 from ..queries.similarity import (
+    RERANK_R,
     TOP_K,
     _emb,
     _pq_lut,
@@ -61,11 +64,14 @@ def build_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     qfull = _quantize_full(_emb(spark, sf_dir), "vec_id", "embedding")
     # scale-aware centroid stride, same single definition as the gate
     # (nlist ≈ sqrt(N) beyond test scale); a 1-scalar driver count, like
-    # the probe-time collects
-    stride = centroid_stride(qfull.count())
+    # the probe-time collects — counted ONCE here and persisted as index
+    # metadata so probes never re-count
+    qfull_count = qfull.count()
+    stride = centroid_stride(qfull_count)
     coarse = qfull.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cfull")
     )
+    coarse_count = coarse.count()  # metadata-scale (kilobytes of centroids)
     cd = qfull.crossJoin(F.broadcast(coarse)).select(
         "vec_id", "centroid_id", _sq_l2("qv", "cfull").alias("cd")
     )
@@ -84,6 +90,13 @@ def build_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         .partitionBy("list_id")
         .parquet(f"{path}/codes")
     )
+    # one-row scalar metadata (nvec/nlist/stride): probe time reads these
+    # back instead of re-counting the coarse table per call — the counts
+    # are invariants of the built index (round-12 advice)
+    meta = spark.createDataFrame(
+        [(qfull_count, coarse_count, stride)], "nvec long, nlist long, stride long"
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def query_pq_index(
@@ -92,6 +105,8 @@ def query_pq_index(
     queries: DataFrame,
     top_k: int = TOP_K,
     exclude_self: bool = True,
+    rerank_with: DataFrame | None = None,
+    rerank_r: int = RERANK_R,
 ) -> DataFrame:
     """ADC top-k over the probed inverted lists only.
 
@@ -100,7 +115,15 @@ def query_pq_index(
     (metadata: ≤ |queries|·nprobe_eff longs) and pushed as a partition
     IN-filter, so the codes scan reads only those directories. Scoring is
     M lookups per candidate against the per-query LUT — the raw vectors
-    are never read at probe time."""
+    are never read at probe time.
+
+    ``rerank_with`` (r12, VERDICT r11 #6): the corpus (vec_id, embedding)
+    frame. When given, runs the two-stage search: ADC top-``rerank_r``
+    shortlist, then an exact fixed-point squared-L2 re-rank over the
+    shortlist's full vectors — fetched by id via a broadcast semi-join
+    (≤ |queries|·R vectors), never a corpus scan. Output ranks by
+    ``exact_dist`` instead of ``adc_dist``; same fixed-point arithmetic as
+    the knn_ivf_pq_rerank gate (pinned equal in tests/test_pq_index.py)."""
     qfull = _quantize_full(
         queries.select(F.col("query_id").alias("vec_id"), "embedding"),
         "vec_id",
@@ -109,10 +132,15 @@ def query_pq_index(
     coarse = spark.read.parquet(f"{path}/coarse")
     cent = spark.read.parquet(f"{path}/codebook")
     # scale-aware probe width, same single definition as the knn_ivf_pq
-    # gate (queries/similarity.py nprobe_eff) — the centroid table is
-    # kilobytes, so the count is a metadata-scale driver action like the
-    # probed-list collect below
-    k_lists = nprobe_eff(coarse.count())
+    # gate (queries/similarity.py nprobe_eff) — nlist comes from the
+    # 1-row meta artifact written at build time (falling back to counting
+    # the kilobyte-scale centroid table for pre-r12 indexes)
+    try:
+        k_lists = nprobe_eff(
+            spark.read.parquet(f"{path}/meta").head()["nlist"]
+        )
+    except Exception:
+        k_lists = nprobe_eff(coarse.count())
     cd = qfull.crossJoin(F.broadcast(coarse)).select(
         "vec_id", "centroid_id", _sq_l2("qv", "cfull").alias("cd")
     )
@@ -137,8 +165,37 @@ def query_pq_index(
         .agg(F.sum("d").alias("adc_dist"))
     )
     wr = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    if rerank_with is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", "neighbor_id", "adc_dist", "rank")
+        )
+    shortlist = (
+        scored.withColumn("rrank", F.row_number().over(wr))
+        .filter(F.col("rrank") <= rerank_r)
+        .select("query_id", "neighbor_id")
+    )
+    nfull = _quantize_full(
+        rerank_with.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+        "embedding",
+    ).select("neighbor_id", F.col("qv").alias("n_qv"))
+    exact = (
+        nfull.join(F.broadcast(shortlist), "neighbor_id")
+        .join(
+            F.broadcast(
+                qfull.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv"))
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id", "neighbor_id", _sq_l2("q_qv", "n_qv").alias("exact_dist")
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy("exact_dist", "neighbor_id")
     return (
-        scored.withColumn("rank", F.row_number().over(wr))
+        exact.withColumn("rank", F.row_number().over(we))
         .filter(F.col("rank") <= top_k)
-        .select("query_id", "neighbor_id", "adc_dist", "rank")
+        .select("query_id", "neighbor_id", "exact_dist", "rank")
     )

@@ -1207,7 +1207,10 @@ def _pq_qfull(spark, sf_dir):
     )
 
 
-def knn_ivf_pq(spark, sf_dir):
+def _ivf_pq_scored(spark, sf_dir):
+    """Shared IVF+ADC scoring: (query_id, neighbor_id, adc_dist) over the
+    probed inverted lists. knn_ivf_pq ranks this directly; the r12 rerank
+    gate takes the ADC top-RERANK_R and re-scores them exactly."""
     sub, cent, final = _pq_parts(spark, sf_dir)
     qfull = _pq_qfull(spark, sf_dir)
     nv = qfull.agg(F.count(F.lit(1)).alias("nvec"))
@@ -1242,13 +1245,17 @@ def knn_ivf_pq(spark, sf_dir):
         .select("query_id", "neighbor_id")
     )
     lut = _pq_lut(sub.filter(F.col("vec_id") % QUERY_MOD == 0), cent)
-    scored = (
+    return (
         final.select(F.col("vec_id").alias("neighbor_id"), "m", "cid")
         .join(F.broadcast(cands), "neighbor_id")
         .join(F.broadcast(lut), ["query_id", "m", "cid"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d").alias("adc_dist"))
     )
+
+
+def knn_ivf_pq(spark, sf_dir):
+    scored = _ivf_pq_scored(spark, sf_dir)
     wr = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(wr))
@@ -1257,7 +1264,58 @@ def knn_ivf_pq(spark, sf_dir):
     )
 
 
-ORACLE_IVF_PQ = _pq_cte_prefix() + f""",
+# ADC shortlist width for the two-stage rerank gate: R = 10·k. VERDICT r11
+# #6 — the measured codebook sweep said doubling PQ bits buys only +0.04
+# recall, so the quantization gap (0.405 vs the 0.705 probing-coverage
+# ceiling) is closed by exact re-ranking instead: fetch the full vectors of
+# the ADC top-R only (bounded per query — NOT a scan) and re-score exactly.
+RERANK_R = 10 * TOP_K
+
+
+def knn_ivf_pq_rerank(spark, sf_dir):
+    """Two-stage IVF-PQ search: ADC top-RERANK_R shortlist → exact
+    fixed-point squared-L2 re-rank over the fetched full vectors → top-k.
+
+    The production IO contract at 100 TB: stage 1 touches only the probed
+    lists' 128-bit codes (16× smaller than raw vectors); stage 2 fetches
+    ≤ n_queries·R full vectors by id (a bounded broadcast-semi-join fetch,
+    never a corpus scan) and re-scores them with the same `_sq_l2` the
+    coarse quantizer uses. Exact integer arithmetic end-to-end ⇒
+    driver-hashable. Mirrored by operators/pq_index.py:query_pq_index's
+    rerank_with path against the persisted index."""
+    scored = _ivf_pq_scored(spark, sf_dir)
+    ws = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    shortlist = (
+        scored.withColumn("rrank", F.row_number().over(ws))
+        .filter(F.col("rrank") <= RERANK_R)
+        .select("query_id", "neighbor_id")
+    )
+    qfull = _pq_qfull(spark, sf_dir)
+    qvecs = qfull.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    exact = (
+        # shortlist is query-bound (n_queries × R ids) — broadcast it into
+        # the corpus-side fetch so the full-vector frame is semi-join
+        # pruned, then broadcast the (smaller still) query vectors
+        qfull.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("n_qv"))
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sq_l2("q_qv", "n_qv").alias("exact_dist"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("exact_dist", "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "exact_dist", "rank")
+    )
+
+
+_IVF_PQ_SCORED_CTES = _pq_cte_prefix() + f""",
 nv AS (SELECT COUNT(DISTINCT vec_id) AS nvec FROM q),
 coarse AS (
   SELECT vec_id AS centroid_id, m, pos, v FROM q CROSS JOIN nv
@@ -1295,7 +1353,9 @@ scored AS (
   JOIN bf b ON b.vec_id = cn.neighbor_id
   JOIN lut l ON l.query_id = cn.query_id AND l.m = b.m AND l.cid = b.cid
   GROUP BY cn.query_id, cn.neighbor_id
-)
+)"""
+
+ORACLE_IVF_PQ = _IVF_PQ_SCORED_CTES + f"""
 SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist, CAST(rank AS INT) AS rank
 FROM (
   SELECT query_id, neighbor_id, adc_dist,
@@ -1304,8 +1364,36 @@ FROM (
 )
 WHERE rank <= {TOP_K}"""
 
+# Two-stage rerank: ADC top-R shortlist, then exact squared-L2 over the
+# q CTE's full fixed-point vectors (SUM over every (m, pos) component —
+# identical arithmetic to the Spark side's _sq_l2 fold).
+ORACLE_IVF_PQ_RERANK = _IVF_PQ_SCORED_CTES + f""",
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rrank
+    FROM scored
+  ) WHERE rrank <= {RERANK_R}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id, SUM((qa.v - qb.v) * (qa.v - qb.v)) AS exact_dist
+  FROM shortlist s
+  JOIN q qa ON qa.vec_id = s.query_id
+  JOIN q qb ON qb.vec_id = s.neighbor_id AND qb.m = qa.m AND qb.pos = qa.pos
+  GROUP BY s.query_id, s.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(exact_dist AS BIGINT) AS exact_dist, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, exact_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY exact_dist, neighbor_id) AS rank
+  FROM exact
+)
+WHERE rank <= {TOP_K}"""
+
 QUERIES["knn_ivf_pq"] = knn_ivf_pq
 ORACLES["knn_ivf_pq"] = ORACLE_IVF_PQ
+QUERIES["knn_ivf_pq_rerank"] = knn_ivf_pq_rerank
+ORACLES["knn_ivf_pq_rerank"] = ORACLE_IVF_PQ_RERANK
 
 
 # -- PCA top component: matrix-free fixed-point power iteration -----------------
@@ -1688,6 +1776,11 @@ def ann_recall_audit(spark, sf_dir):
         # from the PQ quantization loss (round-11 scale-aware probing fix)
         ("ivf", knn_ivf),
         ("ivf_pq", knn_ivf_pq),
+        # 5th leg (r12): the two-stage exact-rerank path — its recall gap
+        # to the `ivf` leg is what the ADC shortlist width R loses, and its
+        # gap to `ivf_pq` is what exact re-ranking buys back from PQ
+        # quantization (VERDICT r11 #6)
+        ("ivf_pq_rerank", knn_ivf_pq_rerank),
     ):
         got = fn(spark, sf_dir).select(
             "query_id", "neighbor_id", F.lit(1).alias("hit")
@@ -1729,6 +1822,7 @@ lsh_top AS (SELECT query_id, neighbor_id FROM ({ORACLE_KNN_LSH}) t),
 mp_top AS (SELECT query_id, neighbor_id FROM ({ORACLE_KNN_MULTIPROBE}) t),
 ivfx_top AS (SELECT query_id, neighbor_id FROM ({ORACLE_KNN_IVF}) t),
 ivf_top AS (SELECT query_id, neighbor_id FROM ({ORACLE_IVF_PQ}) t),
+rr_top AS (SELECT query_id, neighbor_id FROM ({ORACLE_IVF_PQ_RERANK}) t),
 audit AS (
   SELECT 'lsh' AS method, b.query_id,
          CAST(COUNT(m.neighbor_id) AS INT) AS hits_at_k
@@ -1751,6 +1845,12 @@ audit AS (
   SELECT 'ivf_pq' AS method, b.query_id,
          CAST(COUNT(m.neighbor_id) AS INT) AS hits_at_k
   FROM bf_top b LEFT JOIN ivf_top m
+    ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
+  GROUP BY b.query_id
+  UNION ALL
+  SELECT 'ivf_pq_rerank' AS method, b.query_id,
+         CAST(COUNT(m.neighbor_id) AS INT) AS hits_at_k
+  FROM bf_top b LEFT JOIN rr_top m
     ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
   GROUP BY b.query_id
 )

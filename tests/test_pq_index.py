@@ -82,3 +82,41 @@ def test_external_queries_keep_self_matches(spark, sf_dir, tmp_path):
     # pure quantization distance, minimal among its list
     best = min(with_self, key=lambda r: (r.adc_dist, r.neighbor_id))
     assert best.neighbor_id == 0
+
+
+def test_rerank_probe_equals_rerank_gate(spark, sf_dir, tmp_path):
+    """rerank_with (r12): probing the persisted index two-stage — ADC
+    top-R shortlist, exact squared-L2 re-rank over fetched full vectors —
+    must reproduce the knn_ivf_pq_rerank gate rows EXACTLY (same
+    fixed-point arithmetic end-to-end)."""
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries.similarity import (
+        knn_ivf_pq_rerank,
+    )
+
+    path = _build(spark, sf_dir, tmp_path)
+    queries = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = {
+        (r.query_id, r.neighbor_id, r.exact_dist, r.rank)
+        for r in query_pq_index(
+            spark, path, queries, rerank_with=_emb(spark, sf_dir)
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.exact_dist, r.rank)
+        for r in knn_ivf_pq_rerank(spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+
+def test_meta_artifact_round_trips_scalars(spark, sf_dir, tmp_path):
+    """build writes a 1-row meta parquet (nvec/nlist/stride) so probes read
+    the scalars back instead of re-counting per call (round-12 advice)."""
+    path = _build(spark, sf_dir, tmp_path)
+    meta = spark.read.parquet(f"{path}/meta").head()
+    assert meta["nvec"] == _emb(spark, sf_dir).count()
+    assert meta["nlist"] == spark.read.parquet(f"{path}/coarse").count()
+    assert meta["nvec"] // meta["stride"] + (1 if meta["nvec"] % meta["stride"] else 0) >= meta["nlist"]
