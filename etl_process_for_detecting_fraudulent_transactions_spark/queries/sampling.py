@@ -432,7 +432,15 @@ def domain_mix_reweight(spark, sf_dir):
     from pyspark.sql.window import Window
 
     d = _t(spark, sf_dir, "documents")
-    words = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    # NULL-text guard (round-12 advice): legacy sizeOfNull makes F.size
+    # return -1 on NULL text while DuckDB's len(NULL) is NULL and drops out
+    # of SUM — an engine-parity landmine if the corpus ever carries NULL
+    # text. The explicit when() yields NULL, mirroring the oracle's
+    # SUM-skip semantics on BOTH engines regardless of that conf.
+    words = F.when(
+        F.col("text").isNotNull(),
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")),
+    )
     g = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum(words), F.lit(0)).cast("bigint").alias("n_toks"),

@@ -533,11 +533,23 @@ def knn_ivf(spark, sf_dir):
         F.col("v_emb").alias("qv"),
         F.col("centroid_id").alias("list_id"),
     )
+    # The probe side is n_queries × nprobe_eff rows, each carrying a 64-dim
+    # embedding — ∝ (N/QUERY_MOD)·(√N/3), i.e. SUPERLINEAR in corpus size,
+    # and a forced broadcast hint bypasses AQE's size checks (round-12
+    # advice). Gate the hint on a driver-side estimate from the (cached)
+    # corpus count: under the cap, broadcast so the corpus-sized list
+    # assignment is never sort-merge joined (derived-frame stats are
+    # unknown to CBO); over it, leave the join to AQE's runtime stats.
+    n_vec = e.count()  # bounded: the session-cached corpus frame
+    probe_rows = (n_vec // QUERY_MOD + 1) * nprobe_eff(
+        n_vec // centroid_stride(n_vec) + 1
+    )
+    probe_bytes = probe_rows * (64 * 8 + 48)  # embedding + ids/overhead
+    probes_hinted = (
+        F.broadcast(queries) if probe_bytes < 64 << 20 else queries
+    )
     scored = (
-        # the probe side is panel-bounded (n_queries × nprobe_eff rows) but
-        # derived-frame stats are unknown to CBO — broadcast it explicitly
-        # so the corpus-sized list assignment is never sort-merge joined
-        assigned.join(F.broadcast(queries), "list_id")
+        assigned.join(probes_hinted, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", _cosine(F.col("qv"), F.col("cv")))
         .select("query_id", "neighbor_id", "sim")

@@ -55,7 +55,8 @@ def test_ivf_pq_recall_floor_via_audit(spark, sf_dir):
         .collect()
     )
     mean = {r["method"]: r["mean_recall"] for r in rows}
-    assert set(mean) == {"lsh", "lsh_multiprobe", "ivf", "ivf_pq"}
+    # superset, not equality: r12 added the ivf_pq_rerank leg
+    assert {"lsh", "lsh_multiprobe", "ivf", "ivf_pq"} <= set(mean)
     assert mean["ivf_pq"] >= 0.30, f"ivf_pq mean recall@5 {mean['ivf_pq']:.2f} < 0.30"
     assert mean["ivf_pq"] > mean["lsh"], "ivf_pq fell to/below the plain-LSH baseline"
     assert mean["ivf"] >= mean["ivf_pq"], "exact rerank below ADC — impossible drift"
@@ -227,8 +228,12 @@ def test_domain_mix_reweight_plan_contract(spark, sf_dir):
         .executedPlan()
         .toString()
     )
+    # behavior pins: no join, one scan, map-side partials. The exchange
+    # check is an UPPER BOUND, not an exact count — the exact-2 form was
+    # brittle against Spark/AQE changes rather than the behavior it pins
+    # (round-12 advice).
     ex = re.findall(r"Exchange (?:hash|range|Single)\w*", plan)
-    assert len(ex) == 2, ex
+    assert len(ex) <= 2, ex
     assert "Join" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
     assert plan.count("Scan parquet") + plan.count("FileScan") <= 2  # one source read
