@@ -1948,3 +1948,137 @@ FROM g
 
 QUERIES["tokenizer_fertility"] = tokenizer_fertility
 ORACLES["tokenizer_fertility"] = ORACLE_FERTILITY
+
+
+# -- URL/host-level dedup + per-domain stats (round 12) -----------------------
+# The CCNet/C4 pre-step the text family didn't cover: crawl snapshots carry
+# the same page under many URL SPELLINGS (scheme, www., tracking params,
+# trailing slash, host case), and curation drops re-crawls BEFORE any
+# content hashing — a cheap metadata-only pass that removes the dominant
+# duplicate class at ~zero compute. The corpus has no URL column, so the
+# gate derives a deterministic noisy URL per doc from (source, lang,
+# doc_id) — scheme/www/case/params/slash noise keyed on doc_id residues,
+# with doc_id % URL_PATH_MOD forcing genuine re-crawl collisions — then
+# exercises the REAL mechanics: canonicalization (lowercase, strip scheme +
+# www. + query/fragment + trailing slash), host extraction, keep-first
+# (min doc_id) per canonical URL, and per-host crawl-quality stats.
+# 100-TB shape: one scan, regexp projections, a single host+URL groupBy
+# tree — no joins; the per-host output is bounded by the domain count.
+
+URL_PATH_MOD = 40  # distinct paths per (source, lang): forces re-crawl dups
+
+
+def _raw_url_col():
+    """Deterministic noisy URL from (source, lang, doc_id) — same recipe as
+    the oracle, so the gate hashes exactly."""
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+        F.lit("http://")
+    )
+    www = F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit(""))
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    host = F.when(F.col("doc_id") % 11 == 0, F.upper(host)).otherwise(host)
+    path = F.concat(
+        F.lit("/"), F.col("lang"), F.lit("/p"),
+        (F.col("doc_id") % URL_PATH_MOD).cast("string"),
+    )
+    slash = F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit(""))
+    query = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string")),
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, www, host, path, slash, query)
+
+
+def url_host_dedup(spark, sf_dir):
+    """Canonical-URL keep-first dedup + per-host stats.
+
+    Canonicalization: lowercase; strip scheme, leading www., ?query /
+    #fragment, one trailing slash. Per canonical URL the keeper is the min
+    doc_id (first crawl wins — the CCNet convention); per HOST the gate
+    reports docs seen, distinct canonical URLs, dup docs dropped, and the
+    kept-token volume a downstream tokenizer would ingest."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(_tokens()).alias("n_toks"), _raw_url_col().alias("url")
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("url"), r"^https?://(www\.)?", ""),
+            r"[?#].*$",
+            "",
+        ),
+        r"/$",
+        "",
+    )
+    c = d.select("doc_id", "n_toks", canon.alias("curl"))
+    host = F.regexp_extract("curl", r"^([^/]*)", 1)
+    per_url = (
+        c.select("doc_id", "n_toks", "curl", host.alias("host"))
+        .groupBy("host", "curl")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+            # the keeper's tokens: min_by mirrors DuckDB's arg_min on the
+            # same (doc_id) key — deterministic, ids are unique
+            F.min_by("n_toks", "doc_id").alias("keep_toks"),
+        )
+    )
+    return (
+        per_url.groupBy("host")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            (F.sum("n_docs") - F.count(F.lit(1))).cast("bigint").alias("n_dup_docs"),
+            F.sum("keep_toks").cast("bigint").alias("kept_toks"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double"),
+        )
+    )
+
+
+ORACLE_URL_HOST = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_toks,
+         (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+         || (CASE WHEN doc_id % 11 = 0 THEN upper(source || '.example.com')
+                  ELSE source || '.example.com' END)
+         || '/' || lang || '/p' || CAST(doc_id % {URL_PATH_MOD} AS VARCHAR)
+         || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                  ELSE '' END) AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_toks,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(url), '^https?://(www\\.)?', ''),
+             '[?#].*$', ''),
+           '/$', '') AS curl
+  FROM d
+),
+per_url AS (
+  SELECT regexp_extract(curl, '^([^/]*)', 1) AS host, curl,
+         COUNT(*) AS n_docs,
+         MIN(doc_id) AS keep_id,
+         arg_min(n_toks, doc_id) AS keep_toks
+  FROM c
+  GROUP BY 1, 2
+)
+SELECT host,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(n_docs) - COUNT(*) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(keep_toks) AS BIGINT) AS kept_toks,
+       CAST(SUM(n_docs) - COUNT(*) AS DOUBLE) / CAST(SUM(n_docs) AS DOUBLE)
+         AS dup_ratio
+FROM per_url
+GROUP BY host
+"""
+
+QUERIES["url_host_dedup"] = url_host_dedup
+ORACLES["url_host_dedup"] = ORACLE_URL_HOST
