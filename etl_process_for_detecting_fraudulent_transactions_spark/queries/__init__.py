@@ -32,32 +32,42 @@ from . import (
 )
 
 # Order matters: the driver's correctness budget covers the first ~50
-# registered queries (r1-r10 each checked exactly the first 50). Round-11
-# rotation executes the committed plan (VERDICT r10 "Next round" #1,
-# written at r10 close): CORRECTNESS_r10 was 50/50 green with zero reds
-# (so no red-first entries), and the window is:
-#   1-26  the 26 remaining r6-stale keys (pii_redact_names ..
-#         json_props_stats — the whole r6 cohort, clearing r6 debt);
-#   27-28 the 2 round-11 additions (dedup_recall_audit,
-#         domain_mix_reweight — the r10 judge's shortlist (a)+(b)),
-#         placed INSIDE the window per the r10 precedent so they carry no
-#         evidence debt at close;
-#   29-50 the first 22 r7-stale keys (countmin_heavy_hitters ..
-#         integrity_checks, rotation_check stalest-first order).
-# After position 50: the next 12 r7-stale keys (data_skew_profile ..
-# funnel_steps), so any budget overflow lands next-stalest, then family
-# order. Staleness floor after r11 is r7 (28 keys carry).
+# registered queries (r1-r11 each checked exactly the first 50). Round-12
+# rotation executes the committed r11 plan AMENDED by the r11 verdict's
+# systemic finding: *edited-since-last-green-driver-check* outranks *merely
+# old* (json_props_stats was edited r9, sat outside the r9-r10 windows, and
+# failed its first post-edit driver check in r11). tools/rotation_check.py
+# now derives that class from git at function+oracle+helper granularity;
+# the window below is its output:
+#   1     json_props_stats — the r11 red, fixed this round (k_sum
+#         DECIMAL(38,0) → double, VARCHAR-routed oracle; VERDICT r11 #1);
+#   2-4   keys edited THIS round (dedup_simhash 64-bit shingle rework,
+#         dedup_recall_audit, domain_mix_reweight — advice NULL guard);
+#   5-27  every other edited-since-check key, stalest first: the r11
+#         verdict's explicit shortlist (ann_recall_audit, knn_ivf,
+#         knn_ivf_pq, knn_pq_adc, pq_encode — VERDICT r11 #2) plus the
+#         keys the new tool surfaced beyond it (crosslingual_dedup,
+#         dedup_minhash_mllib .. window_lag_seq);
+#   28-29 the 2 round-12 additions (knn_ivf_pq_rerank — VERDICT r11 #6;
+#         url_host_dedup — VERDICT r11 #7), in-window per precedent;
+#   30-46 the 17 remaining never-edited r7-stale keys (data_skew_profile
+#         .. join_residual_ineq) — clears r7 debt entirely;
+#   47-50 the first 4 r8-stale keys (approx_distinct_kmv ..
+#         incremental_join_view).
+# After position 50: the next r8-stale keys in rotation_check order, so
+# any budget overflow lands next-stalest, then family order. Staleness
+# floor after r12 is r8 (~40 keys carry).
 #
-# Round-11 additions used 2 of the 5 throttled slots — registry 227 at
-# close (<= 230 per the standing <=5-per-round convention).
+# Round-12 additions used 2 of the 5 throttled slots — registry 229 at
+# close (<= 232 per the standing <=5-per-round convention).
 #
-# ROUND-12 ROTATION PLAN (written now so the next session executes, not
-# re-derives): assuming CORRECTNESS_r11 goes green on this window, the r12
-# priority list should be (1) any r11 reds, fixed, first; (2) the 28
-# remaining r7-stale keys (data_skew_profile .. — the first 12 already
-# ordered below at positions 51-62, the rest per `tools/rotation_check.py`);
-# (3) the first ~22 r8-stale keys stalest-first per rotation_check. That
-# clears r7 debt entirely and makes max staleness r8 at round-12 open.
+# ROUND-13 ROTATION PLAN (written now so the next session executes, not
+# re-derives): (1) any r12 reds, fixed, first; (2) any keys
+# tools/rotation_check.py marks *edited* at r13 open (it reads git — run
+# it, don't guess); (3) the remaining ~36 r8-stale keys stalest-first
+# (drift_ks_test, trend_slope_ols, .. — positions 51+ below hold the
+# first 12); (4) r9-stale keys with whatever budget remains. That clears
+# r8 debt and makes max staleness r9 at round-13 close.
 _MODULES = (
     relational,
     extra,
@@ -74,75 +84,80 @@ _MODULES = (
     multimodal,
 )
 
-# Keys verified first this round (stalest first; new gates in-window).
+# Keys verified first this round (edited-since-check first, then stalest;
+# new gates in-window).
 _PRIORITY_KEYS = (
-    # -- 1-26: the 26 r6-stale keys — the whole r6 cohort (VERDICT r10 #1) --
-    "pii_redact_names",
-    "editdist_topk",
-    "phrase_search",
-    "sssp_weighted",
-    "asof_join_nearest",
-    "rolling_median_7d",
-    "cumulative_distinct_users",
-    "seasonal_baseline_dev",
-    "session_window_builtin",
-    "train_test_split",
-    "stratified_sample",
-    "dedup_exact",
-    "dedup_bow_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "fuzzy_name_pairs",
-    "golden_record_merge",
-    "salted_join_agg",
-    "attribution_linear",
-    "pca_power_iteration",
-    "multimodal_gif_features",
-    "sessionize",
-    "tpch_q12_priority_class",
-    "tpch_q18_large_orders",
+    # -- 1: the r11 red, fixed (VERDICT r11 #1) --
     "json_props_stats",
-    # -- 27-28: the round-11 additions (driver-checked in their own round) --
+    # -- 2-4: keys edited this round --
+    "dedup_simhash",
     "dedup_recall_audit",
     "domain_mix_reweight",
-    # -- 29-50: first 22 r7-stale keys (rotation_check stalest-first order) --
-    "countmin_heavy_hitters",
-    "lift_gains_value_deciles",
-    "equidepth_histogram_2pass",
-    "theil_sen_slope",
-    "mann_kendall_trend",
-    "gini_impurity_daily",
-    "hll_registers",
-    "ks_two_sample",
-    "spearman_daily",
-    "pettitt_changepoint",
-    "seq_packing",
-    "eval_contamination",
-    "substring_dedup",
-    "gopher_quality_filter",
-    "tfidf_keywords",
-    "bigram_lm_counts",
-    "resample_ffill",
-    "hopping_window_stats",
-    "holt_winters_level_trend",
-    "asof_join_forward",
-    "autocorr_lag",
-    "integrity_checks",
-    # ---- window boundary (driver checks ~50) ----
-    # -- the remaining 12 r7-stale keys (round-12 window, per plan above) --
+    # -- 5-27: every other edited-since-check key (VERDICT r11 #2 shortlist
+    #    + the keys rotation_check's new git-derived ranking surfaced) --
+    "crosslingual_dedup",
+    "ann_recall_audit",
+    "dedup_minhash_mllib",
+    "dedup_prefix_jaccard",
+    "dedup_incremental",
+    "semantic_dedup",
+    "knn_brute_force",
+    "knn_lsh",
+    "embedding_cosine_pairs",
+    "knn_ivf",
+    "knn_lsh_multiprobe",
+    "label_centroid_assign",
+    "multimodal_frame_sample",
+    "kmv_set_ops",
+    "dedup_clusters",
+    "dedup_canonical_pick",
+    "dedup_signature_est",
+    "minhash_containment",
+    "pq_encode",
+    "knn_pq_adc",
+    "knn_ivf_pq",
+    "hybrid_search_rrf",
+    "window_lag_seq",
+    # -- 28-29: the round-12 additions (driver-checked in their own round) --
+    "knn_ivf_pq_rerank",
+    "url_host_dedup",
+    # -- 30-46: remaining r7-stale keys (rotation_check stalest-first) --
     "data_skew_profile",
     "k_anonymity_profile",
     "l_diversity_events",
     "merge_upsert",
     "domain_mix_sample",
     "per_source_cap",
-    "dedup_minhash_mllib",
-    "dedup_prefix_jaccard",
-    "dedup_incremental",
-    "semantic_dedup",
     "range_join_events",
     "funnel_steps",
+    "retention_cohorts",
+    "pricing_summary",
+    "groupby_having_countdistinct",
+    "groupby_max",
+    "join_3hop_agg",
+    "left_join_count",
+    "anti_join",
+    "semi_join",
+    "join_residual_ineq",
+    # -- 47-50: first r8-stale keys --
+    "approx_distinct_kmv",
+    "zscore_outliers",
+    "equidepth_histogram",
+    "incremental_join_view",
+    # ---- window boundary (driver checks ~50) ----
+    # -- next 12 r8-stale keys (round-13 window, per plan above) --
+    "drift_ks_test",
+    "trend_slope_ols",
+    "auc_mann_whitney",
+    "decision_stump_train",
+    "bloom_filter_probe",
+    "wasserstein_1d",
+    "top_value_share",
+    "doc_novelty_score",
+    "inverted_index",
+    "keyword_search_topk",
+    "bpe_merge_step",
+    "bm25_topk",
 )
 
 # Family order after the priority keys: remaining r2-stale families first
