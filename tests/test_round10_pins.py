@@ -144,15 +144,19 @@ def test_ann_recall_audit_planted_twin(spark, tmp_path):
 
     rows = ann_recall_audit(spark, path).collect()
     by_mq = {(r["method"], r["query_id"]): r for r in rows}
-    # queries = vec_id % 50 == 0 -> {0, 50, 100}; four methods each
-    # (round 11 added the exact-rerank `ivf` leg next to `ivf_pq`)
-    assert len(rows) == 12 and len(by_mq) == 12
+    # queries = vec_id % 50 == 0 -> {0, 50, 100}; five methods each
+    # (round 11 added the exact-rerank `ivf` leg next to `ivf_pq`; round 12
+    # added the two-stage `ivf_pq_rerank` leg)
+    assert len(rows) == 15 and len(by_mq) == 15
     for (m, q), r in by_mq.items():
         assert 0 <= r["hits_at_k"] <= TOP_K
         assert r["recall_at_k"] == r["hits_at_k"] / TOP_K
     assert by_mq[("lsh", 50)]["hits_at_k"] >= 1, "identical twin missed by LSH"
     assert by_mq[("ivf", 50)]["hits_at_k"] >= 1, "identical twin missed by IVF"
     assert by_mq[("ivf_pq", 50)]["hits_at_k"] >= 1, "identical twin missed by IVF-PQ"
+    assert (
+        by_mq[("ivf_pq_rerank", 50)]["hits_at_k"] >= 1
+    ), "identical twin missed by the two-stage rerank"
     # multiprobe's candidate set is a SUPERSET of plain LSH's (the unflipped
     # bucket is probed too), and both rerank with exact cosine over the
     # same deterministic tiebreak — so per-query recall can never be lower
