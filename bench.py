@@ -49,6 +49,7 @@ SCALE_KEYS = (
     "doc_fingerprint",
     "tokenizer_fertility",  # round 10: linear scan + lang-keyed partial agg
     "domain_mix_reweight",  # round 11: linear scan + source-keyed partial agg
+    "url_host_dedup",  # round 12: linear scan + host/URL-keyed groupBy tree
     "sessionize",
     "range_join_events",
     "countmin_heavy_hitters",
@@ -209,6 +210,7 @@ SCALE_INPUT = {
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_simhash": "documents",
+    "url_host_dedup": "documents",
     "knn_lsh": "embeddings",
     "text_token_stats": "documents",
     "text_quality": "documents",
