@@ -185,15 +185,10 @@ def _key_sources() -> dict[str, tuple[str, str, str, tuple[str, ...]]]:
     return out
 
 
-def main() -> None:
-    window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-    from etl_process_for_detecting_fraudulent_transactions_spark.queries import all_queries
-
-    keys = list(all_queries())
+def latest_green_rounds(root: str) -> tuple[dict[str, int], list[int]]:
+    """Key -> latest round with a fully-green driver row, + rounds seen."""
     latest: dict[str, int] = {}
-    rounds = []
+    rounds: list[int] = []
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -210,16 +205,14 @@ def main() -> None:
             )
             if ok:
                 latest[k] = max(latest.get(k, 0), n)
-    if not rounds:
-        print("no CORRECTNESS_r*.json found")
-        return
-    cur = max(rounds)
+    return latest, rounds
 
-    def label(k: str) -> str:
-        return f"r{latest[k]}" if k in latest else "never"
 
-    # edited-since-check: module path touched after the commit recording the
-    # key's last green round
+def edited_since_check(root: str) -> dict[str, bool]:
+    """Key -> True iff its defining code changed after its last green
+    driver check (the json_props_stats failure class). Importable — the
+    rotation-discipline test asserts every True key sits in the window."""
+    latest, _ = latest_green_rounds(root)
     round_sha = _round_commits(root)
     sources = _key_sources()
 
@@ -246,6 +239,30 @@ def main() -> None:
         # non-interpolated ones) to appear at the old commit too
         probe = [ln for ln in osql.splitlines() if len(ln.strip()) > 10 and ln in new]
         return any(ln not in old for ln in probe)
+
+    return {k: edited(k) for k in sources}
+
+
+def main() -> None:
+    window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    from etl_process_for_detecting_fraudulent_transactions_spark.queries import all_queries
+
+    keys = list(all_queries())
+    latest, rounds = latest_green_rounds(root)
+    if not rounds:
+        print("no CORRECTNESS_r*.json found")
+        return
+    cur = max(rounds)
+
+    def label(k: str) -> str:
+        return f"r{latest[k]}" if k in latest else "never"
+
+    edited_map = edited_since_check(root)
+
+    def edited(k: str) -> bool:
+        return edited_map.get(k, False)
 
     first = keys[:window]
     rest = keys[window:]
