@@ -48,17 +48,18 @@ from . import (
 #         knn_ivf_pq, knn_pq_adc, pq_encode — VERDICT r11 #2) plus the
 #         keys the new tool surfaced beyond it (crosslingual_dedup,
 #         dedup_minhash_mllib .. window_lag_seq);
-#   28-29 the 2 round-12 additions (knn_ivf_pq_rerank — VERDICT r11 #6;
-#         url_host_dedup — VERDICT r11 #7), in-window per precedent;
-#   30-46 the 17 remaining never-edited r7-stale keys (data_skew_profile
+#   28-30 the 3 round-12 additions (knn_ivf_pq_rerank — VERDICT r11 #6;
+#         url_host_dedup — VERDICT r11 #7; dedup_cluster_sizes — the
+#         dup-multiplicity spectrum diagnostic), in-window per precedent;
+#   31-47 the 17 remaining never-edited r7-stale keys (data_skew_profile
 #         .. join_residual_ineq) — clears r7 debt entirely;
-#   47-50 the first 4 r8-stale keys (approx_distinct_kmv ..
-#         incremental_join_view).
+#   48-50 the first 3 r8-stale keys (approx_distinct_kmv ..
+#         equidepth_histogram).
 # After position 50: the next r8-stale keys in rotation_check order, so
 # any budget overflow lands next-stalest, then family order. Staleness
 # floor after r12 is r8 (~40 keys carry).
 #
-# Round-12 additions used 2 of the 5 throttled slots — registry 229 at
+# Round-12 additions used 3 of the 5 throttled slots — registry 230 at
 # close (<= 232 per the standing <=5-per-round convention).
 #
 # ROUND-13 ROTATION PLAN (written now so the next session executes, not
@@ -118,10 +119,11 @@ _PRIORITY_KEYS = (
     "knn_ivf_pq",
     "hybrid_search_rrf",
     "window_lag_seq",
-    # -- 28-29: the round-12 additions (driver-checked in their own round) --
+    # -- 28-30: the round-12 additions (driver-checked in their own round) --
     "knn_ivf_pq_rerank",
     "url_host_dedup",
-    # -- 30-46: remaining r7-stale keys (rotation_check stalest-first) --
+    "dedup_cluster_sizes",
+    # -- 31-47: remaining r7-stale keys (rotation_check stalest-first) --
     "data_skew_profile",
     "k_anonymity_profile",
     "l_diversity_events",
@@ -139,13 +141,13 @@ _PRIORITY_KEYS = (
     "anti_join",
     "semi_join",
     "join_residual_ineq",
-    # -- 47-50: first r8-stale keys --
+    # -- 48-50: first r8-stale keys --
     "approx_distinct_kmv",
     "zscore_outliers",
     "equidepth_histogram",
-    "incremental_join_view",
     # ---- window boundary (driver checks ~50) ----
     # -- next 12 r8-stale keys (round-13 window, per plan above) --
+    "incremental_join_view",
     "drift_ks_test",
     "trend_slope_ols",
     "auc_mann_whitney",

@@ -663,6 +663,72 @@ QUERIES["dedup_clusters"] = dedup_clusters
 ORACLES["dedup_clusters"] = ORACLE_CLUSTERS
 
 
+# -- duplicate-multiplicity spectrum (round 12) -------------------------------
+# The curation diagnostic that sits on top of clustering: how much of the
+# corpus is duplicated ×2, ×3, ... — the number that decides whether a
+# dedup pass is worth its cost and how aggressive the keep policy should
+# be (Lee et al. report exactly this spectrum for C4/RealNews). One row
+# per cluster size k: cluster count, docs in that class, docs a keep-one
+# pass would drop (excess), and corpus share; the k=1 singleton class is
+# derived from the corpus total so the shares sum to 1. Output is bounded
+# by the largest dup multiplicity — a handful of rows at any corpus size;
+# at 100 TB the only corpus-scale work is dedup_clusters' own O(dups)
+# label propagation (memoized per session), then two tiny groupBys.
+
+def dedup_cluster_sizes(spark, sf_dir):
+    """Cluster-size histogram over the near-dup components + singletons."""
+    labels = dedup_clusters(spark, sf_dir)
+    per_c = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("k"))
+    spec = per_c.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("k").cast("bigint").alias("n_docs"),
+    )
+    tot = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("total"))
+    mem = labels.agg(F.count(F.lit(1)).alias("members"))
+    single = tot.crossJoin(F.broadcast(mem)).select(
+        F.lit(1).cast("bigint").alias("k"),
+        (F.col("total") - F.col("members")).cast("bigint").alias("n_clusters"),
+        (F.col("total") - F.col("members")).cast("bigint").alias("n_docs"),
+    )
+    return (
+        spec.select(F.col("k").cast("bigint"), "n_clusters", "n_docs")
+        .unionByName(single)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_clusters",
+            "n_docs",
+            (F.col("n_docs") - F.col("n_clusters")).cast("bigint").alias("excess_docs"),
+            (F.col("n_docs").cast("double") / F.col("total").cast("double")).alias(
+                "corpus_share"
+            ),
+        )
+    )
+
+
+ORACLE_CLUSTER_SIZES = f"""
+WITH labels AS (SELECT * FROM ({ORACLE_CLUSTERS}) t),
+per_c AS (SELECT cluster_id, COUNT(*) AS k FROM labels GROUP BY cluster_id),
+spec AS (SELECT k, COUNT(*) AS n_clusters, SUM(k) AS n_docs FROM per_c GROUP BY k),
+tot AS (SELECT COUNT(*) AS total FROM documents),
+mem AS (SELECT COUNT(*) AS members FROM labels),
+allk AS (
+  SELECT k, n_clusters, n_docs FROM spec
+  UNION ALL
+  SELECT 1, total - members, total - members FROM tot, mem
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs - n_clusters AS BIGINT) AS excess_docs,
+       CAST(n_docs AS DOUBLE) / (SELECT total FROM tot) AS corpus_share
+FROM allk
+"""
+
+QUERIES["dedup_cluster_sizes"] = dedup_cluster_sizes
+ORACLES["dedup_cluster_sizes"] = ORACLE_CLUSTER_SIZES
+
+
 # -- MLlib-native variant (candidate generator: MinHashLSH) ------------------
 
 def dedup_minhash_mllib(spark, sf_dir):
