@@ -48,18 +48,19 @@ from . import (
 #         knn_ivf_pq, knn_pq_adc, pq_encode — VERDICT r11 #2) plus the
 #         keys the new tool surfaced beyond it (crosslingual_dedup,
 #         dedup_minhash_mllib .. window_lag_seq);
-#   28-30 the 3 round-12 additions (knn_ivf_pq_rerank — VERDICT r11 #6;
+#   28-31 the 4 round-12 additions (knn_ivf_pq_rerank — VERDICT r11 #6;
 #         url_host_dedup — VERDICT r11 #7; dedup_cluster_sizes — the
-#         dup-multiplicity spectrum diagnostic), in-window per precedent;
-#   31-47 the 17 remaining never-edited r7-stale keys (data_skew_profile
+#         dup-multiplicity spectrum; source_overlap_matrix — cross-source
+#         duplicate containment), in-window per precedent;
+#   32-48 the 17 remaining never-edited r7-stale keys (data_skew_profile
 #         .. join_residual_ineq) — clears r7 debt entirely;
-#   48-50 the first 3 r8-stale keys (approx_distinct_kmv ..
-#         equidepth_histogram).
+#   49-50 the first 2 r8-stale keys (approx_distinct_kmv,
+#         zscore_outliers).
 # After position 50: the next r8-stale keys in rotation_check order, so
 # any budget overflow lands next-stalest, then family order. Staleness
 # floor after r12 is r8 (~40 keys carry).
 #
-# Round-12 additions used 3 of the 5 throttled slots — registry 230 at
+# Round-12 additions used 4 of the 5 throttled slots — registry 231 at
 # close (<= 232 per the standing <=5-per-round convention).
 #
 # ROUND-13 ROTATION PLAN (written now so the next session executes, not
@@ -123,7 +124,8 @@ _PRIORITY_KEYS = (
     "knn_ivf_pq_rerank",
     "url_host_dedup",
     "dedup_cluster_sizes",
-    # -- 31-47: remaining r7-stale keys (rotation_check stalest-first) --
+    "source_overlap_matrix",
+    # -- 32-48: remaining r7-stale keys (rotation_check stalest-first) --
     "data_skew_profile",
     "k_anonymity_profile",
     "l_diversity_events",
@@ -141,12 +143,12 @@ _PRIORITY_KEYS = (
     "anti_join",
     "semi_join",
     "join_residual_ineq",
-    # -- 48-50: first r8-stale keys --
+    # -- 49-50: first r8-stale keys --
     "approx_distinct_kmv",
     "zscore_outliers",
-    "equidepth_histogram",
     # ---- window boundary (driver checks ~50) ----
     # -- next 12 r8-stale keys (round-13 window, per plan above) --
+    "equidepth_histogram",
     "incremental_join_view",
     "drift_ks_test",
     "trend_slope_ols",

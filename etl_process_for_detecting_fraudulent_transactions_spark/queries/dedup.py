@@ -1653,3 +1653,85 @@ FROM counts
 
 QUERIES["dedup_recall_audit"] = dedup_recall_audit
 ORACLES["dedup_recall_audit"] = ORACLE_DEDUP_RECALL
+
+
+# -- cross-source duplicate overlap matrix (round 12) -------------------------
+# The curation diagnostic ABOVE the per-pair machinery: which sources
+# mirror each other's content (two crawls of the same site, a dataset
+# re-packaged under a new name) — the number that sets cross-source dedup
+# priority and catches train/eval splits drawn from overlapping feeds.
+# Unit of identity: the bag-of-words fingerprint (dedup_bow_fingerprint's
+# md5-of-sorted-word-set). One (source, fp) distinct pass, one fp-keyed
+# self-join (collisions are rare ⇒ ~O(dups) matches), per-source totals
+# broadcast back in; output bounded by the source-pair count. Pairs with
+# zero overlap are omitted (inner join) — the report is "who overlaps",
+# not the full cross product.
+
+def source_overlap_matrix(spark, sf_dir):
+    """Per source pair: shared distinct fingerprints + containment ratio."""
+    d = _docs(spark, sf_dir)
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+    )
+    fps = d.select("source", fp.alias("bow_fp")).distinct()
+    per_source = fps.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fps")
+    )
+    a = fps.select(F.col("source").alias("source_a"), "bow_fp")
+    b = fps.select(F.col("source").alias("source_b"), "bow_fp")
+    overlap = (
+        a.join(b, ["bow_fp"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+    )
+    na = per_source.select(
+        F.col("source").alias("source_a"), F.col("n_fps").alias("n_fps_a")
+    )
+    nb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n_fps").alias("n_fps_b")
+    )
+    return (
+        overlap.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_fps",
+            "n_fps_a",
+            "n_fps_b",
+            # containment of the smaller side — the "is B a subset of A"
+            # signal, robust to size asymmetry (Broder containment applied
+            # at source granularity)
+            (
+                F.col("shared_fps").cast("double")
+                / F.least("n_fps_a", "n_fps_b").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
+ORACLE_SOURCE_OVERLAP = """
+WITH fps AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS bow_fp
+  FROM documents
+),
+per_source AS (SELECT source, COUNT(*) AS n_fps FROM fps GROUP BY source),
+overlap AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared_fps
+  FROM fps a JOIN fps b ON a.bow_fp = b.bow_fp AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       CAST(shared_fps AS BIGINT) AS shared_fps,
+       CAST(na.n_fps AS BIGINT) AS n_fps_a,
+       CAST(nb.n_fps AS BIGINT) AS n_fps_b,
+       CAST(shared_fps AS DOUBLE) / least(na.n_fps, nb.n_fps) AS containment
+FROM overlap
+JOIN per_source na ON na.source = source_a
+JOIN per_source nb ON nb.source = source_b
+"""
+
+QUERIES["source_overlap_matrix"] = source_overlap_matrix
+ORACLES["source_overlap_matrix"] = ORACLE_SOURCE_OVERLAP
