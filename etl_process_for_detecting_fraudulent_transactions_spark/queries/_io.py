@@ -9,6 +9,8 @@ matching DuckDB's own nanos→micros truncation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -101,6 +103,83 @@ def session_cache_lazy(tag: str, sf_dir: str, builder, session: SparkSession) ->
         except Exception:
             pass  # dead session behind the memo — rebuild below
     return session_cache(builder(), tag, sf_dir)
+
+
+def fan_out(df: DataFrame, kernel: str = "jvm") -> DataFrame:
+    """Spread a narrow scan across the cluster before compute-heavy map work.
+
+    The guide-§2.5 input-skew fix: a parquet input with fewer splits than
+    cores serializes every pre-shuffle expression (single-row-group local
+    test files scan as ONE task, so md5 shingle chains, levenshtein pair
+    blocks, and Arrow decode kernels all ran 1-threaded on local[32] —
+    measured 2.2 s → 0.37 s on doc_fingerprint, r12 optimization round).
+
+    Scale-adaptive, not a constant for local mode: the split count comes
+    from the frame's own scan RDD, so when the input already provides >=
+    defaultParallelism splits (any real multi-file table at cluster scale)
+    this is a NO-OP — no exchange is added and no payload bytes move. The
+    round-robin repartition is only paid when the scan cannot parallelize
+    the downstream compute, and it carries exactly the scan's (pruned)
+    columns.
+
+    ``kernel`` sizes the fan-out to the downstream work's per-task
+    overhead, measured on the r12 sweep:
+    - ``"jvm"`` (codegen expression chains): one task per core — task
+      startup is ~1 ms and the expressions scale linearly.
+    - ``"python"`` (mapInPandas/Arrow stages): cores/4, floor 4 — each
+      Python stage pays a per-task Arrow handshake (~10-40 ms) and 1:1
+      workers oversubscribe the cores the JVM is also using (measured:
+      the jpeg kernel at 32 partitions was SLOWER than at 8).
+
+    Only call this on scan-rooted frames (scan + narrow ops): the split
+    probe compiles the physical plan but runs no job for shuffle-free
+    frames. Do NOT call it inside per-iteration loops or cheap kernels —
+    the exchange + probe overhead outweighs sub-second compute (measured
+    regressions on pca_power_iteration and the bmp/audio kernels).
+    """
+    if os.environ.get("SPARK_GRAFT_NO_FANOUT"):
+        return df  # measurement hook: same-session A/B of the fan-out itself
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    target = cores if kernel == "jvm" else max(4, cores // 4)
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df  # scan already feeds the cores: add nothing at scale
+    except Exception:
+        pass  # unknown layout: fall through and repartition defensively
+    return df.repartition(target)
+
+
+def fan_out_by(df: DataFrame, *cols: str) -> DataFrame:
+    """Pin a partitioning wide enough for compute that EXPLODES after an
+    exchange (wedge enumeration, basket pair expansion).
+
+    AQE's parallelismFirst coalescing sizes post-shuffle partitions by the
+    shuffle's INPUT bytes, so a join/aggregate whose *output* fans out
+    orders of magnitude (2 MB of edges → millions of wedge rows) runs on
+    1-2 partitions locally and serializes the explosion. With key columns,
+    this pins the exchange the join needs anyway (same bytes, moved once,
+    EnsureRequirements adds nothing on top); AQE does not coalesce
+    user-specified repartitions. Cost: that one exchange loses AQE skew
+    splitting — use only where the key distribution is known near-regular
+    (the synthetic co-purchase basket key; skewed keys keep their
+    AQE-managed joins). Without columns: round-robin, for explosion that
+    follows an aggregation rather than a join.
+
+    Width = max(defaultParallelism, spark.sql.shuffle.partitions): cores
+    locally, the configured shuffle width on a real cluster.
+    """
+    if os.environ.get("SPARK_GRAFT_NO_FANOUT"):
+        return df  # measurement hook: same-session A/B of the fan-out itself
+    spark = df.sparkSession
+    try:
+        conf_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        conf_n = 0
+    n = max(spark.sparkContext.defaultParallelism, conf_n)
+    if cols:
+        return df.repartition(n, *[F.col(c) for c in cols])
+    return df.repartition(n)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._io import session_cache, session_cache_lazy
+from ._io import fan_out, session_cache, session_cache_lazy
 
 N_MINHASH = 12         # minhash permutations
 N_BANDS = 6            # LSH bands (rows per band = 2): the (b, r) tuning
@@ -143,7 +143,12 @@ def _shingle_arrays(spark, sf_dir):
     return session_cache_lazy(
         "dedup_shingles",
         sf_dir,
-        lambda: _doc_shingle_arrays(_docs(spark, sf_dir)).localCheckpoint(),
+        # fan_out: the shingle transform (split + n-gram concat + distinct
+        # per row) is the family's dominant map cost and the local scan is
+        # one split — spread it across cores before computing; the
+        # checkpoint then also hands every consumer a wide frame (r12
+        # optimization round, guide §2.5 input-skew fix)
+        lambda: _doc_shingle_arrays(fan_out(_docs(spark, sf_dir))).localCheckpoint(),
         spark,
     )
 
@@ -857,7 +862,7 @@ def fuzzy_name_pairs(spark, sf_dir):
     whole table (at 100 TB the blocking key is the difference between a
     shuffle and an impossibility). ``levenshtein`` is a Catalyst expression
     (JVM-side) with the standard edit-distance definition in both engines."""
-    c = (
+    c = fan_out(
         spark.read.parquet(f"{sf_dir}/customer.parquet")
         # %3 right-sizes the block: these ID-like names make distance<=2 a
         # DENSE relation (every name is 2 digit-edits from many others), so
@@ -866,6 +871,9 @@ def fuzzy_name_pairs(spark, sf_dir):
         # documents why contiguous-partition filtering degenerates here.
         .filter(F.col("c_custkey") % 3 == 0)
         .select("c_custkey", "c_name", "c_nationkey")
+        # fan_out: same rationale as record_linkage_fs — per-pair
+        # levenshtein work evaluates on the stream side of a broadcast
+        # join; one scan split serializes it (r12 optimization round)
     )
     a = c.alias("a")
     b = c.alias("b")
@@ -1222,10 +1230,13 @@ _FS_LINK_T, _FS_POSSIBLE_T = 35, 15
 
 
 def record_linkage_fs(spark, sf_dir):
-    c = (
+    c = fan_out(
         spark.read.parquet(f"{sf_dir}/customer.parquet")
         .filter(F.col("c_custkey") % 3 == 0)  # fuzzy_name_pairs block sizing
         .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+        # fan_out: the banded-levenshtein block pairs ARE the runtime and
+        # evaluate in the broadcast join's stream stage — one scan split
+        # would run them single-threaded (3.07 s → 1.03 s measured, r12)
     )
     a, b = c.alias("a"), c.alias("b")
     pairs = (

@@ -20,17 +20,26 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ._io import fan_out_by
 from ._io import load_table as _t
 
 
 # -- co-purchase graph: triangle census --------------------------------------
 
-def _copurchase_edges(spark, sf_dir):
+def _copurchase_edges(spark, sf_dir, wide: bool = False):
     """Undirected distinct edge list (pa < pb): parts sharing an order.
 
     One (order, part) projection feeds a self-join on the order key; the
     per-order pair fanout is bounded by basket size (~4 parts/order), so
-    edge generation is linear-ish in lineitem — no part×part blowup."""
+    edge generation is linear-ish in lineitem — no part×part blowup.
+
+    ``wide=True`` pins the pair join's exchange at full width
+    (fan_out_by) for consumers whose cost is edge-volume work (wedge
+    enumeration: triangle_stats 0.81x, linkpred 0.66x measured A/B) —
+    frontier-iteration consumers (bfs/sssp/kcore) measured 1.2x SLOWER
+    with the pin (their per-round joins are frontier-sized; a wide edges
+    checkpoint just multiplies task count per round), so they keep the
+    default."""
     op = (
         _t(spark, sf_dir, "lineitem")
         # deterministic 1/4 node sample: the synthetic co-purchase graph is
@@ -43,6 +52,11 @@ def _copurchase_edges(spark, sf_dir):
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
+    if wide:
+        # the pair join needs hashpartitioning(o) anyway; left to
+        # EnsureRequirements the exchange is AQE-coalesced by its ~2 MB
+        # INPUT while the pair fanout multiplies rows ~15x (r12 round)
+        op = fan_out_by(op, "o")
     a, b = op.alias("a"), op.alias("b")
     return (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
@@ -64,7 +78,7 @@ def triangle_stats(spark, sf_dir):
     changes the join sizes, never the count), so the SQL stays readable.
     clustering = one IEEE division of two exact BIGINTs — bit-identical
     across engines."""
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _copurchase_edges(spark, sf_dir, wide=True).localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("pa").alias("p"))
         .unionByName(edges.select(F.col("pb").alias("p")))
@@ -624,9 +638,15 @@ def linkpred_common_neighbors(spark, sf_dir):
     existing edges leave via anti join, degrees attach by two key joins,
     top-100 by (cn, pair) compiles to TakeOrderedAndProject. Counts and
     degrees are exact integers; Jaccard is one IEEE division."""
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
-    adj = edges.union(
-        edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    edges = _copurchase_edges(spark, sf_dir, wide=True).localCheckpoint(eager=True)
+    # fan_out_by(pa): the wedge self-join explodes ~20x from a ~2 MB input
+    # — pin the join's own exchange wide instead of the AQE-coalesced 1-2
+    # partitions (both aliases reuse ONE exchange; r12 optimization round)
+    adj = fan_out_by(
+        edges.union(
+            edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+        ),
+        "pa",
     )
     deg = adj.groupBy("pa").agg(F.count(F.lit(1)).alias("deg"))
     a, b = adj.alias("a"), adj.alias("b")

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from ._io import fan_out
 from ..operators.multimodal import (
     WAV_RATE,
     extract_audio_features,
@@ -228,7 +229,10 @@ ORACLES["multimodal_bmp_features"] = ORACLE_BMP
 def multimodal_png_features(spark: SparkSession, sf_dir: str):
     from ..operators.multimodal import synthesize_png_media
 
-    docs = _media_docs(spark, sf_dir)
+    # fan_out(python): the png codec is the expensive
+    # Python-kernel tier — parallelize its mapInPandas chain, at the
+    # python-kernel width (per-task Arrow overhead; r12 sweep)
+    docs = fan_out(_media_docs(spark, sf_dir), kernel="python")
     return (
         extract_media_features(synthesize_png_media(docs))
         .drop("content_md5")
@@ -269,7 +273,10 @@ ORACLES["multimodal_png_features"] = ORACLE_PNG
 def multimodal_jpeg_features(spark: SparkSession, sf_dir: str):
     from ..operators.multimodal import synthesize_jpeg_media
 
-    docs = _media_docs(spark, sf_dir)
+    # fan_out(python): the jpeg codec is the expensive
+    # Python-kernel tier — parallelize its mapInPandas chain, at the
+    # python-kernel width (per-task Arrow overhead; r12 sweep)
+    docs = fan_out(_media_docs(spark, sf_dir), kernel="python")
     return (
         extract_media_features(synthesize_jpeg_media(docs))
         .drop("content_md5")
@@ -316,7 +323,10 @@ ORACLES["multimodal_jpeg_features"] = ORACLE_JPEG
 def multimodal_jpeg_color_features(spark: SparkSession, sf_dir: str):
     from ..operators.multimodal import synthesize_jpeg_color_media
 
-    docs = _media_docs(spark, sf_dir)
+    # fan_out(python): the jpeg codec is the expensive
+    # Python-kernel tier — parallelize its mapInPandas chain, at the
+    # python-kernel width (per-task Arrow overhead; r12 sweep)
+    docs = fan_out(_media_docs(spark, sf_dir), kernel="python")
     return (
         extract_media_features(synthesize_jpeg_color_media(docs))
         .drop("content_md5")
@@ -427,7 +437,10 @@ ORACLES["multimodal_phash"] = ORACLE_PHASH
 def multimodal_gif_features(spark: SparkSession, sf_dir: str):
     from ..operators.multimodal import synthesize_gif_media
 
-    docs = _media_docs(spark, sf_dir)
+    # fan_out(python): the gif codec is the expensive
+    # Python-kernel tier — parallelize its mapInPandas chain, at the
+    # python-kernel width (per-task Arrow overhead; r12 sweep)
+    docs = fan_out(_media_docs(spark, sf_dir), kernel="python")
     return (
         extract_media_features(synthesize_gif_media(docs))
         .drop("content_md5")

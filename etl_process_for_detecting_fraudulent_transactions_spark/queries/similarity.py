@@ -21,7 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._io import session_cache, session_cache_lazy
+from ._io import fan_out, session_cache, session_cache_lazy
 
 TOP_K = 5
 QUERY_MOD = 50          # queries = vec_id % QUERY_MOD == 0
@@ -108,7 +108,10 @@ def _cosine(a, b):
 
 def knn_brute_force(spark, sf_dir):
     """Exact cosine top-k: query subset × all candidates, rank per query."""
-    e = _emb(spark, sf_dir)
+    # fan_out: the query×candidate HOF cosines evaluate on the candidate
+    # stream of the broadcast join — one scan split serialized all ~N·Q/50
+    # of them (0.95 s → 0.66 s measured at sf0.1, r12)
+    e = fan_out(_emb(spark, sf_dir))
     q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -367,8 +370,12 @@ QUALIFY rank <= {TOP_K}
 def embedding_cosine_pairs(spark, sf_dir):
     """Embedding near-dup: pairs above COSINE_T, candidates restricted to a
     shared LSH bucket (sub-quadratic at scale)."""
+    # fan_out: both the 8-plane md5 bucket derivation and the post-join
+    # HOF cosines inherit the scan's single local split without it (r12)
     e = session_cache(
-        _emb(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("embedding"))),
+        fan_out(_emb(spark, sf_dir)).withColumn(
+            "bucket", _bucket_col(F.col("embedding"))
+        ),
         "emb_bucket", sf_dir,
     )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "bucket")

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ._io import load_table as _t
-from ._io import session_cache
+from ._io import fan_out, session_cache
 
 
 # -- exact percentiles ---------------------------------------------------------

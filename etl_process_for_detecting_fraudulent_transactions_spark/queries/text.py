@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._io import session_cache
+from ._io import fan_out, session_cache
 
 # doc vocabulary is synthetic SQL-ish words; "stopwords" for quality scoring
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
@@ -27,6 +27,10 @@ LANG_MARKERS = {
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT fan_out here: per-gate A/B (OPTIMIZATION_r12.md) shows the
+    # repartition only pays where per-row map work is extreme (md5-chain /
+    # gram-join gates); most explode→aggregate gates lose 10-50% to the
+    # extra exchange + task overhead at local scale.
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -153,7 +157,10 @@ FROM c
 def doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: whole-text md5 + winnowed char-8-gram
     min/max hash (rolling-hash family, md5 as the shared hash)."""
-    d = _docs(spark, sf_dir).filter(F.length("text") >= 8)
+    # fan_out: ~500 md5 evaluations per row before any exchange — the
+    # single-split local scan serialized the whole query (2.2 s → 0.37 s
+    # measured at sf0.1, r12 optimization round)
+    d = fan_out(_docs(spark, sf_dir).filter(F.length("text") >= 8))
     # dynamic-start substring inside transform() needs SQL-expr lambdas
     return d.select(
         "doc_id",
@@ -534,7 +541,9 @@ def eval_contamination(spark, sf_dir):
     relative to the corpus); the training corpus is scanned ONCE, grams
     generated map-side and probed against the broadcast set — no corpus
     shuffle. Only the (small) hit set aggregates."""
-    d = _docs(spark, sf_dir).filter(F.size(_tokens()) >= CONTAM_N)
+    # fan_out: gram explode + xxhash on BOTH join sides roots here; the
+    # single-split scan serialized it (2.58 s → 1.06 s A/B, r12)
+    d = fan_out(_docs(spark, sf_dir).filter(F.size(_tokens()) >= CONTAM_N))
     # probe on xxhash64(gram) longs, not ~25-char strings: 2.5x faster at
     # sf0.1 and a far smaller broadcast-side hash table. The raw grams still
     # ride along and are equality-checked AFTER the hash join, so a 64-bit
@@ -605,7 +614,9 @@ def substring_dedup(spark, sf_dir):
     ReusedExchange never fires) — measured before this rewrite."""
     from pyspark.sql.window import Window
 
-    d = _docs(spark, sf_dir).filter(F.size(_tokens()) >= SUBSTR_W)
+    # fan_out: the W-token window explode + concat is the map cost and
+    # roots at a single-split scan (2.49 s → 0.94 s A/B, r12)
+    d = fan_out(_docs(spark, sf_dir).filter(F.size(_tokens()) >= SUBSTR_W))
     grams = d.select("doc_id", F.explode(_word_grams(SUBSTR_W)).alias("g"))
     flagged = grams.withColumn("ndocs", F.count("*").over(Window.partitionBy("g")))
     return flagged.groupBy("doc_id").agg(
@@ -670,7 +681,9 @@ def gopher_quality_filter(spark, sf_dir):
     Scale shape: pure per-row Catalyst expressions over one scan — no
     shuffle, no UDF; the filter runs at full scan throughput and pushes
     nothing to Python."""
-    d = _docs(spark, sf_dir)
+    # fan_out: spreads the per-row HOF chains over the cores when the
+    # scan is single-split (0.50 s -> 0.34 s A/B, r12)
+    d = fan_out(_docs(spark, sf_dir))
     toks = _tokens()
     n = F.size(toks)
     nz = F.when(n > 0, n)  # zero-word docs: NULL ratios, gopher_pass false
