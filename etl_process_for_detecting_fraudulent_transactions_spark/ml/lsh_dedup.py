@@ -28,8 +28,15 @@ def shingle_vectors(docs: DataFrame, n: int = 3) -> DataFrame:
     # (split(NULL) -> NULL, size(NULL) -> NULL -> filter false); without the
     # guard the transform below indexes past the array on sub-n-word docs
     # and ANSI aborts the job (null-robustness audit, round 8)
-    toks = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
-        F.size("ws") >= n
+    # fan_out: the shingle transform + HashingTF + T minhash transforms
+    # all evaluate ahead of the LSH join's first exchange; a single-split
+    # scan serializes them (r12 optimization round, guide §2.5)
+    from ..queries._io import fan_out
+
+    toks = fan_out(
+        docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
+            F.size("ws") >= n
+        )
     )
     # NO filter on size(shingles): after the size(ws) >= n guard above the
     # transform always yields >=1 valid element, so such a filter is

@@ -105,7 +105,7 @@ def session_cache_lazy(tag: str, sf_dir: str, builder, session: SparkSession) ->
     return session_cache(builder(), tag, sf_dir)
 
 
-def fan_out(df: DataFrame, kernel: str = "jvm") -> DataFrame:
+def fan_out(df: DataFrame, tier: str = "wide") -> DataFrame:
     """Spread a narrow scan across the cluster before compute-heavy map work.
 
     The guide-§2.5 input-skew fix: a parquet input with fewer splits than
@@ -122,14 +122,17 @@ def fan_out(df: DataFrame, kernel: str = "jvm") -> DataFrame:
     the downstream compute, and it carries exactly the scan's (pruned)
     columns.
 
-    ``kernel`` sizes the fan-out to the downstream work's per-task
-    overhead, measured on the r12 sweep:
-    - ``"jvm"`` (codegen expression chains): one task per core — task
-      startup is ~1 ms and the expressions scale linearly.
-    - ``"python"`` (mapInPandas/Arrow stages): cores/4, floor 4 — each
-      Python stage pays a per-task Arrow handshake (~10-40 ms) and 1:1
-      workers oversubscribe the cores the JVM is also using (measured:
-      the jpeg kernel at 32 partitions was SLOWER than at 8).
+    ``tier`` sizes the fan-out to the downstream work's per-task
+    overhead, measured on the r12 sweeps:
+    - ``"wide"`` (heavy codegen expression chains, one consumer): one task
+      per core — task startup is ~1 ms and the expressions scale linearly.
+    - ``"medium"`` (cores/4, floor 4): for mapInPandas/Arrow stages (each
+      Python stage pays a per-task Arrow handshake of ~10-40 ms, and 1:1
+      workers oversubscribe the cores the JVM also uses — the jpeg kernel
+      at 32 partitions measured SLOWER than at 8) and for checkpointed
+      frames feeding MANY small downstream stages (the PQ subvector
+      frame: width 32 made the flat consumers win but the multi-stage IVF
+      consumers lose; width 8 kept both — block A/B 0.88x).
 
     Only call this on scan-rooted frames (scan + narrow ops): the split
     probe compiles the physical plan but runs no job for shuffle-free
@@ -141,7 +144,7 @@ def fan_out(df: DataFrame, kernel: str = "jvm") -> DataFrame:
         return df  # measurement hook: same-session A/B of the fan-out itself
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    target = cores if kernel == "jvm" else max(4, cores // 4)
+    target = cores if tier == "wide" else max(4, cores // 4)
     try:
         if df.rdd.getNumPartitions() >= target:
             return df  # scan already feeds the cores: add nothing at scale

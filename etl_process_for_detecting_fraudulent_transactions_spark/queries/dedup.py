@@ -148,7 +148,7 @@ def _shingle_arrays(spark, sf_dir):
         # one split — spread it across cores before computing; the
         # checkpoint then also hands every consumer a wide frame (r12
         # optimization round, guide §2.5 input-skew fix)
-        lambda: _doc_shingle_arrays(fan_out(_docs(spark, sf_dir))).localCheckpoint(),
+        lambda: _doc_shingle_arrays(fan_out(_docs(spark, sf_dir), tier="medium")).localCheckpoint(),
         spark,
     )
 

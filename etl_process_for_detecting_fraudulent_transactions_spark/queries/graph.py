@@ -568,8 +568,17 @@ def assoc_rules(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_orders = op.select("o").distinct().count()  # bounded driver scalar
+    # n_orders as an IN-PLAN broadcast scalar (was a driver-side .count():
+    # one extra synchronous job per invocation for a number the plan can
+    # carry itself — guide §5 driver discipline; r12 optimization round)
+    n_orders_df = op.select("o").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
     item = op.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    # NOT fan_out_by here: pinning the basket exchange wide measured 1.23x
+    # SLOWER (the pair explosion is drained efficiently by the following
+    # pair-key partial aggregation even on few partitions; extra width only
+    # multiplies shuffle blocks — r12 A/B)
     baskets = op.groupBy("o").agg(F.collect_list("p").alias("ps"))
     pairs = (
         baskets.select("ps", F.explode("ps").alias("ant"))
@@ -586,10 +595,18 @@ def assoc_rules(spark, sf_dir):
             "ant",
             "cons",
             "pair_cnt",
-            (F.col("pair_cnt") / F.lit(n_orders)).alias("support"),
+            "cnt_a",
+            "cnt_b",
+        )
+        .crossJoin(F.broadcast(n_orders_df))
+        .select(
+            "ant",
+            "cons",
+            "pair_cnt",
+            (F.col("pair_cnt") / F.col("n_orders")).alias("support"),
             (F.col("pair_cnt") / F.col("cnt_a")).alias("confidence"),
             (
-                (F.col("pair_cnt") * F.lit(n_orders)).cast("double")
+                (F.col("pair_cnt") * F.col("n_orders")).cast("double")
                 / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
             ).alias("lift"),
         )

@@ -231,8 +231,8 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str):
 
     # fan_out(python): the png codec is the expensive
     # Python-kernel tier — parallelize its mapInPandas chain, at the
-    # python-kernel width (per-task Arrow overhead; r12 sweep)
-    docs = fan_out(_media_docs(spark, sf_dir), kernel="python")
+    # medium width (per-task Arrow overhead; r12 sweep)
+    docs = fan_out(_media_docs(spark, sf_dir), tier="medium")
     return (
         extract_media_features(synthesize_png_media(docs))
         .drop("content_md5")
@@ -275,8 +275,8 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str):
 
     # fan_out(python): the jpeg codec is the expensive
     # Python-kernel tier — parallelize its mapInPandas chain, at the
-    # python-kernel width (per-task Arrow overhead; r12 sweep)
-    docs = fan_out(_media_docs(spark, sf_dir), kernel="python")
+    # medium width (per-task Arrow overhead; r12 sweep)
+    docs = fan_out(_media_docs(spark, sf_dir), tier="medium")
     return (
         extract_media_features(synthesize_jpeg_media(docs))
         .drop("content_md5")
@@ -325,8 +325,8 @@ def multimodal_jpeg_color_features(spark: SparkSession, sf_dir: str):
 
     # fan_out(python): the jpeg codec is the expensive
     # Python-kernel tier — parallelize its mapInPandas chain, at the
-    # python-kernel width (per-task Arrow overhead; r12 sweep)
-    docs = fan_out(_media_docs(spark, sf_dir), kernel="python")
+    # medium width (per-task Arrow overhead; r12 sweep)
+    docs = fan_out(_media_docs(spark, sf_dir), tier="medium")
     return (
         extract_media_features(synthesize_jpeg_color_media(docs))
         .drop("content_md5")
@@ -439,8 +439,8 @@ def multimodal_gif_features(spark: SparkSession, sf_dir: str):
 
     # fan_out(python): the gif codec is the expensive
     # Python-kernel tier — parallelize its mapInPandas chain, at the
-    # python-kernel width (per-task Arrow overhead; r12 sweep)
-    docs = fan_out(_media_docs(spark, sf_dir), kernel="python")
+    # medium width (per-task Arrow overhead; r12 sweep)
+    docs = fan_out(_media_docs(spark, sf_dir), tier="medium")
     return (
         extract_media_features(synthesize_gif_media(docs))
         .drop("content_md5")

@@ -286,6 +286,9 @@ def _emb_all_buckets(spark, sf_dir):
     variant, the hybrid gate's semantic leg, and the recall audit — not
     rebuilt per gate. (operators/ann_index.py is the same artifact
     persisted to disk.)"""
+    # NOT fan_out here: the bucket build is ~24 md5s x 2k rows (trivial),
+    # and a wide index frame just multiplies every PROBE's task count —
+    # knn_lsh/multiprobe measured 1.26-1.46x slower with it (r12 A/B)
     return session_cache_lazy(
         "emb_all_buckets",
         sf_dir,
@@ -1020,11 +1023,15 @@ def _pq_parts(spark, sf_dir):
     results (the doc_fingerprint lazy-checkpoint precedent). The final
     assignment stays LAZY per caller, so every consumer's plan still shows
     the broadcast codebook join (plan-pinned in tests/test_plans.py)."""
+    # fan_out BEFORE the checkpoint: the subvector frame inherits the
+    # scan's split count, and the local single-split input checkpointed as
+    # ONE partition — every consumer's assignment join (HOF sq-L2 over
+    # ~M·K distances per vector) then ran single-threaded (r12 round)
     sub = session_cache_lazy(
         "pq_sub",
         sf_dir,
         lambda: _subvectors(
-            _quantize_full(_emb(spark, sf_dir), "vec_id", "embedding")
+            _quantize_full(fan_out(_emb(spark, sf_dir), tier="medium"), "vec_id", "embedding")
         ).localCheckpoint(),
         spark,
     )

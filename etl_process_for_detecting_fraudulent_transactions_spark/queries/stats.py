@@ -1592,7 +1592,9 @@ def _boot_w_from_u(u):
 
 
 def poisson_bootstrap(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # fan_out: 8 md5+conv chains and 64 partial-agg expressions per row,
+    # all ahead of the first exchange (A/B 0.64x, r12)
+    ev = fan_out(_t(spark, sf_dir, "events").filter(F.col("value").isNotNull()))
     base = ev.select(
         "event_type",
         F.col("event_id").cast("string").alias("k"),
