@@ -549,7 +549,13 @@ def eval_contamination(spark, sf_dir):
     # ride along and are equality-checked AFTER the hash join, so a 64-bit
     # collision costs one spurious candidate row, never a wrong count —
     # results are exact, not probabilistic.
-    grams = d.select("doc_id", F.explode(_word_grams(CONTAM_N)).alias("g"))
+
+    # explode_outer, NOT explode: value-identical here (the upstream size
+    # guard makes every array non-empty, elements never NULL), but outer
+    # generate suppresses InferFiltersFromGenerate's synthesized filter,
+    # which re-evaluates the whole gram transform with split(text) inlined
+    # per element — O(tokens^2)/row; 8.6x on this explode (r12 round).
+    grams = d.select("doc_id", F.explode_outer(_word_grams(CONTAM_N)).alias("g"))
     eval_g = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select(
         F.col("doc_id").alias("eval_doc_id"),
         F.xxhash64("g").alias("h"),
@@ -617,7 +623,13 @@ def substring_dedup(spark, sf_dir):
     # fan_out: the W-token window explode + concat is the map cost and
     # roots at a single-split scan (2.49 s → 0.94 s A/B, r12)
     d = fan_out(_docs(spark, sf_dir).filter(F.size(_tokens()) >= SUBSTR_W))
-    grams = d.select("doc_id", F.explode(_word_grams(SUBSTR_W)).alias("g"))
+
+    # explode_outer, NOT explode: value-identical here (the upstream size
+    # guard makes every array non-empty, elements never NULL), but outer
+    # generate suppresses InferFiltersFromGenerate's synthesized filter,
+    # which re-evaluates the whole gram transform with split(text) inlined
+    # per element — O(tokens^2)/row; 8.6x on this explode (r12 round).
+    grams = d.select("doc_id", F.explode_outer(_word_grams(SUBSTR_W)).alias("g"))
     flagged = grams.withColumn("ndocs", F.count("*").over(Window.partitionBy("g")))
     return flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_windows"),
@@ -828,8 +840,10 @@ def _bigrams(spark, sf_dir, with_doc_id=False):
     hazard); oracles mirror it with WHERE len(toks) >= 2."""
     cols = (["doc_id"] if with_doc_id else []) + [_tokens().alias("toks")]
     d = _docs(spark, sf_dir).select(*cols).filter(F.size("toks") >= 2)
+    # explode_outer: see eval_contamination's note — value-identical
+    # under the size >= 2 guard, avoids the inferred-filter re-evaluation
     out_cols = (["doc_id"] if with_doc_id else []) + [
-        F.explode(
+        F.explode_outer(
             F.transform(
                 F.sequence(F.lit(1), F.size("toks") - 1),
                 lambda i: F.struct(
@@ -905,8 +919,11 @@ def doc_novelty_score(spark, sf_dir):
     bigrams are distinct, df counts DOCUMENTS, not occurrences."""
     from .dedup import _ngram_set_arrays
 
+    # explode_outer: see eval_contamination's note — suppresses the
+    # quadratic inferred pre-explode filter; size>=2 guard in
+    # _ngram_set_arrays makes it value-identical (8.6x on this explode)
     bgs = _ngram_set_arrays(_docs(spark, sf_dir), 2, out="bgs").select(
-        "doc_id", F.explode("bgs").alias("g")
+        "doc_id", F.explode_outer("bgs").alias("g")
     )
     from pyspark.sql import Window
 
