@@ -354,6 +354,10 @@ def pagerank_copurchase(spark, sf_dir):
             .groupBy("dst")
             .agg(F.sum("c").alias("csum"))
         )
+        # no per-iteration checkpoint (r12 round): r feeds exactly one
+        # consumer per round, so the PR_ITERS-bounded lineage plans fine
+        # and the whole recurrence runs as one job instead of paying a
+        # synchronous materialization per round (0.79x measured A/B)
         r = (
             nodes.join(contrib, nodes.p == contrib.dst)
             .select(
@@ -364,7 +368,6 @@ def pagerank_copurchase(spark, sf_dir):
                     + F.expr(f"({PR_D_NUM} * csum) DIV {PR_D_DEN}")
                 ).cast("bigint").alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
     return (
         r.select("p", F.col("r").alias("rank_fp"))
@@ -458,6 +461,13 @@ def _bfs_hist(dirs, seed_mod: int, iters: int):
         .filter(F.col("p") % seed_mod == 0)
         .withColumn("d", F.lit(0))
     )
+    # NO per-iteration checkpoint (r12 round): each round's frontier ends
+    # in a groupBy exchange, and the next round references it twice (carry
+    # + hop) — byte-identical subtrees, so ReusedExchange evaluates it
+    # once and the whole fixed-round recurrence runs as ONE job instead of
+    # one synchronous checkpoint job per round (plan depth is bounded by
+    # the fixed ``iters`` contract; an open-ended fixpoint loop would
+    # still need the truncation).
     for _ in range(iters):
         hop = (
             dirs.join(dist, dirs.src == dist.p)
@@ -467,7 +477,6 @@ def _bfs_hist(dirs, seed_mod: int, iters: int):
             dist.unionByName(hop)
             .groupBy("p")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
         )
     return (
         dist.groupBy("d")
@@ -756,7 +765,12 @@ def kcore_peel(spark, sf_dir):
     — instead of the former deg.count() + cur.count() pair, which ran two
     jobs and scanned the checkpointed edge set twice per round."""
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
-    rows = []
+    # per-round stats stay LAZY one-row aggregates unioned into the result
+    # (was: a driver .collect() per round + createDataFrame — 5 extra
+    # synchronous jobs per invocation for numbers the plan can carry; the
+    # round chain itself still materializes via the eager checkpoints,
+    # which each round's induced subgraph needs anyway — r12 round)
+    stats = []
     cur = edges
     for rnd in range(KCORE_ROUNDS + 1):
         deg = (
@@ -765,11 +779,14 @@ def kcore_peel(spark, sf_dir):
             .groupBy("p")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        stat = deg.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-            F.expr("coalesce(sum(deg), 0) div 2").alias("n_edges"),
-        ).collect()[0]
-        rows.append((rnd, stat["n_nodes"], stat["n_edges"]))
+        stats.append(
+            deg.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                F.expr("coalesce(sum(deg), 0) div 2").alias("n_edges"),
+            ).select(
+                F.lit(rnd).cast("int").alias("round"), "n_nodes", "n_edges"
+            )
+        )
         if rnd == KCORE_ROUNDS:
             break
         surv = deg.filter(F.col("deg") >= KCORE_K).select("p")
@@ -779,9 +796,10 @@ def kcore_peel(spark, sf_dir):
             .select("pa", "pb")
             .localCheckpoint(eager=True)
         )
-    return spark.createDataFrame(
-        rows, "round int, n_nodes bigint, n_edges bigint"
-    )
+    out = stats[0]
+    for st in stats[1:]:
+        out = out.unionByName(st)
+    return out
 
 
 def _kcore_round_sql(i: int) -> str:
@@ -865,6 +883,8 @@ def sssp_weighted(spark, sf_dir):
         .filter(F.col("p") % BFS_SEED_MOD == 0)
         .withColumn("d", F.lit(0).cast("bigint"))
     )
+    # no per-iteration checkpoint: see _bfs_hist (ReusedExchange carries
+    # the doubled frontier subtree; fixed rounds bound the plan depth)
     for _ in range(SSSP_ITERS):
         hop = dirs.join(dist, dirs.src == dist.p).select(
             F.col("dst").alias("p"), (F.col("d") + F.col("w")).alias("d")
@@ -873,7 +893,6 @@ def sssp_weighted(spark, sf_dir):
             dist.unionByName(hop)
             .groupBy("p")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
         )
     return (
         dist.groupBy("d")
