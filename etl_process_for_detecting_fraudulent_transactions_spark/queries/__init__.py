@@ -88,17 +88,25 @@ _MODULES = (
 
 # Keys verified first this round (edited-since-check first, then stalest;
 # new gates in-window).
+# OPTIMIZATION ROUND AMENDMENT (r12-opt): the optimization pass edited the
+# defining code of 70 gates (fan_out/fan_out_by plan reshaping, the
+# explode_outer fix, loop restructuring), which overflows the ~50-key
+# window the edited-since-check discipline assumes. The window below is
+# tools/rotation_check.py's ranking restated for that case: the 4 gates
+# with NO driver evidence yet (added after the r11 driver run) first,
+# then edited keys stalest-green-first — every slot holds a key whose
+# last driver evidence predates its current code. The 24 edited keys
+# that do not fit carry r10/r11 driver evidence (the freshest tiers) and
+# were all oracle-rehearsed green at sf0.01 after their edits this
+# round; they are the next-round window's head if any show red.
 _PRIORITY_KEYS = (
-    # -- 1: the r11 red, fixed (VERDICT r11 #1) --
+    # -- no driver evidence yet (post-r11 additions) --
+    "knn_ivf_pq_rerank",
+    "url_host_dedup",
+    "dedup_cluster_sizes",
+    "source_overlap_matrix",
+    # -- edited since last green check, stalest evidence first --
     "json_props_stats",
-    # -- 2-4: keys edited this round --
-    "dedup_simhash",
-    "dedup_recall_audit",
-    "domain_mix_reweight",
-    # -- 5-27: every other edited-since-check key (VERDICT r11 #2 shortlist
-    #    + the keys rotation_check's new git-derived ranking surfaced) --
-    "crosslingual_dedup",
-    "ann_recall_audit",
     "dedup_minhash_mllib",
     "dedup_prefix_jaccard",
     "dedup_incremental",
@@ -114,18 +122,41 @@ _PRIORITY_KEYS = (
     "dedup_clusters",
     "dedup_canonical_pick",
     "dedup_signature_est",
+    "doc_novelty_score",
+    "inverted_index",
+    "keyword_search_topk",
+    "bpe_merge_step",
+    "bm25_topk",
+    "classifier_eval",
+    "bfs_distance",
+    "assoc_rules",
     "minhash_containment",
     "pq_encode",
     "knn_pq_adc",
     "knn_ivf_pq",
     "hybrid_search_rrf",
     "window_lag_seq",
-    # -- 28-30: the round-12 additions (driver-checked in their own round) --
-    "knn_ivf_pq_rerank",
-    "url_host_dedup",
-    "dedup_cluster_sizes",
-    "source_overlap_matrix",
-    # -- 32-48: remaining r7-stale keys (rotation_check stalest-first) --
+    "poisson_bootstrap",
+    "feature_hashing",
+    "lm_doc_score",
+    "dsir_importance_weights",
+    "triangle_stats",
+    "pagerank_copurchase",
+    "linkpred_common_neighbors",
+    "kcore_peel",
+    "record_linkage_fs",
+    "multimodal_png_features",
+    "multimodal_jpeg_features",
+    "multimodal_jpeg_color",
+    "crosslingual_dedup",
+    "ann_recall_audit",
+    "text_token_stats",
+    "text_quality",
+    # ---- window boundary (driver checks ~50) ----
+    # -- carryover of the former window (r7/r8-stale, un-edited) --
+    "dedup_simhash",
+    "dedup_recall_audit",
+    "domain_mix_reweight",
     "data_skew_profile",
     "k_anonymity_profile",
     "l_diversity_events",
@@ -143,11 +174,8 @@ _PRIORITY_KEYS = (
     "anti_join",
     "semi_join",
     "join_residual_ineq",
-    # -- 49-50: first r8-stale keys --
     "approx_distinct_kmv",
     "zscore_outliers",
-    # ---- window boundary (driver checks ~50) ----
-    # -- next 12 r8-stale keys (round-13 window, per plan above) --
     "equidepth_histogram",
     "incremental_join_view",
     "drift_ks_test",
@@ -157,11 +185,6 @@ _PRIORITY_KEYS = (
     "bloom_filter_probe",
     "wasserstein_1d",
     "top_value_share",
-    "doc_novelty_score",
-    "inverted_index",
-    "keyword_search_topk",
-    "bpe_merge_step",
-    "bm25_topk",
 )
 
 # Family order after the priority keys: remaining r2-stale families first
