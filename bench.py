@@ -335,6 +335,26 @@ def main() -> None:
         qs = {k: v for k, v in qs.items() if k in keep}
     # warm the JVM + parquet footers with one cheap action (excluded)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Python-worker warm-up (r13, VERDICT r12 #7 judged call, additions
+    # only): the FIRST Arrow/mapInPandas stage of a session pays the
+    # Python worker spawn (~0.2-0.3 s), a fixed session artifact that
+    # otherwise lands on whichever multimodal/pandas key happens to run
+    # first alphabetically. One no-op mapInPandas across the session's
+    # full task width spawns (and, with spark.python.worker.reuse on,
+    # retains) the worker pool BEFORE the timed loop. Nothing inside the
+    # timed region changes; flagged in OPTIMIZATION_r13.md so the driver
+    # sees the bench_harness_changed hint.
+    def _noop_batches(batches):
+        yield from batches
+
+    n_warm = spark.sparkContext.defaultParallelism
+    (
+        spark.range(0, n_warm, 1, n_warm)
+        .mapInPandas(_noop_batches, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     calibration_sec = _calibration(spark)
     print(f"# calibration: {calibration_sec:.3f}s (fixed work)", file=sys.stderr)
 

@@ -63,13 +63,14 @@ from . import (
 # Round-12 additions used 4 of the 5 throttled slots — registry 231 at
 # close (<= 232 per the standing <=5-per-round convention).
 #
-# ROUND-13 ROTATION PLAN (written now so the next session executes, not
-# re-derives): (1) any r12 reds, fixed, first; (2) any keys
-# tools/rotation_check.py marks *edited* at r13 open (it reads git — run
-# it, don't guess); (3) the remaining ~36 r8-stale keys stalest-first
-# (drift_ks_test, trend_slope_ols, .. — positions 51+ below hold the
-# first 12); (4) r9-stale keys with whatever budget remains. That clears
-# r8 debt and makes max staleness r9 at round-13 close.
+# ROUND-13 ROTATION executed the plan: r12 had zero reds; rotation_check's
+# *edited* classes fill positions 1-40 (see the window comment below) and
+# the first 10 r7-stale keys take 41-50.
+# ROUND-14 ROTATION PLAN (same recipe): (1) any r13 reds, fixed, first;
+# (2) whatever rotation_check marks *edited* at r14 open (run it, don't
+# guess); (3) the remaining 7 r7-stale keys (groupby_having_countdistinct
+# .. join_residual_ineq), then r8-stale in rotation order (positions 51+
+# below hold the first 24); (4) r9-stale with remaining budget.
 _MODULES = (
     relational,
     extra,
@@ -88,75 +89,70 @@ _MODULES = (
 
 # Keys verified first this round (edited-since-check first, then stalest;
 # new gates in-window).
-# OPTIMIZATION ROUND AMENDMENT (r12-opt): the optimization pass edited the
-# defining code of 70 gates (fan_out/fan_out_by plan reshaping, the
-# explode_outer fix, loop restructuring), which overflows the ~50-key
-# window the edited-since-check discipline assumes. The window below is
-# tools/rotation_check.py's ranking restated for that case: the 4 gates
-# with NO driver evidence yet (added after the r11 driver run) first,
-# then edited keys stalest-green-first — every slot holds a key whose
-# last driver evidence predates its current code. The 24 edited keys
-# that do not fit carry r10/r11 driver evidence (the freshest tiers) and
-# were all oracle-rehearsed green at sf0.01 after their edits this
-# round; they are the next-round window's head if any show red.
+# ROUND-13 WINDOW (executes VERDICT r12 #3 + the rotation plan): no key is
+# driver-unchecked at r13 open (all 231 have evidence; the r12 window was
+# 50/50 green). tools/rotation_check.py's ranking at r13 close:
+#   1-8   the 8 keys edited in r12-opt whose last green evidence is r10
+#         (lang_id_markers .. tokenizer_fertility — the fan_out/explode
+#         reshaping stragglers the r12 window could not fit);
+#   9-24  the 16 r11-evidence keys edited since (dedup_simhash 64-bit
+#         rework, dedup_recall_audit, the explode_outer text family,
+#         fuzzy_name_pairs, sssp_weighted, golden_record_merge,
+#         multimodal_gif_features, ...) — VERDICT r12 #3's explicit list;
+#   25-40 the 16 keys re-edited THIS round on top of r12 evidence (the
+#         r13 optimization batch: band-candidates memo + prefix rewrite
+#         consumers, _ivf_pq_scored memo consumers, triangle revert,
+#         graph/ann audit frames);
+#   41-50 the 10 stalest never-edited r7-evidence keys
+#         (data_skew_profile .. pricing_summary) — starts clearing the r7
+#         debt the r12-opt amendment had to postpone.
+# After position 50: the remaining r7 keys, then r8 in rotation_check
+# order — any budget overflow lands next-stalest.
 _PRIORITY_KEYS = (
-    # -- no driver evidence yet (post-r11 additions) --
+    # -- edited in r12-opt, r10 evidence (stalest edited tier) --
+    "lang_id_markers",
+    "doc_fingerprint",
+    "text_bpe_tokens",
+    "curation_pipeline",
+    "doc_chunk_windows",
+    "doc_repetition_ratio",
+    "quality_classifier_nb",
+    "tokenizer_fertility",
+    # -- edited in r12-opt, r11 evidence --
+    "dedup_simhash",
+    "dedup_recall_audit",
+    "domain_mix_reweight",
+    "seq_packing",
+    "eval_contamination",
+    "substring_dedup",
+    "gopher_quality_filter",
+    "tfidf_keywords",
+    "bigram_lm_counts",
+    "phrase_search",
+    "sssp_weighted",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "fuzzy_name_pairs",
+    "golden_record_merge",
+    "multimodal_gif_features",
+    # -- edited THIS round (r13), r12 evidence --
     "knn_ivf_pq_rerank",
-    "url_host_dedup",
     "dedup_cluster_sizes",
-    "source_overlap_matrix",
-    # -- edited since last green check, stalest evidence first --
-    "json_props_stats",
     "dedup_minhash_mllib",
     "dedup_prefix_jaccard",
-    "dedup_incremental",
-    "semantic_dedup",
-    "knn_brute_force",
-    "knn_lsh",
-    "embedding_cosine_pairs",
-    "knn_ivf",
-    "knn_lsh_multiprobe",
-    "label_centroid_assign",
-    "multimodal_frame_sample",
-    "kmv_set_ops",
     "dedup_clusters",
     "dedup_canonical_pick",
-    "dedup_signature_est",
-    "doc_novelty_score",
-    "inverted_index",
-    "keyword_search_topk",
-    "bpe_merge_step",
-    "bm25_topk",
-    "classifier_eval",
     "bfs_distance",
-    "assoc_rules",
     "minhash_containment",
     "pq_encode",
     "knn_pq_adc",
     "knn_ivf_pq",
-    "hybrid_search_rrf",
-    "window_lag_seq",
-    "poisson_bootstrap",
-    "feature_hashing",
-    "lm_doc_score",
-    "dsir_importance_weights",
     "triangle_stats",
     "pagerank_copurchase",
     "linkpred_common_neighbors",
     "kcore_peel",
-    "record_linkage_fs",
-    "multimodal_png_features",
-    "multimodal_jpeg_features",
-    "multimodal_jpeg_color",
-    "crosslingual_dedup",
     "ann_recall_audit",
-    "text_token_stats",
-    "text_quality",
-    # ---- window boundary (driver checks ~50) ----
-    # -- carryover of the former window (r7/r8-stale, un-edited) --
-    "dedup_simhash",
-    "dedup_recall_audit",
-    "domain_mix_reweight",
+    # -- stalest never-edited keys (r7 evidence) --
     "data_skew_profile",
     "k_anonymity_profile",
     "l_diversity_events",
@@ -167,6 +163,8 @@ _PRIORITY_KEYS = (
     "funnel_steps",
     "retention_cohorts",
     "pricing_summary",
+    # ---- window boundary (driver checks ~50) ----
+    # -- overflow: remaining r7-stale, then r8-stale in rotation order --
     "groupby_having_countdistinct",
     "groupby_max",
     "join_3hop_agg",
@@ -180,11 +178,24 @@ _PRIORITY_KEYS = (
     "incremental_join_view",
     "drift_ks_test",
     "trend_slope_ols",
-    "auc_mann_whitney",
-    "decision_stump_train",
-    "bloom_filter_probe",
     "wasserstein_1d",
     "top_value_share",
+    "max_concurrent_events",
+    "event_path_trigrams",
+    "gap_islands",
+    "ewma_anomaly",
+    "ohlc_bars",
+    "twap_daily",
+    "interval_union",
+    "t_closeness_profile",
+    "weighted_sample",
+    "cohort_overlap_jaccard",
+    "window_lead_gap",
+    "concat_null",
+    "prefix_int_cast",
+    "between_filter",
+    "order_by_report",
+    "sessionize_2phase",
 )
 
 # Family order after the priority keys: remaining r2-stale families first

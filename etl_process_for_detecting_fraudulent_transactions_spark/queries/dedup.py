@@ -243,7 +243,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     map-side: the FIRST shuffle in the plan is the band-bucket join itself.
     """
     arr = _shingle_arrays(spark, sf_dir)
-    return _verify_exact_jaccard(arr, _minhash_band_candidates(arr))
+    return _verify_exact_jaccard(arr, _band_candidates_memo(spark, sf_dir))
 
 
 def _minhash_sig(arr: DataFrame) -> DataFrame:
@@ -318,6 +318,28 @@ def _minhash_band_candidates(arr: DataFrame) -> DataFrame:
     """Banded-minhash candidate pairs (doc_a < doc_b) over the shingle-array
     frame."""
     return _band_pairs(_minhash_banded(arr))
+
+
+def _band_candidates_memo(spark, sf_dir) -> DataFrame:
+    """Checkpoint-memoized banded candidate pair set (r13, VERDICT r12 #5).
+
+    The (doc_a < doc_b) band-collision pair set is a pure function of the
+    corpus snapshot, and FIVE consumers re-derived it per session — the
+    verified gate (dedup_minhash_lsh), the MLlib union (dedup_minhash_mllib),
+    minhash_containment, dedup_clusters' pair build, and BOTH audit legs of
+    dedup_recall_audit (raw-candidate leg + the verified leg via
+    dedup_minhash_lsh). One eager localCheckpoint of the tiny pair frame
+    (~O(dups) rows) replaces a band self-join per consumer. The audit's
+    TRUTH leg deliberately does NOT ride this memo: it recomputes exact
+    Jaccard from the shingle arrays, so the audit still recomputes what it
+    audits."""
+    return session_cache_lazy(
+        "dedup_band_cands",
+        sf_dir,
+        lambda: _minhash_band_candidates(_shingle_arrays(spark, sf_dir))
+        .localCheckpoint(eager=True),
+        spark,
+    )
 
 
 # one md5 per shingle reduced mod p, then the affine permutations — the
@@ -580,7 +602,7 @@ def dedup_clusters(spark, sf_dir):
     pairs = session_cache_lazy(
         "dedup_cluster_pairs",
         sf_dir,
-        lambda: _verify_exact_jaccard(arr, _minhash_band_candidates(arr))
+        lambda: _verify_exact_jaccard(arr, _band_candidates_memo(spark, sf_dir))
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True),
         arr.sparkSession,
@@ -760,7 +782,7 @@ def dedup_minhash_mllib(spark, sf_dir):
     cand = (
         minhash_dedup_pairs(docs, jaccard_threshold=JACCARD_T)
         .select("doc_a", "doc_b")
-        .unionByName(_minhash_band_candidates(arr))
+        .unionByName(_band_candidates_memo(spark, sf_dir))
         .distinct()
     )
     return _verify_exact_jaccard(arr, cand)
@@ -801,32 +823,55 @@ def dedup_prefix_jaccard(spark, sf_dir):
     prefix join is near-linear while the plain shingle self-join dies. The
     synthetic testdata is the UNFAVORABLE case (dense small vocabulary):
     sf0.1 candidates 1.13M (quadratic) → 522k (prefix) → 206k (+positional/
-    ratio), yet the quadratic gate is still faster locally (~2.6s vs ~4.7s
+    ratio), yet the quadratic gate is still faster locally (~0.7s vs ~3.5s
     warm) because its candidates collapse in one groupBy while this path
-    pays the df/rank window exchanges + prefix join. The crossover is a
-    vocabulary property, not a data-size property — kept as the exact scale
-    path, measured honestly.
+    materializes 206k distinct pairs and exact-verifies each (r13 stage
+    profile: candidates ~1.4s, verify ~2.1s; the r12 window chain was only
+    ~0.3s of it, and a grouped-intersection verify measured the same as
+    the array verify within noise). The crossover is a vocabulary
+    property, not a data-size property — kept as the exact scale path,
+    measured honestly.
     """
     arr = _shingle_arrays(spark, sf_dir)
     sh = arr.select("doc_id", F.explode("shs").alias("s"))
-    from pyspark.sql import Window
-
-    # df / n / rn as a window chain over the SAME frame — one s exchange +
-    # one doc_id exchange (rn and n share the doc partitioning), replacing
-    # the freq/sizes groupBy+join-back shape (A/B at sf0.1: 5.5 -> 4.7 s
-    # warm, identical output; sh is per-doc distinct so count-over-s IS
-    # the document frequency)
-    ranked = (
-        sh.withColumn("df", F.count("*").over(Window.partitionBy("s")))
-        .withColumn(
-            "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
-        )
-        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    # r13 rewrite (guide §2.4, VERDICT r12 #4): the (df, rn, n) annotation
+    # was a two-window chain over the FULL exploded shingle stream — one
+    # exchange+SORT by s for df, one exchange+SORT by doc_id for rn/n.
+    # Any consistent global total order keeps the prefix join COMPLETE
+    # (the completeness proof above never uses what df MEANS — rare-first
+    # is purely the pruning heuristic), so the output is invariant to how
+    # the order is attached. New shape: document frequency of REPEATED
+    # shingles only (df >= 2 — a tiny partial-aggregated groupBy; absent
+    # => df 1, exact by definition) broadcast-hash-joins onto the exploded
+    # stream (NOT a one-row map literal: Spark's map element_at is a
+    # per-lookup LINEAR scan — measured 121 s), and each doc's prefix is
+    # rebuilt map-side after one doc_id-keyed aggregate: array_sort by the
+    # (df, s) struct, slice to the prefix length, posexplode. Both window
+    # SORTS disappear; the doc_id exchange feeds a hash aggregate instead
+    # of a window sort and only the PREFIX is re-exploded.
+    # Scale note: the broadcast dictionary is bounded by the REPEATED
+    # shingle vocabulary, not the corpus (df=1 shingles — the long tail on
+    # real text — never enter it); at a scale where even that outgrows a
+    # broadcast, swap the broadcast for the plain shuffle join this
+    # replaces — the rest of the shape is unchanged.
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("dfr")).filter(F.col("dfr") >= 2)
+    ann = sh.join(F.broadcast(dfreq), "s", "left").select(
+        "doc_id",
+        F.struct(
+            F.coalesce("dfr", F.lit(1).cast("bigint")).alias("dfr"),
+            F.col("s").alias("s"),
+        ).alias("e"),
+    )
+    sorted_docs = ann.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("e")).alias("sorted_shs")
     )
     # prefix length n - ceil(t*n) + 1 with ceil(0.4*n) = (2n+4) div 5
-    prefix = ranked.filter(
-        F.col("rn") <= F.expr("n - (2*n + 4) DIV 5 + 1")
-    ).select("doc_id", "s", "rn", "n")
+    pref_arr = sorted_docs.withColumn("n", F.size("sorted_shs")).withColumn(
+        "pref", F.slice("sorted_shs", F.lit(1), F.col("n") - F.expr("(2*n + 4) DIV 5") + F.lit(1))
+    )
+    prefix = pref_arr.select(
+        "doc_id", "n", F.posexplode("pref").alias("pos", "e")
+    ).select("doc_id", F.col("e.s").alias("s"), (F.col("pos") + 1).alias("rn"), "n")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
@@ -1136,7 +1181,7 @@ CONTAIN_T_NUM, CONTAIN_T_DEN = 6, 10  # containment >= 0.6
 
 def minhash_containment(spark, sf_dir):
     arr = _shingle_arrays(spark, sf_dir)
-    cand = _minhash_band_candidates(arr)
+    cand = _band_candidates_memo(spark, sf_dir)
     a = arr.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     b = arr.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     pairs = (
@@ -1584,7 +1629,7 @@ def dedup_recall_audit(spark, sf_dir):
     tc = truth.agg(F.count(F.lit(1)).alias("truth_pairs"))
     out = None
     for method, pairs in (
-        ("minhash_cand", _minhash_band_candidates(arr)),
+        ("minhash_cand", _band_candidates_memo(spark, sf_dir)),
         ("minhash_verified", dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")),
         ("simhash", dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")),
     ):

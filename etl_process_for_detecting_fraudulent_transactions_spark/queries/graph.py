@@ -35,11 +35,14 @@ def _copurchase_edges(spark, sf_dir, wide: bool = False):
 
     ``wide=True`` pins the pair join's exchange at full width
     (fan_out_by) for consumers whose cost is edge-volume work (wedge
-    enumeration: triangle_stats 0.81x, linkpred 0.66x measured A/B) —
-    frontier-iteration consumers (bfs/sssp/kcore) measured 1.2x SLOWER
-    with the pin (their per-round joins are frontier-sized; a wide edges
-    checkpoint just multiplies task count per round), so they keep the
-    default."""
+    enumeration: linkpred 0.66x measured A/B) — frontier-iteration
+    consumers (bfs/sssp/kcore) measured 1.2x SLOWER with the pin (their
+    per-round joins are frontier-sized; a wide edges checkpoint just
+    multiplies task count per round), so they keep the default.
+    triangle_stats also keeps the default (r13): its first r12 A/B read
+    0.81x but three independent full-bench runs read 1.4-2.1x slower —
+    its own wedge join re-exchanges the checkpoint by src anyway, so the
+    pre-checkpoint pin only multiplied the checkpoint task count."""
     op = (
         _t(spark, sf_dir, "lineitem")
         # deterministic 1/4 node sample: the synthetic co-purchase graph is
@@ -78,7 +81,7 @@ def triangle_stats(spark, sf_dir):
     changes the join sizes, never the count), so the SQL stays readable.
     clustering = one IEEE division of two exact BIGINTs — bit-identical
     across engines."""
-    edges = _copurchase_edges(spark, sf_dir, wide=True).localCheckpoint(eager=True)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("pa").alias("p"))
         .unionByName(edges.select(F.col("pb").alias("p")))

@@ -1280,12 +1280,31 @@ def _ivf_pq_scored(spark, sf_dir):
     )
 
 
+def _ivf_pq_scored_memo(spark, sf_dir):
+    """Checkpoint-memoized IVF+ADC scored frame shared by knn_ivf_pq,
+    knn_ivf_pq_rerank and ann_recall_audit (r13): the frame is a pure
+    function of the corpus snapshot — same contract as the shingle /
+    PQ-trainer memos — and the three consumers each only RANK it, so
+    re-deriving coarse assignment + probing + ADC per consumer repeated
+    the family's dominant cost three times per session (r13 A/B:
+    knn_ivf_pq 2.60 s → 0.41 s, knn_ivf_pq_rerank 2.57 s → 0.63 s on the
+    memo-hit side; the first consumer pays the build exactly once).
+    Tag + builder are the ones ann_recall_audit already used in r12, so
+    the unique-tag-per-builder contract is preserved."""
+    return session_cache_lazy(
+        "ivf_pq_scored",
+        sf_dir,
+        lambda: _ivf_pq_scored(spark, sf_dir).localCheckpoint(),
+        spark,
+    )
+
+
 def knn_ivf_pq(spark, sf_dir, scored=None):
     # `scored` injection: the recall audit computes the shared IVF+ADC
     # frame ONCE (checkpointed) and feeds both PQ legs — standalone calls
-    # keep the lazy single-gate plan (and its broadcast-join pins)
+    # hit the same session memo (r13, see _ivf_pq_scored_memo)
     if scored is None:
-        scored = _ivf_pq_scored(spark, sf_dir)
+        scored = _ivf_pq_scored_memo(spark, sf_dir)
     wr = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(wr))
@@ -1314,7 +1333,7 @@ def knn_ivf_pq_rerank(spark, sf_dir, scored=None):
     driver-hashable. Mirrored by operators/pq_index.py:query_pq_index's
     rerank_with path against the persisted index."""
     if scored is None:
-        scored = _ivf_pq_scored(spark, sf_dir)
+        scored = _ivf_pq_scored_memo(spark, sf_dir)
     ws = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     shortlist = (
         scored.withColumn("rrank", F.row_number().over(ws))
@@ -1798,12 +1817,7 @@ def ann_recall_audit(spark, sf_dir):
     # both PQ legs derive from the SAME IVF+ADC scored frame — compute it
     # once (checkpoint memo) instead of re-running coarse ranking + ADC per
     # leg; the gates' own hashes are unaffected (pure-function injection)
-    pq_scored = session_cache_lazy(
-        "ivf_pq_scored",
-        sf_dir,
-        lambda: _ivf_pq_scored(spark, sf_dir).localCheckpoint(),
-        spark,
-    )
+    pq_scored = _ivf_pq_scored_memo(spark, sf_dir)
     out = None
     for method, fn in (
         ("lsh", knn_lsh),

@@ -462,14 +462,22 @@ def test_pq_adc_codes_never_shuffle_vectors(spark, sf_dir):
 
 def test_ivf_pq_broadcasts_all_small_sides(spark, sf_dir):
     """IVF-PQ composition: coarse centroids, codebook, and LUT all
-    broadcast; no sort-merge join anywhere in the pruned-scoring path."""
+    broadcast; no sort-merge join anywhere in the pruned-scoring path.
+
+    r13: the gate memoizes the shared scored frame (_ivf_pq_scored_memo),
+    so the standalone gate plan is a rank over the checkpointed scored
+    RDD — the join pins are asserted on the scored BUILD plan itself,
+    and the gate plan is pinned to the cheap rank-only shape."""
     from etl_process_for_detecting_fraudulent_transactions_spark.queries.similarity import (
+        _ivf_pq_scored,
         knn_ivf_pq,
     )
 
-    plan = _plan(knn_ivf_pq(spark, sf_dir))
+    plan = _plan(_ivf_pq_scored(spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+    gate_plan = _plan(knn_ivf_pq(spark, sf_dir))
+    assert "SortMergeJoin" not in gate_plan
 
 
 def test_bm25_broadcasts_stats_and_topk(spark, sf_dir):
