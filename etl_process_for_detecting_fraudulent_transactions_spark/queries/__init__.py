@@ -99,12 +99,12 @@ _MODULES = (
 #         rework, dedup_recall_audit, the explode_outer text family,
 #         fuzzy_name_pairs, sssp_weighted, golden_record_merge,
 #         multimodal_gif_features, ...) — VERDICT r12 #3's explicit list;
-#   25-40 the 16 keys re-edited THIS round on top of r12 evidence (the
+#   25-42 the 18 keys re-edited THIS round on top of r12 evidence (the
 #         r13 optimization batch: band-candidates memo + prefix rewrite
-#         consumers, _ivf_pq_scored memo consumers, triangle revert,
-#         graph/ann audit frames);
-#   41-50 the 10 stalest never-edited r7-evidence keys
-#         (data_skew_profile .. pricing_summary) — starts clearing the r7
+#         consumers, _ivf_pq_scored/_ivf_scored/simhash-sig memo
+#         consumers, triangle revert, assoc_rules checkpoint removal);
+#   43-50 the 8 stalest never-edited r7-evidence keys
+#         (data_skew_profile .. funnel_steps) — starts clearing the r7
 #         debt the r12-opt amendment had to postpone.
 # After position 50: the remaining r7 keys, then r8 in rotation_check
 # order — any budget overflow lands next-stalest.
@@ -152,6 +152,8 @@ _PRIORITY_KEYS = (
     "linkpred_common_neighbors",
     "kcore_peel",
     "ann_recall_audit",
+    "assoc_rules",
+    "knn_ivf",
     # -- stalest never-edited keys (r7 evidence) --
     "data_skew_profile",
     "k_anonymity_profile",
@@ -161,10 +163,10 @@ _PRIORITY_KEYS = (
     "per_source_cap",
     "range_join_events",
     "funnel_steps",
-    "retention_cohorts",
-    "pricing_summary",
     # ---- window boundary (driver checks ~50) ----
     # -- overflow: remaining r7-stale, then r8-stale in rotation order --
+    "retention_cohorts",
+    "pricing_summary",
     "groupby_having_countdistinct",
     "groupby_max",
     "join_3hop_agg",

@@ -459,18 +459,25 @@ def dedup_simhash(spark, sf_dir):
         F.when(F.col(f"v{b}") >= 0, F.lit(1 << (63 - b))).otherwise(F.lit(0))
         for b in range(32, 64)
     )
-    # one row per doc: (doc_id, sig_hi, sig_lo) — cached, feeds band explode
-    # + verify. Deliberately NOT a checkpoint memo like the shingle frame:
-    # measured (round 11) the eager localCheckpoint broke the gate's fused
-    # single-pass plan and cost +2.1 s at sf0.1, while the only other
-    # consumer (the recall audit's simhash leg) saves less than that.
-    sig = session_cache(
-        votes.select(
+    # one row per doc: (doc_id, sig_hi, sig_lo) — checkpoint-memoized
+    # (r13). Round 11 measured an eager localCheckpoint at +2.1 s because
+    # it broke the then-fused single-pass plan; after the r12 fan_out of
+    # the shingle frame and the 64-bit rework the landscape flipped:
+    # sig build (explode + 2 md5-ints + 64 vote sums) is ~60% of the gate
+    # (r13 stage profile: sig-only 1.87 s of the 3.24 s gate), and the
+    # recall audit's simhash leg recomputed all of it. With the memo the
+    # first consumer pays the build once and the gate is band-join +
+    # hamming verify only (r13 A/B: 3.36 s → 0.58-0.69 s memo-hit,
+    # 2.96 s cold incl. build; output verified identical, 236 rows).
+    sig = session_cache_lazy(
+        "simhash_sig",
+        sf_dir,
+        lambda: votes.select(
             "doc_id",
             packed_hi.cast("bigint").alias("sig_hi"),
             packed_lo.cast("bigint").alias("sig_lo"),
-        ),
-        "simhash_sig", sf_dir,
+        ).localCheckpoint(eager=True),
+        spark,
     )
     banded = sig.select(
         "doc_id",

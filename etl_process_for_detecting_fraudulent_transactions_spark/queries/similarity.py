@@ -512,10 +512,9 @@ def _assign(vectors, centroids, id_col, out_rank, k):
     return scored.withColumn(out_rank, F.row_number().over(w)).filter(F.col(out_rank) <= k)
 
 
-def knn_ivf(spark, sf_dir):
-    """IVF ANN: id-derived centroids, cosine assignment, scale-aware
-    nprobe_eff-list probe, exact rerank. Same output contract as
-    knn_brute_force/knn_lsh."""
+def _ivf_scored(spark, sf_dir):
+    """(query_id, neighbor_id, sim) over the probed IVF lists — the whole
+    IVF pipeline short of the final top-k rank."""
     e = session_cache(_emb(spark, sf_dir), "emb_plain", sf_dir)
     nv = e.agg(F.count(F.lit(1)).alias("nvec"))
     cent = (
@@ -558,12 +557,30 @@ def knn_ivf(spark, sf_dir):
     probes_hinted = (
         F.broadcast(queries) if probe_bytes < 64 << 20 else queries
     )
-    scored = (
+    return (
         assigned.join(probes_hinted, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", _cosine(F.col("qv"), F.col("cv")))
         .select("query_id", "neighbor_id", "sim")
         .distinct()  # a neighbor can appear via both probed lists
+    )
+
+
+def knn_ivf(spark, sf_dir):
+    """IVF ANN: id-derived centroids, cosine assignment, scale-aware
+    nprobe_eff-list probe, exact rerank. Same output contract as
+    knn_brute_force/knn_lsh.
+
+    The scored frame (assignment + probe + probed-list cosines — the
+    gate's whole cost) is checkpoint-memoized per corpus snapshot (r13):
+    its two consumers are this gate and ann_recall_audit's ivf leg (which
+    calls the gate), the same two-consumer shape as the r12 pq_scored
+    memo; each consumer still ranks per invocation."""
+    scored = session_cache_lazy(
+        "ivf_scored",
+        sf_dir,
+        lambda: _ivf_scored(spark, sf_dir).localCheckpoint(),
+        spark,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
