@@ -68,9 +68,9 @@ from . import (
 # the first 10 r7-stale keys take 41-50.
 # ROUND-14 ROTATION PLAN (same recipe): (1) any r13 reds, fixed, first;
 # (2) whatever rotation_check marks *edited* at r14 open (run it, don't
-# guess); (3) the remaining 7 r7-stale keys (groupby_having_countdistinct
-# .. join_residual_ineq), then r8-stale in rotation order (positions 51+
-# below hold the first 24); (4) r9-stale with remaining budget.
+# guess); (3) the remaining 12 r7-stale keys (per_source_cap ..
+# join_residual_ineq), then r8-stale in rotation order (positions 51+
+# below hold the first 21); (4) r9-stale with remaining budget.
 _MODULES = (
     relational,
     extra,
@@ -99,13 +99,13 @@ _MODULES = (
 #         rework, dedup_recall_audit, the explode_outer text family,
 #         fuzzy_name_pairs, sssp_weighted, golden_record_merge,
 #         multimodal_gif_features, ...) — VERDICT r12 #3's explicit list;
-#   25-42 the 18 keys re-edited THIS round on top of r12 evidence (the
+#   25-45 the 21 keys re-edited THIS round on top of r12 evidence (the
 #         r13 optimization batch: band-candidates memo + prefix rewrite
-#         consumers, _ivf_pq_scored/_ivf_scored/simhash-sig memo
-#         consumers, triangle revert, assoc_rules checkpoint removal);
-#   43-50 the 8 stalest never-edited r7-evidence keys
-#         (data_skew_profile .. funnel_steps) — starts clearing the r7
-#         debt the r12-opt amendment had to postpone.
+#         consumers, scored-frame memo consumers across the PQ/IVF/LSH
+#         families, triangle revert, assoc_rules checkpoint removal);
+#   46-50 the 5 stalest never-edited r7-evidence keys
+#         (data_skew_profile .. domain_mix_sample) — starts clearing the
+#         r7 debt the r12-opt amendment had to postpone.
 # After position 50: the remaining r7 keys, then r8 in rotation_check
 # order — any budget overflow lands next-stalest.
 _PRIORITY_KEYS = (
@@ -154,17 +154,20 @@ _PRIORITY_KEYS = (
     "ann_recall_audit",
     "assoc_rules",
     "knn_ivf",
+    "knn_lsh",
+    "knn_lsh_multiprobe",
+    "hybrid_search_rrf",
     # -- stalest never-edited keys (r7 evidence) --
     "data_skew_profile",
     "k_anonymity_profile",
     "l_diversity_events",
     "merge_upsert",
     "domain_mix_sample",
+    # ---- window boundary (driver checks ~50) ----
+    # -- overflow: remaining r7-stale, then r8-stale in rotation order --
     "per_source_cap",
     "range_join_events",
     "funnel_steps",
-    # ---- window boundary (driver checks ~50) ----
-    # -- overflow: remaining r7-stale, then r8-stale in rotation order --
     "retention_cohorts",
     "pricing_summary",
     "groupby_having_countdistinct",
